@@ -1,0 +1,170 @@
+"""Tokenizers T1-T4, bit-exact to the reference's indexer semantics.
+
+Reference: /root/reference/core/index/common.go
+
+- T1 SplitWholeWords   (common.go:86-94)  — whole string = one term, weight 0
+- T2 SplitSemicolonWords (common.go:97-107) — split on ';', dedup, weight 0
+- T3 SplitRuneWords    (common.go:110-126) — unique unicode runes, weight 0
+- T4 SplitTrueWords    (common.go:129-154) — segment, strip punctuation,
+  TF weight = uint32(float32(term_cnt)/float32(total_cnt) * 10000)
+  (BIGGER_MULTIPLE=10000, common.go:78; float32 truncation at common.go:149)
+
+The reference's T4 uses gojieba (dictionary+HMM segmentation), which is not
+portable offline. Per SURVEY.md §7.3 risk 1 we substitute a deterministic
+segmenter: maximal runs of latin alphanumerics are words; CJK codepoints are
+one token per rune; everything else is a single-char token that the
+punctuation filter (exact table from common.go:58-75) then drops. The TF
+weight law itself is ported exactly (numpy float32 arithmetic).
+
+Exposed in three forms:
+1. pure-Python functions (pytest oracles, the replay simulator),
+2. `tokenize_udf(mode)` — a vectorized pandas UDF returning
+   array<struct<term string, weight int>> (Arrow transport, no per-row
+   Python at the Spark API surface),
+3. a pure-JVM fast path for whitespace corpora lives in
+   operators/postings.py (build_postings_native) — no Python at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Exact punctuation-token table from common.go:58-75 (tokens EQUAL to one of
+# these strings are dropped; note the empty string is in the table).
+PUNCTUATION = frozenset(
+    [
+        " ", ".", "。", ",", "，", "\\", "、", ";", "；", ":", "：",
+        "?", "？", "!", "！", '"', "“", "”", "(", ")", "（", "）",
+        "《", "》", "-", "—", "", "~", "#", "$", "%", "&", "`", "^",
+        "+", "=", "【", "】",
+    ]
+)
+
+BIGGER_MULTIPLE = 10000  # common.go:78
+
+TOKENS_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("term", StringType(), False),
+            StructField("weight", IntegerType(), False),
+        ]
+    )
+)
+
+
+def tf_weight(term_cnt: int, total_cnt: int) -> int:
+    """uint32(float32(termCnt)/float32(totalCnt) * 10000) — common.go:149.
+
+    Go evaluates the division and the multiply in float32, then truncates.
+    """
+    if total_cnt == 0:
+        return 0
+    f = np.float32(np.float32(term_cnt) / np.float32(total_cnt)) * np.float32(
+        BIGGER_MULTIPLE
+    )
+    return int(f)  # trunc toward zero, same as Go uint32() conversion
+
+
+def split_whole_words(content: str) -> list[tuple[str, int]]:
+    """T1 — common.go:86-94."""
+    return [(content, 0)]
+
+
+def split_semicolon_words(content: str) -> list[tuple[str, int]]:
+    """T2 — common.go:97-107. Dedup keeps first occurrence (the Go map
+    iteration order is unspecified; term order never affects postings)."""
+    seen: dict[str, None] = {}
+    for term in content.split(";"):
+        seen.setdefault(term, None)
+    return [(t, 0) for t in seen]
+
+
+def split_rune_words(content: str) -> list[tuple[str, int]]:
+    """T3 — common.go:110-126. Unique runes, weight 0."""
+    seen: dict[str, None] = {}
+    for ch in content:
+        seen.setdefault(ch, None)
+    return [(c, 0) for c in seen]
+
+
+def _is_cjk(ch: str) -> bool:
+    o = ord(ch)
+    return (
+        0x4E00 <= o <= 0x9FFF
+        or 0x3400 <= o <= 0x4DBF
+        or 0xF900 <= o <= 0xFAFF
+        or 0x3040 <= o <= 0x30FF  # kana
+    )
+
+
+def segment(content: str) -> list[str]:
+    """Deterministic stand-in for gojieba.DoSplit(content, false).
+
+    Latin/digit runs -> one token; CJK -> per-rune tokens; any other char
+    (spaces, punctuation) -> its own single-char token, later removed by the
+    punctuation filter exactly as trimPunctuation does (common.go:157-166).
+    """
+    out: list[str] = []
+    buf: list[str] = []
+    for ch in content:
+        if ch.isascii() and (ch.isalnum() or ch == "_"):
+            buf.append(ch)
+            continue
+        if buf:
+            out.append("".join(buf))
+            buf = []
+        out.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
+def split_true_words(content: str) -> list[tuple[str, int]]:
+    """T4 — common.go:129-154, with the deterministic segmenter above."""
+    terms = [t for t in segment(content) if t not in PUNCTUATION]
+    total = len(terms)
+    counts: dict[str, int] = {}
+    for t in terms:
+        counts[t] = counts.get(t, 0) + 1
+    return [(t, tf_weight(c, total)) for t, c in counts.items()]
+
+
+SPLITTERS = {
+    "whole": split_whole_words,
+    "semicolon": split_semicolon_words,
+    "rune": split_rune_words,
+    "words": split_true_words,
+}
+
+
+def tokenize(content: str, mode: str) -> list[tuple[str, int]]:
+    return SPLITTERS[mode](content)
+
+
+def tokenize_udf(mode: str):
+    """Vectorized pandas UDF: string column -> array<struct<term,weight>>.
+
+    Arrow-batched; the per-string tokenize is inherently scalar work but the
+    JVM<->Python transport is columnar (input_hint mandate: no per-row
+    Python at the DataFrame API surface).
+    """
+    fn = SPLITTERS[mode]
+
+    @pandas_udf(TOKENS_SCHEMA)
+    def _tok(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: []
+            if x is None
+            else [{"term": t, "weight": w} for t, w in fn(x)]
+        )
+
+    return _tok

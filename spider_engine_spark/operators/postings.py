@@ -1,0 +1,171 @@
+"""Inverted-index build / merge / probe as declarative DataFrame ops.
+
+Reference semantics (/root/reference):
+- I1 inverted add: tokenize + append DocNode  (core/index/invertedindex.go:95-148)
+- I2 inverted persist: term -> sorted postings (invertedindex.go:284-346)
+- I3 k-way partition merge: concat postings of equal terms in docId order
+  (invertedindex.go:349-507)
+- I8 god field: all string fields joined with '。', indexed as 'words'
+  (core/partition/partition.go:241-288)
+
+Spark-first design: a postings table `(field, term, df, postings:
+array<struct<doc_id long, weight int>>)` built with
+explode -> groupBy(field, term) -> sort_array(collect_list(struct(...))).
+The single shuffle on (field, term) IS the reference's k-way merge: at
+100 TB the same plan holds — partial collect per map task, shuffle by term
+hash, AQE coalesces/splits skewed terms. Compaction of incrementally
+appended postings snapshots is the same groupBy over a union
+(merge_postings), matching invertedindex.go:349-507's semantics
+(ascending doc_id order restored by sort_array).
+
+doc_id is int64 (the reference's uint32 docId space, design.md:83-87,
+widened); weight is int32 (uint32 TF fits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spider_engine_spark.functions.tokenizers import tokenize_udf
+
+GOD_FIELD = "_god"  # reference GOD_FIELD_NAME, partition.go:25-27
+GOD_JOIN = "。"  # partition.go:277-281
+
+POSTING_STRUCT = "struct<doc_id:bigint,weight:int>"
+
+
+def field_tokens(
+    df: DataFrame, doc_id: str, field: str, mode: str
+) -> DataFrame:
+    """I1: one (doc_id, field, term, weight) row per token occurrence."""
+    return (
+        df.select(
+            F.col(doc_id).cast("long").alias("doc_id"),
+            F.explode(tokenize_udf(mode)(F.col(field))).alias("tok"),
+        )
+        .select(
+            F.lit(field).alias("field"),
+            F.col("tok.term").alias("term"),
+            "doc_id",
+            F.col("tok.weight").alias("weight"),
+        )
+    )
+
+
+def god_column(string_fields: list[str]) -> Column:
+    """I8: concat of all string-typed fields with '。' (partition.go:277-281).
+
+    The reference joins values in field order; missing fields read as ''
+    (partition.go:246-250) — coalesce preserves that.
+    """
+    cols = [F.coalesce(F.col(c), F.lit("")) for c in string_fields]
+    return F.concat_ws(GOD_JOIN, *cols)
+
+
+def build_token_stream(
+    df: DataFrame,
+    doc_id: str,
+    fields: dict[str, str],
+    god: bool = True,
+) -> DataFrame:
+    """Tokenize every indexed field (+ god field) into one token stream.
+
+    fields: {column_name: splitter_mode}; only string fields get inverted
+    indexes in the reference (README.md:29 — numbers are forward-only).
+    """
+    parts = [field_tokens(df, doc_id, f, m) for f, m in fields.items()]
+    if god and fields:
+        god_df = df.select(
+            F.col(doc_id).cast("long").alias("doc_id"),
+            god_column(list(fields)).alias(GOD_FIELD),
+        )
+        parts.append(field_tokens(god_df, "doc_id", GOD_FIELD, "words"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def aggregate_postings(tokens: DataFrame) -> DataFrame:
+    """I2: token stream -> (field, term, df, postings sorted by doc_id)."""
+    return tokens.groupBy("field", "term").agg(
+        F.count("doc_id").alias("df"),
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "weight"))
+        ).alias("postings"),
+    )
+
+
+def build_postings(
+    df: DataFrame,
+    doc_id: str,
+    fields: dict[str, str],
+    god: bool = True,
+) -> DataFrame:
+    return aggregate_postings(build_token_stream(df, doc_id, fields, god))
+
+
+def build_postings_native(
+    df: DataFrame, doc_id: str, field: str, delimiter: str = " "
+) -> DataFrame:
+    """Pure-JVM fast path for delimiter-separated corpora (no Python).
+
+    Reproduces T4 whitespace semantics and the float32 TF law using Spark
+    FloatType (float32) arithmetic — whole-stage-codegen throughout; this is
+    the 100 TB path for latin text. Empty tokens (double delimiters) are
+    dropped, matching the punctuation filter's removal of '' / ' ' tokens.
+    """
+    toks = df.select(
+        F.col(doc_id).cast("long").alias("doc_id"),
+        F.explode(F.split(F.col(field), delimiter)).alias("term"),
+    ).filter(F.col("term") != "")
+    # TF per (doc, term) + total per doc via two-level agg (map-side combine
+    # on the first groupBy; no window needed).
+    per_term = toks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("cnt")
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("total"))
+    weighted = per_term.join(per_doc, "doc_id").select(
+        F.lit(field).alias("field"),
+        "term",
+        "doc_id",
+        # uint32(float32(cnt)/float32(total) * 10000) — common.go:149
+        (
+            (F.col("cnt").cast("float") / F.col("total").cast("float"))
+            * F.lit(10000.0).cast("float")
+        )
+        .cast("int")
+        .alias("weight"),
+    )
+    return aggregate_postings(weighted)
+
+
+def merge_postings(*snapshots: DataFrame) -> DataFrame:
+    """I3: compaction of postings snapshots — union + re-groupBy.
+
+    flatten(collect_list) then re-sort restores global doc_id order, the
+    invariant invertedindex.go:349-507 maintains with its k-way heap merge;
+    here the shuffle does the merge.
+    """
+    out = snapshots[0]
+    for s in snapshots[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("field", "term").agg(
+        F.sum("df").alias("df"),
+        F.sort_array(F.flatten(F.collect_list("postings"))).alias("postings"),
+    )
+
+
+def query_term(postings: DataFrame, field: str, term: str) -> DataFrame:
+    """Q1: term probe -> (doc_id, weight) rows.
+
+    A filter on the postings table: with the postings table partitioned /
+    z-ordered by (field, term) this is a pruned scan, the analogue of the
+    reference's btree get + mmap block read (invertedindex.go:154-178).
+    """
+    return (
+        postings.filter((F.col("field") == field) & (F.col("term") == term))
+        .select(F.explode("postings").alias("p"))
+        .select(F.col("p.doc_id").alias("doc_id"), F.col("p.weight").alias("weight"))
+    )

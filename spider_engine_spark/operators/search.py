@@ -1,0 +1,197 @@
+"""Search pipeline Q1-Q10: probe -> anti-join -> filters -> TF-IDF -> rank
+-> paginate -> hydrate.
+
+Reference: /root/reference/core/table/table.go:974-1072 (lifecycle),
+core/partition/partition.go:681-750 (per-partition search),
+core/index/forwardindex.go:564-644 (filter evaluation).
+
+Reference quirks reproduced deliberately (bit-parity with its tests):
+- numeric '>' and '<' actually evaluate >= and <= (forwardindex.go:583-586);
+- numeric sentinel: values v with v & MaxInt64 == MaxInt64 (i.e. v == 2^63-1
+  or v == -1) are excluded from every numeric match EXCEPT 'not in', where
+  the sentinel guard sits inside the loop so sentinel rows pass
+  (forwardindex.go:593-607);
+- missing values are excluded from every filter (GetInt/GetString !ok);
+  missing strings are stored as '' (partition.go:246-250) so string ops
+  compare against '';
+- TF-IDF: df = |result set after filters|, idf = log10(maxdoc/df),
+  score = uint32(weight/10000 * idf * 1000) (table.go:1116-1123);
+- pagination: invalid or out-of-range (offset,size) clamps to
+  (0, min(100, total)) (table.go:1029-1039);
+- the reference's rank sort is unstable on ties (table.go:1126-1131); we
+  add an ascending doc_id tiebreak so results are deterministic
+  (SURVEY.md §7.3 risk 3).
+
+Scale notes: the ranked candidate set is bounded by the postings of one
+term; the global row_number window below runs on that already-small set
+(the reference clamps pages to 100 anyway). The probe itself is a pruned
+scan of the postings table; the hydration join broadcasts the ranked page.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spider_engine_spark.operators.postings import GOD_FIELD, query_term
+
+MAX_INT64 = (1 << 63) - 1
+DEFAULT_PAGE = 100  # table.go:1030-1038
+
+
+@dataclass
+class SearchFilter:
+    """One AND-ed predicate (basic/struct.go:24-50)."""
+
+    field: str
+    op: str  # =, !=, >, <, between, in, not in, prefix, suffix, contain
+    value: object = None  # int or str for scalar ops
+    begin: int | None = None  # between
+    end: int | None = None
+    values: Sequence[object] = dc_field(default_factory=tuple)  # in / not in
+
+
+def _num_ok(c: Column) -> Column:
+    # (MaxInt64 & value) != MaxInt64 — forwardindex.go:580
+    return c.bitwiseAND(F.lit(MAX_INT64)) != F.lit(MAX_INT64)
+
+
+def filter_condition(f: SearchFilter, numeric: bool) -> Column:
+    """Build one Column predicate with reference semantics
+    (forwardindex.go:564-644)."""
+    if numeric:
+        c = F.col(f.field).cast("long")
+        ok = _num_ok(c)
+        if f.op == "=":
+            return ok & (c == F.lit(f.value))
+        if f.op == "!=":
+            return ok & (c != F.lit(f.value))
+        if f.op == ">":  # evaluates >= (forwardindex.go:583)
+            return ok & (c >= F.lit(f.value))
+        if f.op == "<":  # evaluates <= (forwardindex.go:585)
+            return ok & (c <= F.lit(f.value))
+        if f.op == "between":
+            return ok & (c >= F.lit(f.begin)) & (c <= F.lit(f.end))
+        if f.op == "in":
+            return ok & c.isin(list(f.values))
+        if f.op == "not in":
+            # sentinel guard inside the loop -> sentinel rows PASS; null
+            # rows are excluded (GetInt !ok), hence the isNotNull.
+            return c.isNotNull() & ~(ok & c.isin(list(f.values)))
+        raise ValueError(f"bad numeric filter op {f.op!r}")
+    c = F.coalesce(F.col(f.field), F.lit(""))  # missing string == ''
+    if f.op == "=":
+        return c == F.lit(f.value)
+    if f.op == "!=":
+        return c != F.lit(f.value)
+    if f.op == "prefix":
+        return c.startswith(str(f.value))
+    if f.op == "suffix":
+        return c.endswith(str(f.value))
+    if f.op == "contain":
+        return c.contains(str(f.value))
+    if f.op == "in":
+        return c.isin([str(v) for v in f.values])
+    if f.op == "not in":
+        return ~c.isin([str(v) for v in f.values])
+    raise ValueError(f"bad string filter op {f.op!r}")
+
+
+def and_filters(
+    base: DataFrame,
+    filters: Sequence[SearchFilter],
+    numeric_fields: set[str],
+) -> Column | None:
+    cond = None
+    for f in filters:
+        c = filter_condition(f, f.field in numeric_fields)
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def tfidf_score(weight: Column, max_doc: int, df_count: Column) -> Column:
+    """table.go:1116-1123: uint32(weight/10000 * log10(maxdoc/df) * 1000)."""
+    idf = F.log10(F.lit(float(max_doc)) / df_count.cast("double"))
+    return (
+        (weight.cast("double") / F.lit(10000.0)) * idf * F.lit(1000.0)
+    ).cast("long")
+
+
+def search(
+    base: DataFrame,
+    postings: DataFrame,
+    keyword: str,
+    search_field: str = "",
+    filters: Sequence[SearchFilter] = (),
+    offset: int = 0,
+    size: int = 0,
+    max_doc: int | None = None,
+    doc_id: str = "doc_id",
+    deleted: DataFrame | None = None,
+    numeric_fields: set[str] | None = None,
+) -> DataFrame:
+    """Full search: returns the hydrated ranked page with a `score` column.
+
+    search_field '' routes to the god field (table.go:997-1000);
+    keyword '' is a full range scan with weight 0 (partition.go:701-704).
+    max_doc is the table's NextDocId (pass row-count for dense ids).
+    """
+    fld = search_field or GOD_FIELD
+    if numeric_fields is None:
+        numeric_fields = {
+            f.name
+            for f in base.schema.fields
+            if f.dataType.typeName() in ("long", "integer", "short", "byte", "timestamp", "date")
+        }
+    if max_doc is None:
+        max_doc = base.count()
+
+    if keyword == "":
+        cand = base.select(
+            F.col(doc_id).cast("long").alias("doc_id"),
+            F.lit(0).alias("weight"),
+        )
+    else:
+        cand = query_term(postings, fld, keyword)
+
+    if deleted is not None:  # Q4, bitmap anti-join (partition.go:716-726)
+        cand = cand.join(
+            F.broadcast(deleted.select(F.col(doc_id).cast("long").alias("doc_id"))),
+            "doc_id",
+            "left_anti",
+        )
+
+    # Q5: AND-filters evaluate over the forward index == the base table.
+    hydrated = cand.join(
+        base.withColumn("doc_id", F.col(doc_id).cast("long")), "doc_id"
+    )
+    cond = and_filters(hydrated, filters, numeric_fields)
+    if cond is not None:
+        hydrated = hydrated.filter(cond)
+
+    # Q7-Q9 over the (small) candidate set: df/total via window count,
+    # rank via row_number with doc_id tiebreak.
+    w_all = Window.partitionBy(F.lit(1))
+    w_rank = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    scored = hydrated.withColumn("df_", F.count("*").over(w_all)).withColumn(
+        "score", tfidf_score(F.col("weight"), max_doc, F.col("df_"))
+    )
+    ranked = scored.withColumn("rn_", F.row_number().over(w_rank))
+    # pagination clamp (table.go:1029-1039)
+    total = F.col("df_")
+    bad = (
+        (F.lit(offset) < 0)
+        | (F.lit(size) <= 0)
+        | ((F.lit(offset) + F.lit(size)) > total)
+    )
+    lo = F.when(bad, F.lit(0)).otherwise(F.lit(offset))
+    hi = lo + F.when(bad, F.least(F.lit(DEFAULT_PAGE), total)).otherwise(
+        F.lit(size)
+    )
+    page = ranked.filter((F.col("rn_") > lo) & (F.col("rn_") <= hi))
+    return page.drop("df_", "rn_", "weight")

@@ -1,0 +1,255 @@
+"""Postings-build + search-pipeline oracles on the reference's canonical
+`user` fixture (FIXTURES.md F1; /root/reference/core/table/table_test.go).
+
+The dominant reference test pattern is the durability round-trip: query in
+memory -> persist -> query -> reload -> merge -> query with identical
+results (table_test.go:92-147). Here: same assertions against (a) the
+directly-built postings, (b) postings written+reloaded via parquet,
+(c) postings merged from two snapshot halves.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_engine_spark.operators.postings import (
+    GOD_FIELD,
+    build_postings,
+    build_postings_native,
+    merge_postings,
+    query_term,
+)
+from spider_engine_spark.operators.search import SearchFilter, search
+
+ROWS = [
+    # table_test.go:70-89 canonical rows (doc_id assigned in insert order)
+    (0, "10001", "张三", 20, "喜欢美食,也喜欢旅游"),
+    (1, "10002", "李四", 28, "喜欢电影,也喜欢美食"),
+    (2, "10003", "王二麻", 30, "喜欢养生"),
+    (3, "10004", "爱新觉罗", 69, "喜欢美食, 更喜欢打仗"),
+    (4, "10005", "李世民", 50, "喜欢秋香和美食"),
+]
+SCHEMA = "doc_id long, user_id string, user_name string, user_age long, user_desc string"
+FIELDS = {"user_name": "whole", "user_desc": "words"}
+
+
+@pytest.fixture(scope="module")
+def user_df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA).cache()
+
+
+@pytest.fixture(scope="module")
+def user_postings(user_df):
+    return build_postings(user_df, "doc_id", FIELDS).cache()
+
+
+def probe_ids(postings, field, term):
+    return sorted(
+        r.doc_id for r in query_term(postings, field, term).collect()
+    )
+
+
+def test_term_probe_meishi(user_df, user_postings):
+    # reference: search user_desc='美食' hits docs containing 美食
+    # (table_test.go:102-147); our deterministic T4 segments CJK per-rune
+    # (SURVEY.md §7.3 risk 1), so the equivalent probe is the rune '美',
+    # matching the same docs 0,1,3,4
+    assert probe_ids(user_postings, "user_desc", "美") == [0, 1, 3, 4]
+
+
+def test_whole_field_exact_term(user_postings):
+    # T1: user_name indexed as a single whole-string term
+    assert probe_ids(user_postings, "user_name", "李四") == [1]
+    assert probe_ids(user_postings, "user_name", "李") == []
+
+
+def test_god_field_cross_field(user_postings):
+    # god field: '李四' should hit doc 1 via user_name
+    # (table_test.go:876-957) — with the deterministic per-rune segmenter
+    # the god text contains runes 李 and 四; whole-name match happens at
+    # per-rune granularity, so probe a rune present only in names.
+    assert probe_ids(user_postings, GOD_FIELD, "王") == [2]
+    # '美' appears in user_desc of docs 0,1,3,4 via god field too
+    assert probe_ids(user_postings, GOD_FIELD, "美") == [0, 1, 3, 4]
+
+
+def test_postings_sorted_and_df(user_postings):
+    row = user_postings.filter(
+        (F.col("field") == "user_desc") & (F.col("term") == "美")
+    ).collect()[0]
+    ids = [p.doc_id for p in row.postings]
+    assert ids == sorted(ids)
+    assert row.df == 4
+
+
+def test_durability_roundtrip(tmp_path, spark, user_df, user_postings):
+    # persist -> reload -> identical probe results (table_test.go:92-147)
+    path = str(tmp_path / "postings")
+    user_postings.write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+    assert probe_ids(reloaded, "user_desc", "美") == [0, 1, 3, 4]
+
+    # split-build + merge == whole-build (invertedindex.go:349-507 oracle)
+    half1 = build_postings(user_df.filter("doc_id < 2"), "doc_id", FIELDS)
+    half2 = build_postings(user_df.filter("doc_id >= 2"), "doc_id", FIELDS)
+    merged = merge_postings(half1, half2)
+    whole = user_postings
+    for fld, term in [("user_desc", "美"), ("user_desc", "喜"), (GOD_FIELD, "美")]:
+        assert probe_ids(merged, fld, term) == probe_ids(whole, fld, term)
+    # postings arrays bit-equal after merge
+    a = {
+        (r.field, r.term): [(p.doc_id, p.weight) for p in r.postings]
+        for r in merged.collect()
+    }
+    b = {
+        (r.field, r.term): [(p.doc_id, p.weight) for p in r.postings]
+        for r in whole.collect()
+    }
+    assert a == b
+
+
+def test_search_end_to_end(user_df, user_postings):
+    rows = search(
+        user_df,
+        user_postings,
+        keyword="美",
+        search_field="user_desc",
+        max_doc=5,
+    ).orderBy(F.desc("score"), "doc_id").collect()
+    assert [r.doc_id for r in rows] == sorted(
+        [r.doc_id for r in rows],
+        key=lambda d: (-[x.score for x in rows if x.doc_id == d][0], d),
+    )
+    assert {r.doc_id for r in rows} == {0, 1, 3, 4}
+    # hydration carries base columns (table.go:1041-1071)
+    assert rows[0].user_name is not None
+    # TF-IDF: df=4, maxdoc=5 -> idf=log10(1.25); weights differ by desc length
+    assert all(r.score >= 0 for r in rows)
+
+
+def test_search_filters_between_and_prefix(user_df, user_postings):
+    # table_test.go:773-836: between 18..22 and prefix '李'
+    rows = search(
+        user_df,
+        user_postings,
+        keyword="美",
+        search_field="user_desc",
+        filters=[SearchFilter("user_age", "between", begin=18, end=22)],
+        max_doc=5,
+    ).collect()
+    assert [r.doc_id for r in rows] == [0]
+
+    rows = search(
+        user_df,
+        user_postings,
+        keyword="美",
+        search_field="user_desc",
+        filters=[SearchFilter("user_name", "prefix", value="李")],
+        max_doc=5,
+    ).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 4]
+
+
+def test_filter_gt_means_ge(user_df, user_postings):
+    # forwardindex.go:583-586: '>' evaluates >=
+    rows = search(
+        user_df,
+        user_postings,
+        keyword="美",
+        search_field="user_desc",
+        filters=[SearchFilter("user_age", ">", value=28)],
+        max_doc=5,
+    ).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 3, 4]  # 28 included
+
+
+def test_sentinel_exclusion(spark, user_postings):
+    # MaxInt64 numeric sentinel excluded from matches except 'not in'
+    rows2 = [
+        (0, "a", (1 << 63) - 1),
+        (1, "b", 20),
+        (2, "c", -1),  # -1 & MaxInt64 == MaxInt64 -> sentinel too
+    ]
+    df = spark.createDataFrame(rows2, "doc_id long, name string, age long")
+    from spider_engine_spark.operators.search import filter_condition
+
+    got = sorted(
+        r.doc_id
+        for r in df.filter(
+            filter_condition(SearchFilter("age", ">", value=-100), True)
+        ).collect()
+    )
+    assert got == [1]
+    got = sorted(
+        r.doc_id
+        for r in df.filter(
+            filter_condition(
+                SearchFilter("age", "not in", values=[21]), True
+            )
+        ).collect()
+    )
+    assert got == [0, 1, 2]  # sentinel rows pass 'not in'
+
+
+def test_pagination_clamp(user_df, user_postings):
+    # invalid size -> clamp to (0, min(100, total)) (table.go:1029-1039)
+    rows = search(
+        user_df, user_postings, keyword="美", search_field="user_desc",
+        offset=0, size=0, max_doc=5,
+    ).collect()
+    assert len(rows) == 4
+    rows = search(
+        user_df, user_postings, keyword="美", search_field="user_desc",
+        offset=1, size=2, max_doc=5,
+    ).collect()
+    assert len(rows) == 2
+    # out-of-range offset+size -> clamp to full first page
+    rows = search(
+        user_df, user_postings, keyword="美", search_field="user_desc",
+        offset=3, size=99, max_doc=5,
+    ).collect()
+    assert len(rows) == 4
+
+
+def test_empty_keyword_full_scan(user_df, user_postings):
+    # partition.go:701-704: keyword '' scans all docs, weight 0 -> score 0
+    rows = search(
+        user_df, user_postings, keyword="", search_field="user_desc", max_doc=5
+    ).collect()
+    assert len(rows) == 5
+    assert all(r.score == 0 for r in rows)
+
+
+def test_deleted_antijoin(spark, user_df, user_postings):
+    deleted = spark.createDataFrame([(1,)], "doc_id long")
+    rows = search(
+        user_df,
+        user_postings,
+        keyword="美",
+        search_field="user_desc",
+        deleted=deleted,
+        max_doc=5,
+    ).collect()
+    assert sorted(r.doc_id for r in rows) == [0, 3, 4]
+
+
+def test_native_postings_matches_python(spark):
+    # the JVM fast path reproduces the pandas-UDF T4 weights on
+    # whitespace corpora (incl. the float32 TF law)
+    df = spark.createDataFrame(
+        [(0, "a b a c"), (1, "b b b"), (2, "c a  c")],
+        "doc_id long, text string",
+    )
+    native = build_postings_native(df, "doc_id", "text")
+    python = build_postings(df, "doc_id", {"text": "words"}, god=False)
+    a = {
+        (r.term): [(p.doc_id, p.weight) for p in r.postings]
+        for r in native.collect()
+    }
+    b = {
+        (r.term): [(p.doc_id, p.weight) for p in r.postings]
+        for r in python.collect()
+    }
+    assert a == b
+    assert a["a"] == [(0, 5000), (2, 3333)]

@@ -1,0 +1,106 @@
+"""Tokenizer parity oracles, ported from the reference's unit tests.
+
+Reference: /root/reference/core/index/index_test.go:28-51 and
+core/index/common.go:86-154 (semantics restated in SURVEY.md §2.2 / §5 and
+FIXTURES.md F2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spider_engine_spark.functions.tokenizers import (
+    PUNCTUATION,
+    split_rune_words,
+    split_semicolon_words,
+    split_true_words,
+    split_whole_words,
+    tf_weight,
+    tokenize_udf,
+)
+
+CASE = "我爱北京天安门, Hello world!"
+
+
+def test_whole_words():
+    # T1: whole string = single term, weight 0 (common.go:86-94)
+    assert split_whole_words(CASE) == [(CASE, 0)]
+
+
+def test_semicolon_words():
+    # T2: split on ';', dedup (common.go:97-107)
+    got = dict(split_semicolon_words("c;f;c"))
+    assert got == {"c": 0, "f": 0}
+    # no ';' -> one term
+    assert dict(split_semicolon_words("abc")) == {"abc": 0}
+
+
+def test_rune_words():
+    # T3: unique runes, weight 0 (common.go:110-126; index_test.go:28-40)
+    got = dict(split_rune_words(CASE))
+    expected_runes = set(CASE)
+    assert set(got) == expected_runes
+    assert all(w == 0 for w in got.values())
+    # dedup: 'l' 'o' appear multiple times but once as terms
+    assert len(got) == len(expected_runes)
+
+
+def test_true_words_weight_law():
+    # T4 on a pure-CJK string: per-rune segmentation; '我爱北京天安门'
+    # -> 7 unique single-occurrence terms, weight = uint32(1/7*10000)
+    got = dict(split_true_words("我爱北京天安门"))
+    assert set(got) == set("我爱北京天安门")
+    expect = int(np.float32(np.float32(1) / np.float32(7)) * np.float32(10000))
+    assert all(w == expect for w in got.values())
+    assert expect == 1428
+
+
+def test_true_words_punctuation_and_latin():
+    # latin words are whole tokens; punctuation from common.go:58-75 dropped
+    got = dict(split_true_words("Hello, world! Hello"))
+    assert set(got) == {"Hello", "world"}
+    assert got["Hello"] == tf_weight(2, 3)
+    assert got["world"] == tf_weight(1, 3)
+
+
+def test_true_words_mixed():
+    got = dict(split_true_words(CASE))
+    # 7 CJK runes + Hello + world, ',' '!' ' ' dropped
+    assert set(got) == set("我爱北京天安门") | {"Hello", "world"}
+    total = 9
+    assert got["Hello"] == tf_weight(1, total)
+
+
+def test_tf_weight_float32_truncation():
+    # the float32 path matters: 1/3*10000 in float32 = 3333.3333; Go
+    # uint32() truncates -> 3333
+    assert tf_weight(1, 3) == 3333
+    assert tf_weight(2, 3) == 6666
+    assert tf_weight(1, 1) == 10000
+    assert tf_weight(0, 5) == 0
+    assert tf_weight(0, 0) == 0
+
+
+def test_punctuation_table_exact():
+    # the empty string is a member (common.go:66 '-":true, "":true')
+    assert "" in PUNCTUATION
+    assert "。" in PUNCTUATION and "【" in PUNCTUATION
+
+
+def test_tokenize_udf(spark):
+    df = spark.createDataFrame(
+        [(0, "我爱北京天安门"), (1, "天安门上太阳升"), (2, None)],
+        "doc_id long, content string",
+    )
+    rows = (
+        df.select("doc_id", tokenize_udf("words")("content").alias("toks"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    t0 = {r["term"]: r["weight"] for r in rows[0]["toks"]}
+    assert set(t0) == set("我爱北京天安门")
+    assert all(w == 1428 for w in t0.values())
+    t1 = {r["term"]: r["weight"] for r in rows[1]["toks"]}
+    # '天安门上太阳升' -> 7 runes, one dup? none — all unique
+    assert set(t1) == set("天安门上太阳升")
+    assert rows[2]["toks"] == []
