@@ -1,0 +1,524 @@
+"""Driver-contract query registry: Spark implementations + DuckDB oracles.
+
+Every operator claimed in SURVEY.md §2 gets a `queries()` entry here; the
+paired `oracle_sql()` string is ANSI SQL DuckDB runs over the same parquet
+views. The driver compares row-count + schema + order-insensitive
+value-hash with columns sorted by name, so:
+
+- every computed column is aliased identically on both sides;
+- double aggregations go through DECIMAL so the sum is order-independent
+  and bit-equal across engines (sum of raw doubles is shuffle-order
+  dependent), then cast back to double;
+- timestamps are returned as epoch-second longs and dates as ISO strings
+  (session-timezone-proof);
+- every ranked/limited query carries a deterministic tiebreak.
+
+Hash-parity notes for the search oracles: the reference's TF weight is
+uint32(float32(cnt)/float32(total)*10000) (common.go:149) — DuckDB FLOAT
+arithmetic is float32 like Spark FloatType, and trunc()/cast("int")
+truncate alike, so the weights are bit-equal; the TF-IDF expression
+(table.go:1116-1123) keeps the same association order on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spider_engine_spark.operators.postings import build_postings_native
+from spider_engine_spark.operators.search import SearchFilter, search
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def ntz_epoch(c) -> F.Column:
+    """Wall-clock epoch seconds (floor) of a TIMESTAMP_NTZ column.
+
+    Built from date/hour/minute/second components so the value is
+    independent of the driver session's timezone (a plain cast or
+    unix_timestamp on NTZ is either rejected or session-tz-shifted).
+    Matches DuckDB floor(epoch(ts))::BIGINT on naive timestamps.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return (
+        F.unix_date(c.cast("date")).cast("long") * 86400
+        + F.hour(c).cast("long") * 3600
+        + F.minute(c).cast("long") * 60
+        + F.second(c).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Search family (documents table; SURVEY.md §2.4 Q1-Q10)
+# ---------------------------------------------------------------------------
+
+_SEARCH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tok2 AS (
+  SELECT doc_id, term FROM toks WHERE term <> ''
+), per_doc AS (
+  SELECT doc_id, count(*) AS total FROM tok2 GROUP BY doc_id
+), per_term AS (
+  SELECT doc_id, count(*) AS cnt FROM tok2 WHERE term = '{term}' GROUP BY doc_id
+), weighted AS (
+  SELECT p.doc_id,
+         trunc((p.cnt::FLOAT / d.total::FLOAT) * 10000::FLOAT)::BIGINT AS weight
+  FROM per_term p JOIN per_doc d USING (doc_id)
+), filtered AS (
+  SELECT w.doc_id, w.weight, d.text, d.lang, d.source, d.n_chars
+  FROM weighted w JOIN documents d USING (doc_id)
+  WHERE {where}
+), stats AS (
+  SELECT count(*) AS df, (SELECT count(*) FROM documents) AS maxdoc
+  FROM filtered
+), scored AS (
+  SELECT f.doc_id, f.text, f.lang, f.source, f.n_chars,
+         trunc(f.weight / 10000.0 * log10(s.maxdoc::DOUBLE / s.df::DOUBLE)
+               * 1000.0)::BIGINT AS score
+  FROM filtered f CROSS JOIN stats s
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, text, lang, source, n_chars, score
+FROM ranked WHERE rn > {offset} AND rn <= {offset} + {size}
+"""
+
+
+def _search_docs(spark, sf_dir, keyword, filters=(), offset=0, size=100):
+    docs = load(spark, sf_dir, "documents")
+    postings = build_postings_native(docs, "doc_id", "text")
+    page = search(
+        docs,
+        postings,
+        keyword=keyword,
+        search_field="text",
+        filters=filters,
+        offset=offset,
+        size=size,
+        max_doc=docs.count(),
+    )
+    return page.select("doc_id", "text", "lang", "source", "n_chars", "score")
+
+
+@query(
+    "search_tfidf",
+    _SEARCH_ORACLE.format(term="spark", where="TRUE", offset=0, size=20),
+)
+def search_tfidf(spark, sf_dir):
+    """Q1+Q7+Q8+Q9+Q10: term probe -> TF-IDF -> rank -> page -> hydrate."""
+    return _search_docs(spark, sf_dir, "spark", offset=0, size=20)
+
+
+@query(
+    "search_filtered",
+    _SEARCH_ORACLE.format(
+        term="data",
+        # reference numeric '>' evaluates >= (forwardindex.go:583)
+        where="d.n_chars >= 200 AND d.lang IN ('en', 'zh')",
+        offset=0,
+        size=50,
+    ),
+)
+def search_filtered(spark, sf_dir):
+    """Q5: AND-filters with the reference's >= quirk and string IN."""
+    return _search_docs(
+        spark,
+        sf_dir,
+        "data",
+        filters=[
+            SearchFilter("n_chars", ">", value=200),
+            SearchFilter("lang", "in", values=["en", "zh"]),
+        ],
+        offset=0,
+        size=50,
+    )
+
+
+@query(
+    "search_pagination",
+    _SEARCH_ORACLE.format(term="table", where="TRUE", offset=10, size=10),
+)
+def search_pagination(spark, sf_dir):
+    """Q9: offset/size slice of the ranked result."""
+    return _search_docs(spark, sf_dir, "table", offset=10, size=10)
+
+
+@query(
+    "term_doc_freq",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT term, count(DISTINCT doc_id) AS doc_freq
+    FROM toks WHERE term <> ''
+    GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 20
+    """,
+)
+def term_doc_freq(spark, sf_dir):
+    """I2's df statistic: postings-table document frequencies."""
+    docs = load(spark, sf_dir, "documents")
+    postings = build_postings_native(docs, "doc_id", "text")
+    return (
+        postings.select("term", F.col("df").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@query(
+    "point_lookup",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 123",
+)
+def point_lookup(spark, sf_dir):
+    """S2/Q11: primary-key point read (table.go:384-417)."""
+    return load(spark, sf_dir, "documents").filter(F.col("doc_id") == 123)
+
+
+@query(
+    "delete_antijoin",
+    """
+    SELECT lang, count(*) AS n_docs
+    FROM documents WHERE doc_id % 10 <> 0
+    GROUP BY lang
+    """,
+)
+def delete_antijoin(spark, sf_dir):
+    """M1/Q4: logical delete = anti-join against a tombstone set."""
+    docs = load(spark, sf_dir, "documents")
+    deleted = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    return (
+        docs.join(deleted, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "update_latest",
+    """
+    WITH updates AS (
+      SELECT doc_id, text, 'updated' AS source, 2 AS version
+      FROM documents WHERE doc_id < 50
+    ), unioned AS (
+      SELECT doc_id, text, source, 1 AS version FROM documents
+      UNION ALL SELECT * FROM updates
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY version DESC) AS rn
+      FROM unioned
+    )
+    SELECT doc_id, text, source, version FROM ranked WHERE rn = 1
+    """,
+)
+def update_latest(spark, sf_dir):
+    """M2: update = delete-then-insert; latest version wins
+    (table.go:568-690 delete+re-add with a fresh docId)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    base = docs.withColumn("version", F.lit(1))
+    updates = (
+        docs.filter(F.col("doc_id") < 50)
+        .withColumn("source", F.lit("updated"))
+        .withColumn("version", F.lit(2))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("version"))
+    return (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY.md §2.8 — reference lacks these; Spark natives)
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(18,2)"
+_DEC6 = "decimal(18,6)"
+
+
+def _dsum(c, alias):
+    """Order-independent, engine-exact double sum via decimal."""
+    return F.sum(c.cast(_DEC)).cast("double").alias(alias)
+
+
+@query(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    """Pricing-summary aggregation (partial agg + single shuffle)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity"), "sum_qty"),
+        _dsum(F.col("l_extendedprice"), "sum_base_price"),
+        F.sum(disc.cast(_DEC6)).cast("double").alias("sum_disc_price"),
+        F.sum(charge.cast(_DEC6)).cast("double").alias("sum_charge"),
+        (
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "tpch_q3_top10",
+    """
+    SELECT o.o_orderkey,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = (
+      SELECT min(c_mktsegment) FROM customer)
+    GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey ASC LIMIT 10
+    """,
+)
+def tpch_q3_top10(spark, sf_dir):
+    """Join chain + agg + deterministic top-10; the customer dim side is
+    broadcast (small) so only lineitem⋈orders shuffles."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    seg = c.agg(F.min("c_mktsegment")).collect()[0][0]
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == seg)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(disc.cast(_DEC6)).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_regional",
+    """
+    SELECT n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = (SELECT min(r_name) FROM region)
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_regional(spark, sf_dir):
+    """Star-join chain with all dims broadcast; one shuffle for the agg."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rname = r.agg(F.min("r_name")).collect()[0][0]
+    dims = (
+        c.join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r.filter(F.col("r_name") == rname)),
+                    n.n_regionkey == F.col("r_regionkey"),
+                )
+            ),
+            c.c_nationkey == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.sum(disc.cast(_DEC6)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "window_topn_orders",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (
+          PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def window_topn_orders(spark, sf_dir):
+    """Window ranking: top-3 orders per customer."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@query(
+    "events_hourly",
+    """
+    SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS hour_epoch,
+      event_type,
+      count(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY hour_epoch, event_type
+    """,
+)
+def events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (batch form of the streaming hourly
+    rollup); hour key as epoch long for timezone-proof comparison."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.floor(ntz_epoch("ts") / 3600) * 3600).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+@query(
+    "events_running_sum",
+    """
+    SELECT event_id, user_id,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_value
+    FROM events
+    """,
+)
+def events_running_sum(spark, sf_dir):
+    """Ordered running aggregate per user (decimal-exact)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias(
+            "running_value"
+        ),
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id)
+          > 1800 OR lag(ts) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+      floor(epoch(min(ts)))::BIGINT AS session_start_epoch,
+      floor(epoch(max(ts)))::BIGINT AS session_end_epoch
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-min inactivity gap)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # the 30-min gap is defined on second granularity so the floor-to-second
+    # truncation is identical on both sides (DuckDB floor(epoch(ts))).
+    gap = ntz_epoch("ts") - F.lag(ntz_epoch("ts")).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return (
+        flagged.withColumn("session_id", F.sum("new_session").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ntz_epoch("ts")).alias("session_start_epoch"),
+            F.max(ntz_epoch("ts")).alias("session_end_epoch"),
+        )
+    )
+
+
+@query(
+    "agg_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+      count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_distinct_users(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
