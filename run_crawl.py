@@ -1,0 +1,74 @@
+"""CLI entry point for the frontier crawl — spark-submit launch path.
+
+Packaging (north_rule: `spark-submit --py-files` on a multi-executor
+cluster):
+
+    cd /root/repo && zip -qr /tmp/spider_engine_spark.zip spider_engine_spark
+    spark-submit --master <cluster> --py-files /tmp/spider_engine_spark.zip \
+        run_crawl.py --root /tmp/crawl --seeds 100 --steps 5
+
+Prints one JSON line per superstep (the lineage/metrics record) and a
+final summary line with urls_per_sec (scheduled+deduped throughput).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True, help="crawl state dir (TableIO root)")
+    ap.add_argument("--seeds", type=int, default=100)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--salts", type=int, default=4)
+    ap.add_argument("--no-index", action="store_true")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from spider_engine_spark import webmodel as wm
+    from spider_engine_spark.operators.frontier import CrawlJob
+    from spider_engine_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="frontier-crawl",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    t0 = time.monotonic()
+    job = CrawlJob(
+        spark,
+        args.root,
+        seeds=wm.seed_urls(args.seeds),
+        num_shards=args.shards,
+        salts=args.salts,
+        index=not args.no_index,
+    )
+    total_processed = 0
+    for _ in range(args.steps):
+        m = job.run_step()
+        # throughput unit: URLs scheduled (fetched) + deduped (candidates
+        # pushed through the seen-set) per second
+        total_processed += m.get("fetched", 0) + m.get("candidates", 0)
+        print(json.dumps(m))
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "summary": True,
+                "steps": args.steps,
+                "urls_processed": total_processed,
+                "wall_sec": round(wall, 3),
+                "urls_per_sec": round(total_processed / wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,371 @@
+"""URL-frontier + fetch scheduler — the north-star system.
+
+Superstep dataflow (north_rule; all state through snapshot-commit TableIO):
+
+  frontier ──salted two-phase per-host top-k──> fetch batch
+     batch ──mapInPandas(make_doc)──> interleaved docs (spans)
+     docs  ──explode media spans──> raw outlinks
+     links ──canonicalize+enrich (Arrow UDF)──> candidates
+     candidates ──robots filter──> allowed
+     allowed ──xxhash64 shard──> cuckoo probe ──> definitely-new / maybe
+     maybe  ──exact anti-join vs seen──> truly-new (FP audit metric)
+     admitted = definitely-new ∪ truly-new  ──> frontier', seen', filter'
+     docs   ──tokenize text spans (pandas UDF, T4)──> postings append
+  commit frontier'/seen'/filter'/docs/postings + step metrics (lineage)
+
+Politeness: per-host budget = TICKS_PER_STEP // crawl_delay(host)
+(robots crawl-delay model, webmodel.crawl_delay). Hot-host skew is
+handled by the salted two-phase ranking: row_number over (host, salt)
+bounds any single window partition to ~|host|/SALTS rows before the
+final per-host top-k — a two-phase aggregation in the north_rule's sense.
+
+Priority queue: rank key within host = (priority, depth,
+discovered_step, url) — host-priority, depth, recency, with the url as
+the deterministic tiebreak (SURVEY.md §7.3 risk 6).
+
+Resume: every table is a TableIO snapshot; the frontier snapshot's meta
+carries the step counter + metrics, so `CrawlJob(spark, root)` on an
+existing root continues exactly where the last committed superstep left
+off (crash between writes re-runs the step idempotently from the last
+fully-committed frontier).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spider_engine_spark import webmodel as wm
+from spider_engine_spark.functions.tokenizers import tokenize_udf
+from spider_engine_spark.operators import seenset
+from spider_engine_spark.operators.postings import aggregate_postings, merge_postings
+from spider_engine_spark.sources.tableio import TableIO
+
+SPAN_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("kind", StringType(), False),
+            StructField("text", StringType(), False),
+            StructField("media_ref", StringType(), False),
+            StructField("offset", IntegerType(), False),
+        ]
+    )
+)
+
+FRONTIER_SCHEMA = (
+    "url string, host string, depth int, priority int, budget int, "
+    "discovered_step int"
+)
+CAND_SCHEMA = "url string, host string, depth int, priority int, budget int, allowed boolean"
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("spans", SPAN_SCHEMA, False),
+        StructField("fetch_step", IntegerType(), False),
+    ]
+)
+
+
+def enrich_candidates(raw: DataFrame) -> DataFrame:
+    """raw(url_raw, depth) -> canonical candidates with host attributes.
+
+    One Arrow pass: canonicalize, host split, robots check, politeness
+    budget + priority (webmodel is the single source of truth shared with
+    the replay simulator)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls = pdf["url_raw"].map(wm.canonicalize)
+            hosts = urls.map(wm.url_host)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "host": hosts,
+                    "depth": pdf["depth"],
+                    "priority": hosts.map(wm.host_priority),
+                    "budget": hosts.map(wm.host_budget),
+                    "allowed": urls.map(
+                        lambda u: wm.robots_allowed(wm.url_path(u))
+                    ),
+                }
+            )
+
+    return raw.mapInPandas(fn, CAND_SCHEMA)
+
+
+def fetch_docs(batch: DataFrame, step: int) -> DataFrame:
+    """Fetch simulation: url -> interleaved text+media span document."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs = [wm.make_doc(u) for u in pdf["url"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [d["doc_id"] for d in docs],
+                    "spans": [
+                        [
+                            (s["kind"], s["text"], s["media_ref"], s["offset"])
+                            for s in d["spans"]
+                        ]
+                        for d in docs
+                    ],
+                    "fetch_step": step,
+                }
+            )
+
+    return batch.select("url").mapInPandas(fn, DOC_SCHEMA)
+
+
+def select_fetch_batch(frontier: DataFrame, salts: int) -> DataFrame:
+    """Salted two-phase per-host top-budget selection (skew-proof)."""
+    rank_cols = [
+        F.asc("priority"),
+        F.asc("depth"),
+        F.asc("discovered_step"),
+        F.asc("url"),
+    ]
+    salted = frontier.withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(salts)).cast("int")
+    )
+    w1 = Window.partitionBy("host", "salt").orderBy(*rank_cols)
+    phase1 = (
+        salted.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= F.col("budget"))
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*rank_cols)
+    return (
+        phase1.withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= F.col("budget"))
+        .drop("r2")
+    )
+
+
+def index_docs(docs: DataFrame) -> DataFrame:
+    """The spider-engine graft: tokenize text spans (T4 pandas UDF) ->
+    inverted postings (doc key = canonical url)."""
+    texts = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "text")
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.text").alias("text"),
+        )
+    )
+    # doc-level text = ordered concat of text spans (the reference indexes
+    # whole fields; span order is the forward-index round-trip invariant)
+    per_doc = texts.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ", F.transform(F.sort_array(F.collect_list(F.struct("offset", "text"))), lambda s: s.text)
+        ).alias("text")
+    )
+    toks = per_doc.select(
+        F.xxhash64("doc_id").alias("doc_key"),
+        F.explode(tokenize_udf("words")(F.col("text"))).alias("tok"),
+    ).select(
+        F.lit("spans_text").alias("field"),
+        F.col("tok.term").alias("term"),
+        F.col("doc_key").alias("doc_id"),
+        F.col("tok.weight").alias("weight"),
+    )
+    return aggregate_postings(toks)
+
+
+class CrawlJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        seeds: list[str] | None = None,
+        num_shards: int = 8,
+        capacity_per_shard: int = 1 << 16,
+        salts: int = 4,
+        index: bool = True,
+    ):
+        self.spark = spark
+        self.io = TableIO(root)
+        self.num_shards = num_shards
+        self.capacity = capacity_per_shard
+        self.salts = salts
+        self.index = index
+        if self.io.exists("frontier"):
+            self.step_no = int(self.io.meta("frontier").get("step", 0))
+        elif seeds is not None:
+            self._bootstrap(seeds)
+        else:
+            raise ValueError("new crawl root requires seeds")
+
+    # -- bootstrap ----------------------------------------------------
+    def _bootstrap(self, seeds: list[str]) -> None:
+        raw = self.spark.createDataFrame(
+            [(u, 0) for u in seeds], "url_raw string, depth int"
+        )
+        cand = enrich_candidates(raw).filter(F.col("allowed")).drop("allowed")
+        cand = seenset.with_shard(cand, "url", self.num_shards)
+        # seeds can collide post-canonicalization: keep first per url
+        cand = cand.dropDuplicates(["url"])
+        frontier = cand.withColumn("discovered_step", F.lit(0)).select(
+            *FRONTIER_SCHEMA.replace(" string", "").replace(" int", "").split(", ")
+        )
+        self.io.write("frontier", frontier, meta={"step": 0, "metrics": {}})
+        self.io.write("seen", cand.select("url", "hash", "shard"))
+        state = seenset.insert(
+            cand, seenset.empty_state(self.spark), self.capacity
+        )
+        self.io.write("filter", state)
+        self.step_no = 0
+
+    # -- one superstep ------------------------------------------------
+    def run_step(self) -> dict:
+        t0 = time.monotonic()
+        spark = self.spark
+        step = self.step_no
+        frontier = self.io.read(spark, "frontier")
+
+        batch = select_fetch_batch(frontier, self.salts).cache()
+        n_batch = batch.count()
+        if n_batch == 0:
+            metrics = {"step": step + 1, "fetched": 0, "done": True}
+            self.io.write("frontier", frontier, meta={"step": step + 1, "metrics": metrics})
+            self.step_no += 1
+            return metrics
+
+        docs = fetch_docs(batch, step).cache()
+
+        # outlink extraction: media spans carry the links;
+        # child depth = parent depth + 1 via doc_id == parent url
+        parent_depth = batch.select(
+            F.col("url").alias("doc_id"), F.col("depth").alias("pdepth")
+        )
+        raw_links = (
+            docs.join(parent_depth, "doc_id")
+            .select(
+                F.explode("spans").alias("s"), F.col("pdepth")
+            )
+            .filter(F.col("s.media_ref") != "")
+            .select(
+                F.col("s.media_ref").alias("url_raw"),
+                (F.col("pdepth") + 1).alias("depth"),
+            )
+        )
+        n_links = raw_links.count()
+
+        cand = enrich_candidates(raw_links)
+        n_robots_blocked = cand.filter(~F.col("allowed")).count()
+        cand = (
+            cand.filter(F.col("allowed"))
+            .drop("allowed")
+            .groupBy("url")
+            .agg(
+                F.first("host").alias("host"),
+                F.min("depth").alias("depth"),
+                F.first("priority").alias("priority"),
+                F.first("budget").alias("budget"),
+            )
+        )
+        cand = seenset.with_shard(cand, "url", self.num_shards).cache()
+
+        state = self.io.read(spark, "filter")
+        probed = seenset.probe(cand, state).cache()
+        definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        n_maybe = maybe.count()
+        seen = self.io.read(spark, "seen")
+        truly_new = maybe.join(
+            seen.select("url"), "url", "left_anti"
+        )
+        n_truly_new = truly_new.count()
+        admitted = definitely_new.unionByName(truly_new).withColumn(
+            "discovered_step", F.lit(step + 1)
+        ).cache()
+        n_admitted = admitted.count()
+        # maybe-seen rows that were NOT exactly seen are the filter's
+        # false positives; the rest are true duplicates
+        n_false_pos = n_truly_new
+
+        # frontier' = frontier - batch + admitted
+        remaining = frontier.join(batch.select("url"), "url", "left_anti")
+        new_frontier = remaining.unionByName(
+            admitted.select(
+                "url", "host", "depth", "priority", "budget", "discovered_step"
+            )
+        ).repartition(self.num_shards, "host")
+
+        # per-partition lineage metrics (north_rule)
+        shard_counts = {
+            str(r["shard"]): r["cnt"]
+            for r in admitted.groupBy("shard")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+
+        metrics = {
+            "step": step + 1,
+            "fetched": n_batch,
+            "links_extracted": n_links,
+            "robots_blocked": n_robots_blocked,
+            "candidates": int(cand.count()),
+            "maybe_seen": n_maybe,
+            "cuckoo_false_positives": int(n_false_pos),
+            "admitted": n_admitted,
+            "admitted_per_shard": shard_counts,
+            "duration_sec": None,  # filled below
+        }
+
+        # commits (snapshot per superstep)
+        self.io.write(
+            "frontier", new_frontier, meta={"step": step + 1, "metrics": metrics}
+        )
+        self.io.write(
+            "seen", admitted.select("url", "hash", "shard"), mode="append",
+            meta={"step": step + 1},
+        )
+        new_state = seenset.insert(admitted, state, self.capacity)
+        self.io.write("filter", new_state, meta={"step": step + 1})
+        self.io.write("docs", docs, mode="append", meta={"step": step + 1})
+        if self.index:
+            postings = index_docs(docs)
+            if self.io.exists("postings"):
+                postings = merge_postings(
+                    self.io.read(spark, "postings"), postings
+                )
+            self.io.write("postings", postings, meta={"step": step + 1})
+
+        metrics["duration_sec"] = time.monotonic() - t0
+        self.step_no += 1
+        batch.unpersist()
+        docs.unpersist()
+        cand.unpersist()
+        probed.unpersist()
+        admitted.unpersist()
+        return metrics
+
+    def run(self, n_steps: int) -> list[dict]:
+        return [self.run_step() for _ in range(n_steps)]
+
+    # -- views ---------------------------------------------------------
+    def fetched_urls_by_step(self) -> dict[int, list[str]]:
+        docs = self.io.read(self.spark, "docs")
+        rows = docs.select("doc_id", "fetch_step").collect()
+        out: dict[int, list[str]] = {}
+        for r in rows:
+            out.setdefault(r["fetch_step"], []).append(r["doc_id"])
+        return {k: sorted(v) for k, v in out.items()}
+
+    def seen_urls(self) -> set[str]:
+        return {
+            r["url"]
+            for r in self.io.read(self.spark, "seen").select("url").collect()
+        }

@@ -1,0 +1,125 @@
+"""Distributed seen-set: sharded cuckoo filters + exact fallback table.
+
+Dataflow per superstep (all Arrow-vectorized, no per-row Python at the
+API surface):
+
+  candidates --xxhash64--> shard = pmod(hash, P)
+      cogroup(shard) with filter-state table
+      -> maybe_seen flag per candidate            (probe_udf)
+  definitely-new  = maybe_seen == false           (no exact check needed —
+                                                   cuckoo has no false
+                                                   negatives)
+  maybe-seen      = exact LEFT SEMI join vs seen table (small fraction =
+                    FP rate + true dups)
+  admitted        = definitely-new UNION (maybe-seen MINUS exact-seen)
+      cogroup(shard) with filter-state table
+      -> new filter-state rows                    (insert_udf)
+
+The exact seen table is itself hash-partitioned parquet via TableIO; at
+10^10 URLs only the (tiny) maybe-seen fraction ever joins against it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spider_engine_spark.operators.cuckoo import CuckooFilter
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType(), False),
+        StructField("nbuckets", IntegerType(), False),
+        StructField("count", LongType(), False),
+        StructField("data", BinaryType(), False),
+    ]
+)
+
+
+def empty_state(spark) -> DataFrame:
+    return spark.createDataFrame([], STATE_SCHEMA)
+
+
+def with_shard(df: DataFrame, url_col: str, num_shards: int) -> DataFrame:
+    """Native hash+shard: xxhash64 on the canonical URL (JVM-side)."""
+    return df.withColumn("hash", F.xxhash64(F.col(url_col))).withColumn(
+        "shard", F.pmod(F.col("hash"), F.lit(num_shards)).cast("int")
+    )
+
+
+def probe(candidates: DataFrame, state: DataFrame) -> DataFrame:
+    """candidates(url, hash, shard, ...) -> + maybe_seen boolean."""
+    out_schema = StructType(
+        list(candidates.schema.fields)
+        + [StructField("maybe_seen", BooleanType(), False)]
+    )
+    cols = candidates.columns
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=cols + ["maybe_seen"])
+        if right.empty:
+            left = left.copy()
+            left["maybe_seen"] = False
+            return left
+        filt = CuckooFilter.from_bytes(bytes(right["data"].iloc[0]))
+        left = left.copy()
+        left["maybe_seen"] = filt.contains(
+            left["hash"].to_numpy().astype("uint64")
+        )
+        return left
+
+    return candidates.groupBy("shard").cogroup(state.groupBy("shard")).applyInPandas(
+        fn, out_schema
+    )
+
+
+def insert(
+    admitted: DataFrame, state: DataFrame, capacity_per_shard: int
+) -> DataFrame:
+    """Return the NEW full filter-state table with admitted hashes added.
+
+    Shards with no admitted rows pass through unchanged (cogroup emits
+    them with an empty left side)."""
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if right.empty:
+            if left.empty:
+                return pd.DataFrame(
+                    columns=["shard", "nbuckets", "count", "data"]
+                )
+            filt = CuckooFilter(capacity_per_shard)
+            shard = int(left["shard"].iloc[0])
+            count = 0
+        else:
+            filt = CuckooFilter.from_bytes(bytes(right["data"].iloc[0]))
+            shard = int(right["shard"].iloc[0])
+            count = int(right["count"].iloc[0])
+        n = 0
+        if not left.empty:
+            n = filt.insert(left["hash"].to_numpy().astype("uint64"))
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "nbuckets": [filt.nbuckets],
+                "count": [count + n],
+                "data": [filt.to_bytes()],
+            }
+        )
+
+    return (
+        admitted.select("shard", "hash")
+        .groupBy("shard")
+        .cogroup(state.groupBy("shard"))
+        .applyInPandas(fn, STATE_SCHEMA)
+    )

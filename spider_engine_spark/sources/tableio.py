@@ -1,0 +1,127 @@
+"""Snapshot-commit table IO — an Iceberg-shaped abstraction over parquet.
+
+No Iceberg runtime jar is available offline (SURVEY.md §7.0), so state
+tables (frontier, seen-set, cuckoo filters, postings, checkpoints) go
+through this thin layer with Iceberg-like semantics:
+
+- every write is a new immutable snapshot version (parquet dir),
+- commits are atomic (write to a temp dir, rename, then atomically swap
+  a JSON manifest) — readers only ever see fully-committed versions,
+- `append` mode commits a version whose manifest references the parent's
+  data dirs plus the new one (no rewrite of existing files),
+- each manifest entry carries caller metadata (per-partition lineage,
+  step counters — the north_rule's checkpoint+metrics requirement),
+- time travel: `read(..., version=n)`.
+
+The reference's analogue is its meta persistence + mem-partition flush
+(engine/spider.go:109-120, core/partition/partition.go:488-555); the
+snapshot commit replaces its hierarchical-counter crash-consistency
+protocol (design.md:158-165) with all-or-nothing visibility.
+
+On a real cluster this class is swapped for Iceberg SQL (CREATE/MERGE/
+snapshot reads) — the call sites only use read/write/append/meta.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableIO:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_manifest.json")
+
+    def _load_manifest(self, name: str) -> dict:
+        p = self._manifest_path(name)
+        if not os.path.exists(p):
+            return {"versions": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, name: str, manifest: dict) -> None:
+        p = self._manifest_path(name)
+        tmp = p + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, p)  # atomic on POSIX
+
+    def exists(self, name: str) -> bool:
+        return bool(self._load_manifest(name)["versions"])
+
+    def versions(self, name: str) -> list[int]:
+        return [v["version"] for v in self._load_manifest(name)["versions"]]
+
+    def meta(self, name: str, version: int | None = None) -> dict:
+        entry = self._entry(name, version)
+        return entry.get("meta", {})
+
+    def _entry(self, name: str, version: int | None = None) -> dict:
+        vs = self._load_manifest(name)["versions"]
+        if not vs:
+            raise FileNotFoundError(f"table {name} has no versions")
+        if version is None:
+            return vs[-1]
+        for v in vs:
+            if v["version"] == version:
+                return v
+        raise FileNotFoundError(f"table {name} has no version {version}")
+
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        meta: dict | None = None,
+    ) -> int:
+        """Commit df as a new snapshot; returns the new version number."""
+        manifest = self._load_manifest(name)
+        vs = manifest["versions"]
+        new_version = (vs[-1]["version"] + 1) if vs else 1
+        tdir = self._tdir(name)
+        os.makedirs(tdir, exist_ok=True)
+        final = os.path.join(tdir, f"v{new_version:06d}")
+        tmp = os.path.join(tdir, f"_tmp.{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)  # atomic publish of the data dir
+        if mode == "append" and vs:
+            dirs = list(vs[-1]["dirs"]) + [final]
+        else:
+            dirs = [final]
+        vs.append(
+            {
+                "version": new_version,
+                "dirs": dirs,
+                "schema": df.schema.json(),
+                "meta": meta or {},
+            }
+        )
+        self._commit_manifest(name, manifest)
+        return new_version
+
+    def read(
+        self, spark: SparkSession, name: str, version: int | None = None
+    ) -> DataFrame:
+        entry = self._entry(name, version)
+        return spark.read.parquet(*entry["dirs"])
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._tdir(name), ignore_errors=True)
+
+    def compact(self, spark: SparkSession, name: str, meta: dict | None = None) -> int:
+        """Rewrite the append chain into a single snapshot (the analogue of
+        the reference's partition merge, table.go:874-971 / Iceberg
+        rewrite_data_files)."""
+        df = self.read(spark, name)
+        return self.write(name, df, mode="overwrite", meta=meta)

@@ -1,0 +1,44 @@
+"""Cuckoo filter unit tests (no false negatives; FP audit; serde)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spider_engine_spark.operators.cuckoo import CuckooFilter
+
+
+def test_insert_contains_no_false_negatives():
+    rng = np.random.default_rng(42)
+    keys = rng.integers(0, 2**63, size=5000, dtype=np.int64).astype(np.uint64)
+    f = CuckooFilter(capacity=8000)
+    assert f.insert(keys) == len(keys)
+    assert f.contains(keys).all()
+
+
+def test_false_positive_rate_bounded():
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**63, size=5000, dtype=np.int64).astype(np.uint64)
+    other = rng.integers(0, 2**63, size=20000, dtype=np.int64).astype(np.uint64)
+    other = np.setdiff1d(other, keys)
+    f = CuckooFilter(capacity=8000)
+    f.insert(keys)
+    fp = f.contains(other).mean()
+    # 16-bit fingerprints, 8 slots checked -> theoretical ~8/65536 = 0.012%
+    assert fp < 0.01
+
+
+def test_serde_roundtrip():
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**63, size=1000, dtype=np.int64).astype(np.uint64)
+    f = CuckooFilter(capacity=2000)
+    f.insert(keys)
+    g = CuckooFilter.from_bytes(f.to_bytes())
+    assert g.nbuckets == f.nbuckets
+    assert g.contains(keys).all()
+    assert (g.table == f.table).all()
+
+
+def test_empty_probe():
+    f = CuckooFilter(capacity=100)
+    assert f.contains(np.array([], dtype=np.uint64)).shape == (0,)
+    assert not f.contains(np.array([123456789], dtype=np.uint64))[0]

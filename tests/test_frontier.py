@@ -1,0 +1,137 @@
+"""Crawl replay-equality + seen-set + resume oracles (north_rule).
+
+The distributed CrawlJob and the pure-Python ReplaySimulator share
+webmodel.py; per-step fetch sets, the final URL-seen set, frontier
+contents and document span sequences must match exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_engine_spark import webmodel as wm
+from spider_engine_spark.operators.frontier import CrawlJob
+from spider_engine_spark.simulator import ReplaySimulator
+
+N_SEEDS = 20
+N_STEPS = 3
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("crawl"))
+    seeds = wm.seed_urls(N_SEEDS)
+    job = CrawlJob(spark, root, seeds=seeds, num_shards=4, salts=2)
+    metrics = job.run(N_STEPS)
+    sim = ReplaySimulator(seeds)
+    sim_metrics = sim.run(N_STEPS)
+    return job, sim, metrics, sim_metrics
+
+
+def test_fetch_order_matches_simulator(crawl):
+    job, sim, _, _ = crawl
+    spark_fetched = job.fetched_urls_by_step()
+    for step in range(N_STEPS):
+        assert spark_fetched[step] == sim.fetched_by_step[step], (
+            f"step {step} fetch set diverged"
+        )
+
+
+def test_seen_set_matches_simulator(crawl):
+    job, sim, _, _ = crawl
+    assert job.seen_urls() == sim.seen
+
+
+def test_frontier_matches_simulator(crawl):
+    job, sim, _, _ = crawl
+    rows = job.io.read(job.spark, "frontier").collect()
+    spark_frontier = {
+        r["url"]: (r["depth"], r["priority"], r["budget"], r["discovered_step"])
+        for r in rows
+    }
+    sim_frontier = {
+        e.url: (e.depth, e.priority, e.budget, e.discovered_step)
+        for e in sim.frontier.values()
+    }
+    assert spark_frontier == sim_frontier
+
+
+def test_step_metrics_match(crawl):
+    _, _, metrics, sim_metrics = crawl
+    for m, s in zip(metrics, sim_metrics):
+        assert m["fetched"] == s["fetched"]
+        assert m["admitted"] == s["admitted"]
+        assert m["robots_blocked"] == s["robots_blocked"]
+        assert m["candidates"] == s["candidates"]
+
+
+def test_span_sequence_invariant(crawl):
+    """input_hint invariant: per-row span sequence (kind, text, media_ref,
+    order) of distributed docs equals the reference fetch simulation."""
+    job, sim, _, _ = crawl
+    docs = job.io.read(job.spark, "docs").collect()
+    assert len(docs) > 0
+    for row in docs[:50]:
+        ref = wm.make_doc(row["doc_id"])  # doc_id is the canonical url
+        got = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in row["spans"]
+        ]
+        want = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in ref["spans"]
+        ]
+        assert got == want
+
+
+def test_no_cuckoo_false_negatives(crawl):
+    """Every admitted URL must be maybe-seen on a later probe — i.e. the
+    filter state actually contains the seen set (no false negatives)."""
+    job, _, _, _ = crawl
+    from spider_engine_spark.operators import seenset
+
+    spark = job.spark
+    seen = job.io.read(spark, "seen").select("url", "hash", "shard")
+    state = job.io.read(spark, "filter")
+    probed = seenset.probe(seen, state)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_postings_graft_indexed(crawl):
+    job, sim, _, _ = crawl
+    postings = job.io.read(job.spark, "postings")
+    terms = {r["term"] for r in postings.select("term").distinct().collect()}
+    # vocabulary words only (text spans are vocab words)
+    assert terms and terms <= set(wm.VOCAB)
+    # postings doc counts == docs containing the term (spot check one term)
+    term = sorted(terms)[0]
+    n_docs_with_term = sum(
+        1
+        for d in sim.docs.values()
+        if any(
+            term in s["text"].split() for s in d["spans"] if s["kind"] == "text"
+        )
+    )
+    row = postings.filter(F.col("term") == term).collect()[0]
+    assert row["df"] == n_docs_with_term
+
+
+def test_resume_from_checkpoint(spark, tmp_path_factory):
+    """Run 3 steps in one job; run 2+resume(1) in another root — identical
+    final state (snapshot checkpoint resume, north_rule)."""
+    seeds = wm.seed_urls(8)
+    root_a = str(tmp_path_factory.mktemp("crawl_a"))
+    job_a = CrawlJob(spark, root_a, seeds=seeds, num_shards=2, salts=2, index=False)
+    job_a.run(3)
+
+    root_b = str(tmp_path_factory.mktemp("crawl_b"))
+    job_b1 = CrawlJob(spark, root_b, seeds=seeds, num_shards=2, salts=2, index=False)
+    job_b1.run(2)
+    del job_b1
+    job_b2 = CrawlJob(spark, root_b, num_shards=2, salts=2, index=False)  # resume
+    assert job_b2.step_no == 2
+    job_b2.run(1)
+
+    assert job_a.seen_urls() == job_b2.seen_urls()
+    assert job_a.fetched_urls_by_step() == job_b2.fetched_urls_by_step()

@@ -1,0 +1,41 @@
+"""TableIO snapshot-commit semantics (S3/S4/S7 analogues)."""
+
+from __future__ import annotations
+
+import pytest
+
+from spider_engine_spark.sources.tableio import TableIO
+
+
+def test_overwrite_versions_and_time_travel(spark, tmp_path):
+    io = TableIO(str(tmp_path))
+    df1 = spark.range(5).withColumnRenamed("id", "x")
+    df2 = spark.range(10).withColumnRenamed("id", "x")
+    v1 = io.write("t", df1, meta={"step": 1})
+    v2 = io.write("t", df2, meta={"step": 2})
+    assert (v1, v2) == (1, 2)
+    assert io.read(spark, "t").count() == 10
+    assert io.read(spark, "t", version=1).count() == 5
+    assert io.meta("t") == {"step": 2}
+    assert io.meta("t", version=1) == {"step": 1}
+
+
+def test_append_chain_and_compact(spark, tmp_path):
+    io = TableIO(str(tmp_path))
+    io.write("t", spark.range(3))
+    io.write("t", spark.range(3, 6), mode="append")
+    io.write("t", spark.range(6, 10), mode="append")
+    df = io.read(spark, "t")
+    assert sorted(r.id for r in df.collect()) == list(range(10))
+    io.compact(spark, "t")
+    df2 = io.read(spark, "t")
+    assert sorted(r.id for r in df2.collect()) == list(range(10))
+    # compacted snapshot reads from a single dir
+    assert len(io._entry("t")["dirs"]) == 1
+
+
+def test_missing_table_raises(spark, tmp_path):
+    io = TableIO(str(tmp_path))
+    assert not io.exists("nope")
+    with pytest.raises(FileNotFoundError):
+        io.read(spark, "nope")
