@@ -1,0 +1,128 @@
+"""Benchmark harness — the driver runs this per round.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the indexer
+throughput and a frontier-crawl throughput probe, and prints ONE JSON
+line:
+
+  {"metric": "total_bench_sec", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ..., "index_docs_per_sec": ...,
+   "crawl_urls_per_sec": ...}
+
+All diagnostics go to stderr. The scaling study (local[8] vs local[32],
+BASELINE.md criterion) lives in tools/scaling_bench.py and writes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+HEADLINE = [
+    "search_tfidf",
+    "search_filtered",
+    "term_doc_freq",
+    "tpch_q1",
+    "tpch_q3_top10",
+    "tpch_q5_regional",
+    "window_topn_orders",
+    "events_hourly",
+    "events_sessionize",
+    "agg_distinct_users",
+]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def force(df):
+    """Materialize everything (noop sink keeps all columns live)."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from spider_engine_spark import webmodel as wm
+    from spider_engine_spark.operators.frontier import CrawlJob
+    from spider_engine_spark.operators.postings import build_postings_native
+    from spider_engine_spark.queries import QUERIES
+    from spider_engine_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    t_total = time.monotonic()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/readers once so per-query numbers measure the query
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+        log(f"query {name}: {timings[name]}s")
+
+    # indexer throughput: docs/sec through tokenize -> invert (native path)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    t0 = time.monotonic()
+    force(build_postings_native(docs, "doc_id", "text"))
+    index_sec = time.monotonic() - t0
+    timings["index_build"] = round(index_sec, 3)
+    index_docs_per_sec = round(n_docs / index_sec, 1)
+    log(f"index build: {n_docs} docs in {index_sec:.2f}s")
+
+    # frontier crawl probe: 2 supersteps on a bench-scale web
+    crawl_root = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        cfg = wm.WebConfig(num_hosts=2000)
+        job = CrawlJob(
+            spark,
+            crawl_root,
+            seeds=wm.seed_urls(2000, cfg),
+            num_shards=16,
+            salts=4,
+            index=True,
+            cfg=cfg,
+        )
+        t0 = time.monotonic()
+        processed = 0
+        for _ in range(2):
+            m = job.run_step()
+            processed += m.get("fetched", 0) + m.get("candidates", 0)
+        crawl_sec = time.monotonic() - t0
+        timings["crawl_2steps"] = round(crawl_sec, 3)
+        crawl_urls_per_sec = round(processed / crawl_sec, 1)
+        log(f"crawl: {processed} urls in {crawl_sec:.2f}s")
+    finally:
+        shutil.rmtree(crawl_root, ignore_errors=True)
+
+    total = time.monotonic() - t_total
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "index_docs_per_sec": index_docs_per_sec,
+                "crawl_urls_per_sec": crawl_urls_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

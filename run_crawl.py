@@ -26,6 +26,7 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--salts", type=int, default=4)
     ap.add_argument("--no-index", action="store_true")
+    ap.add_argument("--hosts", type=int, default=None, help="web size (WebConfig.num_hosts)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
@@ -39,14 +40,16 @@ def main() -> None:
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
+    cfg = wm.WebConfig(num_hosts=args.hosts) if args.hosts else wm.DEFAULT
     t0 = time.monotonic()
     job = CrawlJob(
         spark,
         args.root,
-        seeds=wm.seed_urls(args.seeds),
+        seeds=wm.seed_urls(args.seeds, cfg),
         num_shards=args.shards,
         salts=args.salts,
         index=not args.no_index,
+        cfg=cfg,
     )
     total_processed = 0
     for _ in range(args.steps):

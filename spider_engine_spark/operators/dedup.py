@@ -1,0 +1,293 @@
+"""Deduplication operators for training-data pipelines.
+
+All hot paths are JVM-native (xxhash64 / array functions / bit_count in
+whole-stage codegen); no Python in any per-row loop.
+
+- exact_dedup: content-hash groupBy (keep min key).
+- minhash_signatures / minhash_lsh_pairs: MinHash over token shingles via
+  k seeded xxhash64 min-aggregations; banded LSH self-join for candidate
+  pairs; exact shingle-Jaccard verification on candidates only.
+- simhash / simhash_pairs: 64-bit SimHash (pandas UDF batch compute),
+  chunk-banded candidate generation, hamming distance via native
+  bit_count(xor).
+- embedding_near_dups: sign-LSH bucketing over embeddings + exact cosine
+  verification inside buckets (F.zip_with/aggregate fold, JVM-side).
+
+Scale notes: every candidate-generation step is a single shuffle on a
+bucket key (band hash / simhash chunk / LSH bucket); verification only
+touches bucket-colliding pairs, so the quadratic blowup is bounded by
+bucket sizes. Skewed buckets (boilerplate shingles) are handled by AQE
+skew-join; degenerate full-constant bands can additionally be dropped by
+a df-style frequency cap (cap_bucket_size arg).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TOKEN_SPLIT = r"\s+"
+
+
+def exact_dedup(df: DataFrame, key: str, content: str) -> DataFrame:
+    """One row per distinct content: min key kept + duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(content)).alias("content_hash"))
+        .agg(
+            F.min(F.col(key)).alias("kept_" + key),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def tokens_col(content: str):
+    return F.filter(F.split(F.col(content), TOKEN_SPLIT), lambda t: t != "")
+
+
+def shingles_col(content: str, n: int = 3):
+    """n-gram shingles of the whitespace token stream (native)."""
+    toks = tokens_col(content)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, key: str, content: str, k: int = 16, n: int = 3
+) -> DataFrame:
+    """(key, sig: array<long>[k]) — MinHash over n-token shingles.
+
+    h_i(s) = min over shingles of xxhash64(shingle, i): k seeded hash
+    functions, computed as one explode + one groupBy (single shuffle)."""
+    sh = df.select(
+        F.col(key), F.explode(shingles_col(content, n)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    sig = sh.groupBy(key).agg(*aggs)
+    return sig.select(
+        F.col(key),
+        F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    key: str,
+    bands: int = 4,
+    cap_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    sig length k is split into `bands` bands of k/bands rows; band value =
+    xxhash64 of the slice. Returns distinct (a, b) with a < b."""
+    k = bands  # number of bands; rows per band derived from sig length
+    exploded = sigs.select(
+        F.col(key),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                b * (F.size("sig") / k).cast("int") + 1,
+                                (F.size("sig") / k).cast("int"),
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    if cap_bucket_size is not None:
+        counts = exploded.groupBy("band", "bucket").agg(
+            F.count("*").alias("bsz")
+        )
+        exploded = exploded.join(
+            counts.filter(F.col("bsz") <= cap_bucket_size), ["band", "bucket"]
+        )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(
+            F.col(f"a.{key}").alias("a"), F.col(f"b.{key}").alias("b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, df: DataFrame, key: str, content: str, n: int = 3
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs only."""
+    sh = df.select(F.col(key), shingles_col(content, n).alias("sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed(key, "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed(key, "b").withColumnRenamed("sh", "sh_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+    )
+    return out.select("a", "b", "jaccard")
+
+
+def simhash_udf():
+    """64-bit SimHash of whitespace tokens (Arrow-batched)."""
+    import numpy as np
+
+    @F.pandas_udf(LongType())
+    def _simhash(s: pd.Series) -> pd.Series:
+        import hashlib
+
+        shifts = np.arange(64, dtype=np.uint64)
+
+        def one(text):
+            if not text:
+                return 0
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in text.split():
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                        "big",
+                    )
+                )
+                bits = (h >> shifts) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            v = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    v |= 1 << i
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        return s.map(one)
+
+    return _simhash
+
+
+def simhash_pairs(
+    df: DataFrame, key: str, content: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band on 4 x 16-bit chunks (pigeonhole:
+    hamming<=3 pairs share at least one exact chunk), verify with native
+    bit_count(xor)."""
+    withsim = df.select(F.col(key), simhash_udf()(F.col(content)).alias("sim"))
+    chunks = withsim.select(
+        key,
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sim"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(
+            F.col(f"a.{key}").alias("a"),
+            F.col(f"b.{key}").alias("b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
+
+
+def cosine_col(a, b):
+    """Exact cosine similarity of two array<float|double> columns —
+    JVM-native left-fold (deterministic order)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    key: str,
+    vec: str,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: sign-LSH bucket on fixed
+    hyperplanes, exact cosine verification within buckets."""
+    sign_bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec),
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for p in planes
+    ]
+    bucket = sign_bits[0]
+    for b in sign_bits[1:]:
+        bucket = bucket * 2 + b
+    tagged = df.select(F.col(key), F.col(vec), bucket.alias("bucket"))
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .withColumn(
+            "cosine", cosine_col(F.col(f"a.{vec}"), F.col(f"b.{vec}"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{key}").alias("a"),
+            F.col(f"b.{key}").alias("b"),
+            "cosine",
+        )
+    )

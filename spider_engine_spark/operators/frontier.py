@@ -77,7 +77,7 @@ DOC_SCHEMA = StructType(
 )
 
 
-def enrich_candidates(raw: DataFrame) -> DataFrame:
+def enrich_candidates(raw: DataFrame, cfg: wm.WebConfig = wm.DEFAULT) -> DataFrame:
     """raw(url_raw, depth) -> canonical candidates with host attributes.
 
     One Arrow pass: canonicalize, host split, robots check, politeness
@@ -94,7 +94,7 @@ def enrich_candidates(raw: DataFrame) -> DataFrame:
                     "host": hosts,
                     "depth": pdf["depth"],
                     "priority": hosts.map(wm.host_priority),
-                    "budget": hosts.map(wm.host_budget),
+                    "budget": hosts.map(lambda h: wm.host_budget(h, cfg)),
                     "allowed": urls.map(
                         lambda u: wm.robots_allowed(wm.url_path(u))
                     ),
@@ -104,12 +104,12 @@ def enrich_candidates(raw: DataFrame) -> DataFrame:
     return raw.mapInPandas(fn, CAND_SCHEMA)
 
 
-def fetch_docs(batch: DataFrame, step: int) -> DataFrame:
+def fetch_docs(batch: DataFrame, step: int, cfg: wm.WebConfig = wm.DEFAULT) -> DataFrame:
     """Fetch simulation: url -> interleaved text+media span document."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            docs = [wm.make_doc(u) for u in pdf["url"]]
+            docs = [wm.make_doc(u, cfg) for u in pdf["url"]]
             yield pd.DataFrame(
                 {
                     "doc_id": [d["doc_id"] for d in docs],
@@ -193,7 +193,10 @@ class CrawlJob:
         capacity_per_shard: int = 1 << 16,
         salts: int = 4,
         index: bool = True,
+        cfg: wm.WebConfig | None = None,
+        compact_every: int = 4,
     ):
+        self.compact_every = compact_every
         self.spark = spark
         self.io = TableIO(root)
         self.num_shards = num_shards
@@ -201,8 +204,13 @@ class CrawlJob:
         self.salts = salts
         self.index = index
         if self.io.exists("frontier"):
-            self.step_no = int(self.io.meta("frontier").get("step", 0))
+            meta = self.io.meta("frontier")
+            self.step_no = int(meta.get("step", 0))
+            # resume with the same web physics the crawl started with
+            stored = meta.get("web_config")
+            self.cfg = wm.WebConfig(**stored) if stored else (cfg or wm.DEFAULT)
         elif seeds is not None:
+            self.cfg = cfg or wm.DEFAULT
             self._bootstrap(seeds)
         else:
             raise ValueError("new crawl root requires seeds")
@@ -212,14 +220,18 @@ class CrawlJob:
         raw = self.spark.createDataFrame(
             [(u, 0) for u in seeds], "url_raw string, depth int"
         )
-        cand = enrich_candidates(raw).filter(F.col("allowed")).drop("allowed")
+        cand = enrich_candidates(raw, self.cfg).filter(F.col("allowed")).drop("allowed")
         cand = seenset.with_shard(cand, "url", self.num_shards)
         # seeds can collide post-canonicalization: keep first per url
         cand = cand.dropDuplicates(["url"])
         frontier = cand.withColumn("discovered_step", F.lit(0)).select(
             *FRONTIER_SCHEMA.replace(" string", "").replace(" int", "").split(", ")
         )
-        self.io.write("frontier", frontier, meta={"step": 0, "metrics": {}})
+        self.io.write(
+            "frontier",
+            frontier,
+            meta={"step": 0, "metrics": {}, "web_config": self.cfg.__dict__},
+        )
         self.io.write("seen", cand.select("url", "hash", "shard"))
         state = seenset.insert(
             cand, seenset.empty_state(self.spark), self.capacity
@@ -238,11 +250,26 @@ class CrawlJob:
         n_batch = batch.count()
         if n_batch == 0:
             metrics = {"step": step + 1, "fetched": 0, "done": True}
-            self.io.write("frontier", frontier, meta={"step": step + 1, "metrics": metrics})
+            self.io.write(
+                "frontier",
+                frontier,
+                meta={
+                    "step": step + 1,
+                    "metrics": metrics,
+                    "web_config": self.cfg.__dict__,
+                },
+            )
             self.step_no += 1
             return metrics
 
-        docs = fetch_docs(batch, step).cache()
+        # fetch: commit the docs snapshot first, then reuse the written
+        # parquet for link extraction + indexing (make_doc runs once; no
+        # executor cache pressure at scale)
+        self.io.write(
+            "docs", fetch_docs(batch, step, self.cfg), mode="append",
+            meta={"step": step + 1},
+        )
+        docs = self.io.read(spark, "docs").filter(F.col("fetch_step") == step)
 
         # outlink extraction: media spans carry the links;
         # child depth = parent depth + 1 via doc_id == parent url
@@ -251,21 +278,26 @@ class CrawlJob:
         )
         raw_links = (
             docs.join(parent_depth, "doc_id")
-            .select(
-                F.explode("spans").alias("s"), F.col("pdepth")
-            )
+            .select(F.explode("spans").alias("s"), F.col("pdepth"))
             .filter(F.col("s.media_ref") != "")
             .select(
                 F.col("s.media_ref").alias("url_raw"),
                 (F.col("pdepth") + 1).alias("depth"),
             )
         )
-        n_links = raw_links.count()
 
-        cand = enrich_candidates(raw_links)
-        n_robots_blocked = cand.filter(~F.col("allowed")).count()
+        enriched = enrich_candidates(raw_links, self.cfg).cache()
+        # one action for robots + link counts
+        allow_counts = dict(
+            (bool(r["allowed"]), r["cnt"])
+            for r in enriched.groupBy("allowed")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        n_links = sum(allow_counts.values())
+        n_robots_blocked = allow_counts.get(False, 0)
         cand = (
-            cand.filter(F.col("allowed"))
+            enriched.filter(F.col("allowed"))
             .drop("allowed")
             .groupBy("url")
             .agg(
@@ -275,25 +307,52 @@ class CrawlJob:
                 F.first("budget").alias("budget"),
             )
         )
-        cand = seenset.with_shard(cand, "url", self.num_shards).cache()
+        cand = seenset.with_shard(cand, "url", self.num_shards)
 
         state = self.io.read(spark, "filter")
         probed = seenset.probe(cand, state).cache()
+        # one action for candidate/maybe counts
+        row = probed.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("maybe_seen").cast("int")).alias("m"),
+        ).collect()[0]
+        n_cand, n_maybe = int(row["n"]), int(row["m"] or 0)
         definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        n_maybe = maybe.count()
         seen = self.io.read(spark, "seen")
-        truly_new = maybe.join(
-            seen.select("url"), "url", "left_anti"
-        )
-        n_truly_new = truly_new.count()
+        truly_new = maybe.join(seen.select("url"), "url", "left_anti")
         admitted = definitely_new.unionByName(truly_new).withColumn(
             "discovered_step", F.lit(step + 1)
-        ).cache()
-        n_admitted = admitted.count()
+        )
+        # commit the admitted snapshot, then reuse the written parquet for
+        # the seen-append, filter insert, frontier union and lineage counts
+        self.io.write("admitted", admitted, meta={"step": step + 1})
+        admitted = self.io.read(spark, "admitted")
+
+        # per-partition lineage metrics (north_rule) — also yields totals
+        shard_counts = {
+            str(r["shard"]): r["cnt"]
+            for r in admitted.groupBy("shard")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        n_admitted = sum(shard_counts.values())
         # maybe-seen rows that were NOT exactly seen are the filter's
         # false positives; the rest are true duplicates
-        n_false_pos = n_truly_new
+        n_truly_new = n_admitted - (n_cand - n_maybe)
+
+        metrics = {
+            "step": step + 1,
+            "fetched": n_batch,
+            "links_extracted": n_links,
+            "robots_blocked": n_robots_blocked,
+            "candidates": n_cand,
+            "maybe_seen": n_maybe,
+            "cuckoo_false_positives": int(n_truly_new),
+            "admitted": int(n_admitted),
+            "admitted_per_shard": shard_counts,
+            "duration_sec": None,  # filled below
+        }
 
         # frontier' = frontier - batch + admitted
         remaining = frontier.join(batch.select("url"), "url", "left_anti")
@@ -303,30 +362,15 @@ class CrawlJob:
             )
         ).repartition(self.num_shards, "host")
 
-        # per-partition lineage metrics (north_rule)
-        shard_counts = {
-            str(r["shard"]): r["cnt"]
-            for r in admitted.groupBy("shard")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
-
-        metrics = {
-            "step": step + 1,
-            "fetched": n_batch,
-            "links_extracted": n_links,
-            "robots_blocked": n_robots_blocked,
-            "candidates": int(cand.count()),
-            "maybe_seen": n_maybe,
-            "cuckoo_false_positives": int(n_false_pos),
-            "admitted": n_admitted,
-            "admitted_per_shard": shard_counts,
-            "duration_sec": None,  # filled below
-        }
-
         # commits (snapshot per superstep)
         self.io.write(
-            "frontier", new_frontier, meta={"step": step + 1, "metrics": metrics}
+            "frontier",
+            new_frontier,
+            meta={
+                "step": step + 1,
+                "metrics": metrics,
+                "web_config": self.cfg.__dict__,
+            },
         )
         self.io.write(
             "seen", admitted.select("url", "hash", "shard"), mode="append",
@@ -334,22 +378,25 @@ class CrawlJob:
         )
         new_state = seenset.insert(admitted, state, self.capacity)
         self.io.write("filter", new_state, meta={"step": step + 1})
-        self.io.write("docs", docs, mode="append", meta={"step": step + 1})
         if self.index:
-            postings = index_docs(docs)
-            if self.io.exists("postings"):
-                postings = merge_postings(
-                    self.io.read(spark, "postings"), postings
+            # append this step's postings; full merge is a periodic
+            # compaction, not per-step work (read side re-merges lazily)
+            self.io.write(
+                "postings", index_docs(docs), mode="append",
+                meta={"step": step + 1},
+            )
+            if (step + 1) % self.compact_every == 0:
+                self.io.write(
+                    "postings",
+                    merge_postings(self.io.read(spark, "postings")),
+                    meta={"step": step + 1, "compacted": True},
                 )
-            self.io.write("postings", postings, meta={"step": step + 1})
 
         metrics["duration_sec"] = time.monotonic() - t0
         self.step_no += 1
         batch.unpersist()
-        docs.unpersist()
-        cand.unpersist()
+        enriched.unpersist()
         probed.unpersist()
-        admitted.unpersist()
         return metrics
 
     def run(self, n_steps: int) -> list[dict]:
@@ -363,6 +410,11 @@ class CrawlJob:
         for r in rows:
             out.setdefault(r["fetch_step"], []).append(r["doc_id"])
         return {k: sorted(v) for k, v in out.items()}
+
+    def postings(self) -> DataFrame:
+        """Merged view of the postings append chain (compaction-on-read
+        between periodic compaction commits)."""
+        return merge_postings(self.io.read(self.spark, "postings"))
 
     def seen_urls(self) -> set[str]:
         return {

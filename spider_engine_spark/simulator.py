@@ -27,7 +27,8 @@ class Entry:
 
 
 class ReplaySimulator:
-    def __init__(self, seeds: list[str]):
+    def __init__(self, seeds: list[str], cfg: wm.WebConfig = wm.DEFAULT):
+        self.cfg = cfg
         self.frontier: dict[str, Entry] = {}
         self.seen: set[str] = set()
         self.step_no = 0
@@ -49,7 +50,7 @@ class ReplaySimulator:
             host=host,
             depth=depth,
             priority=wm.host_priority(host),
-            budget=wm.host_budget(host),
+            budget=wm.host_budget(host, self.cfg),
             discovered_step=step,
         )
         return True
@@ -64,14 +65,14 @@ class ReplaySimulator:
             items.sort(
                 key=lambda e: (e.priority, e.depth, e.discovered_step, e.url)
             )
-            batch.extend(items[: wm.host_budget(host)])
+            batch.extend(items[: wm.host_budget(host, self.cfg)])
         self.fetched_by_step[step] = sorted(e.url for e in batch)
 
         # fetch + link extraction; same-step dup keeps min depth
         cand_depth: dict[str, int] = {}
         robots_blocked = 0
         for e in batch:
-            doc = wm.make_doc(e.url)
+            doc = wm.make_doc(e.url, self.cfg)
             self.docs[e.url] = doc
             for span in doc["spans"]:
                 if span["media_ref"]:
@@ -95,7 +96,7 @@ class ReplaySimulator:
                     host=host,
                     depth=depth,
                     priority=wm.host_priority(host),
-                    budget=wm.host_budget(host),
+                    budget=wm.host_budget(host, self.cfg),
                     discovered_step=step + 1,
                 )
                 admitted += 1

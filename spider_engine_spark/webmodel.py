@@ -7,25 +7,38 @@ URL-seen set can be compared bit-for-bit (north_rule replay-equality).
 
 Everything is derived from blake2b-based 64-bit hashes of strings — no
 wall clock, no RNG state, no external data. The link graph is skewed on
-purpose: HOT_HOST_PCT of links point at host0 (the politeness scheduler's
+purpose: `hot_pct`% of links point at host0 (the politeness scheduler's
 hot-domain skew case, SURVEY.md §7.3 risk 5).
+
+All functions take a WebConfig (captured in UDF closures so executors
+see the same parameters); the default config is the test fixture, the
+bench scales num_hosts up so politeness budgets admit core-count-bound
+fetch batches.
 
 Documents are the input_hint payload: (doc_id string, spans
 array<struct<kind string, text string, media_ref string, offset int>>),
-with per-row span-sequence equality (kind, text, media_ref, order) as the
-parity invariant.
+with per-row span-sequence equality (kind, text, media_ref, order) as
+the parity invariant.
 """
 
 from __future__ import annotations
 
 import hashlib
+from dataclasses import dataclass
 
-NUM_HOSTS = 50
-HOT_HOST_PCT = 30  # % of links pointing at host0
-FANOUT = 6  # outlinks per fetched page
-PATHS_PER_HOST = 100_000
-TICKS_PER_STEP = 8  # simulated politeness time budget per superstep
-ROBOTS_DISALLOW_MOD = 13  # path ids % 13 == 0 land under /private/
+
+@dataclass(frozen=True)
+class WebConfig:
+    num_hosts: int = 50
+    hot_pct: int = 30  # % of links pointing at host0
+    fanout: int = 6  # outlinks per fetched page
+    paths_per_host: int = 100_000
+    ticks_per_step: int = 8  # politeness time budget per superstep
+    disallow_mod: int = 13  # path ids % mod == 0 land under /private/
+
+
+DEFAULT = WebConfig()
+
 VOCAB = [
     "crawl", "frontier", "spark", "shard", "index", "token", "fetch",
     "queue", "robot", "delay", "depth", "media", "image", "video", "text",
@@ -46,12 +59,12 @@ def host_name(hid: int) -> str:
 
 def crawl_delay(host: str) -> int:
     """Politeness: ticks between fetches for this host (robots crawl-delay).
-    1..4 ticks -> per-superstep budget TICKS_PER_STEP // delay."""
+    1..4 ticks -> per-superstep budget ticks_per_step // delay."""
     return 1 + h64("delay:" + host) % 4
 
 
-def host_budget(host: str) -> int:
-    return max(1, TICKS_PER_STEP // crawl_delay(host))
+def host_budget(host: str, cfg: WebConfig = DEFAULT) -> int:
+    return max(1, cfg.ticks_per_step // crawl_delay(host))
 
 
 def host_priority(host: str) -> int:
@@ -64,15 +77,15 @@ def robots_allowed(path: str) -> bool:
     return not path.startswith("/private/")
 
 
-def child_links(url: str) -> list[str]:
+def child_links(url: str, cfg: WebConfig = DEFAULT) -> list[str]:
     """Deterministic outlinks of a fetched page, with canonicalization
     noise (case, :80, trailing slash, fragments) so dedup must normalize."""
     out = []
-    for i in range(FANOUT):
+    for i in range(cfg.fanout):
         hi = h64(f"link:{url}#{i}")
-        hd = 0 if hi % 100 < HOT_HOST_PCT else (hi >> 8) % NUM_HOSTS
-        pid = (hi >> 16) % PATHS_PER_HOST
-        if pid % ROBOTS_DISALLOW_MOD == 0:
+        hd = 0 if hi % 100 < cfg.hot_pct else (hi >> 8) % cfg.num_hosts
+        pid = (hi >> 16) % cfg.paths_per_host
+        if pid % cfg.disallow_mod == 0:
             path = f"/private/{pid}"
         else:
             path = f"/p/{pid}"
@@ -128,7 +141,7 @@ def make_text(key: str, n_words: int) -> str:
     return " ".join(words)
 
 
-def make_doc(url: str) -> dict:
+def make_doc(url: str, cfg: WebConfig = DEFAULT) -> dict:
     """Fetch simulation: the interleaved text+media document at `url`.
 
     Spans alternate text and media; media spans carry the outlinks in
@@ -137,7 +150,7 @@ def make_doc(url: str) -> dict:
     (kind, text, media_ref, offset) is the parity invariant vs the
     reference indexer round-trip (BASELINE.json input_hint).
     """
-    links = child_links(url)
+    links = child_links(url, cfg)
     spans = []
     offset = 0
     for i, link in enumerate(links):
@@ -163,10 +176,10 @@ def make_doc(url: str) -> dict:
     return {"doc_id": canonicalize(url), "spans": spans}
 
 
-def seed_urls(n_seeds: int) -> list[str]:
+def seed_urls(n_seeds: int, cfg: WebConfig = DEFAULT) -> list[str]:
     """Deterministic seed list: mostly distinct hosts + the hot host."""
     seeds = []
     for i in range(n_seeds):
-        hd = 0 if i % 5 == 0 else (h64(f"seed:{i}") % NUM_HOSTS)
+        hd = 0 if i % 5 == 0 else (h64(f"seed:{i}") % cfg.num_hosts)
         seeds.append(f"http://{host_name(hd)}/p/{1000 + i}")
     return seeds

@@ -100,7 +100,7 @@ def test_no_cuckoo_false_negatives(crawl):
 
 def test_postings_graft_indexed(crawl):
     job, sim, _, _ = crawl
-    postings = job.io.read(job.spark, "postings")
+    postings = job.postings()
     terms = {r["term"] for r in postings.select("term").distinct().collect()}
     # vocabulary words only (text spans are vocab words)
     assert terms and terms <= set(wm.VOCAB)
