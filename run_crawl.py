@@ -27,6 +27,9 @@ def main() -> None:
     ap.add_argument("--salts", type=int, default=4)
     ap.add_argument("--no-index", action="store_true")
     ap.add_argument("--hosts", type=int, default=None, help="web size (WebConfig.num_hosts)")
+    ap.add_argument("--words", type=int, default=None, help="words per text span (WebConfig.words_per_span)")
+    ap.add_argument("--vocab", type=int, default=None, help="vocabulary size (WebConfig.vocab_size)")
+    ap.add_argument("--checkpoint-every", type=int, default=1)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
@@ -40,7 +43,14 @@ def main() -> None:
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
-    cfg = wm.WebConfig(num_hosts=args.hosts) if args.hosts else wm.DEFAULT
+    cfg_kw = {}
+    if args.hosts:
+        cfg_kw["num_hosts"] = args.hosts
+    if args.words:
+        cfg_kw["words_per_span"] = args.words
+    if args.vocab:
+        cfg_kw["vocab_size"] = args.vocab
+    cfg = wm.WebConfig(**cfg_kw) if cfg_kw else wm.DEFAULT
     t0 = time.monotonic()
     job = CrawlJob(
         spark,
@@ -50,14 +60,18 @@ def main() -> None:
         salts=args.salts,
         index=not args.no_index,
         cfg=cfg,
+        checkpoint_every=args.checkpoint_every,
     )
     total_processed = 0
+    step_wall = 0.0
     for _ in range(args.steps):
         m = job.run_step()
         # throughput unit: URLs scheduled (fetched) + deduped (candidates
         # pushed through the seen-set) per second
         total_processed += m.get("fetched", 0) + m.get("candidates", 0)
-        print(json.dumps(m))
+        step_wall += m.get("duration_sec") or 0.0
+        print(json.dumps(m), flush=True)
+    job.flush()
     wall = time.monotonic() - t0
     print(
         json.dumps(
@@ -67,8 +81,16 @@ def main() -> None:
                 "urls_processed": total_processed,
                 "wall_sec": round(wall, 3),
                 "urls_per_sec": round(total_processed / wall, 1),
+                # steady-state superstep throughput: excludes bootstrap and
+                # the final flush (both fixed-bandwidth snapshot IO that
+                # scales with DFS width on a real cluster, not with cores)
+                "step_wall_sec": round(step_wall, 3),
+                "urls_per_sec_steps": round(total_processed / step_wall, 1)
+                if step_wall
+                else None,
             }
-        )
+        ),
+        flush=True,
     )
     spark.stop()
 

@@ -105,7 +105,13 @@ def enrich_candidates(raw: DataFrame, cfg: wm.WebConfig = wm.DEFAULT) -> DataFra
 
 
 def fetch_docs(batch: DataFrame, step: int, cfg: wm.WebConfig = wm.DEFAULT) -> DataFrame:
-    """Fetch simulation: url -> interleaved text+media span document."""
+    """Fetch simulation: url -> interleaved text+media span document.
+
+    The input is repartitioned to the cluster's core count first: AQE
+    coalesces shuffle outputs by BYTES, which under-parallelizes
+    compute-heavy Python stages (a few KB of URLs can carry minutes of
+    fetch work) — partition count here must track compute, not size."""
+    batch = batch.repartition(batch.sparkSession.sparkContext.defaultParallelism)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -171,6 +177,10 @@ def index_docs(docs: DataFrame) -> DataFrame:
             " ", F.transform(F.sort_array(F.collect_list(F.struct("offset", "text"))), lambda s: s.text)
         ).alias("text")
     )
+    per_doc = per_doc.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )  # tokenizer UDF parallelism (see fetch_docs note)
+    n_buckets = docs.sparkSession.sparkContext.defaultParallelism * 2
     toks = per_doc.select(
         F.xxhash64("doc_id").alias("doc_key"),
         F.explode(tokenize_udf("words")(F.col("text"))).alias("tok"),
@@ -180,10 +190,25 @@ def index_docs(docs: DataFrame) -> DataFrame:
         F.col("doc_key").alias("doc_id"),
         F.col("tok.weight").alias("weight"),
     )
-    return aggregate_postings(toks)
+    return aggregate_postings(toks, doc_buckets=n_buckets)
 
 
 class CrawlJob:
+    """Distributed frontier crawl with a configurable checkpoint interval.
+
+    checkpoint_every=1 (default): every superstep commits every state
+    table as a TableIO snapshot — maximum durability, one parquet commit
+    per table per step (the reference's flush-per-threshold analogue,
+    table.go:503-508).
+
+    checkpoint_every=N>1: state lives as cached DataFrames between
+    snapshots and is committed every N supersteps (and on flush()). This
+    is the standard iterative-Spark design (Pregel-style): at 1000
+    executors you don't pay a distributed-FS commit per superstep; a
+    crash replays at most N-1 steps from the last snapshot. Results are
+    bit-identical in both modes (the replay tests run both).
+    """
+
     def __init__(
         self,
         spark: SparkSession,
@@ -195,14 +220,19 @@ class CrawlJob:
         index: bool = True,
         cfg: wm.WebConfig | None = None,
         compact_every: int = 4,
+        checkpoint_every: int = 1,
     ):
         self.compact_every = compact_every
+        self.checkpoint_every = checkpoint_every
         self.spark = spark
         self.io = TableIO(root)
         self.num_shards = num_shards
         self.capacity = capacity_per_shard
         self.salts = salts
         self.index = index
+        self._mem: dict[str, DataFrame] = {}
+        self._retired: list[list[DataFrame]] = []
+        self._frontier_meta: dict = {}
         if self.io.exists("frontier"):
             meta = self.io.meta("frontier")
             self.step_no = int(meta.get("step", 0))
@@ -214,6 +244,63 @@ class CrawlJob:
             self._bootstrap(seeds)
         else:
             raise ValueError("new crawl root requires seeds")
+
+    # -- state layer ---------------------------------------------------
+    def _get(self, name: str) -> DataFrame:
+        if name in self._mem:
+            return self._mem[name]
+        return self.io.read(self.spark, name)
+
+    def _put(
+        self,
+        name: str,
+        df: DataFrame,
+        append: bool = False,
+        checkpoint: bool = True,
+    ) -> DataFrame:
+        """Stage new state. Durable mode writes through immediately;
+        memory mode caches (union-appending onto the previous state).
+
+        checkpoint=False keeps a plain lazy plan — used for state that is
+        only consumed at flush time (postings): its parents (docs) are
+        already checkpointed, so lineage grows linearly, and skipping
+        localCheckpoint avoids materializing the heavy tokenize stage
+        inside the superstep."""
+        if self.checkpoint_every == 1:
+            self.io.write(name, df, mode="append" if append else "overwrite")
+            return self.io.read(self.spark, name)
+        if append:
+            if name in self._mem:
+                df = self._mem[name].unionByName(df)
+            elif self.io.exists(name):
+                df = self.io.read(self.spark, name).unionByName(df)
+        old = self._mem.get(name)
+        if checkpoint:
+            # localCheckpoint truncates the logical plan (lineage would
+            # grow multiplicatively across supersteps and blow up the
+            # optimizer); lazy so the first consumer materializes it
+            df = df.localCheckpoint(eager=False)
+        self._mem[name] = df
+        cached = df
+        if old is not None:
+            self._retired_current.append(old)
+        return cached
+
+    def _checkpoint(self) -> None:
+        """Commit all in-memory state as TableIO snapshots."""
+        for name, df in self._mem.items():
+            meta = self._frontier_meta if name == "frontier" else {
+                "step": self.step_no
+            }
+            self.io.write(name, df, mode="overwrite", meta=meta)
+        # re-point memory at the durable snapshots so lineage is cut
+        for name in list(self._mem):
+            self._mem[name].unpersist()
+        self._mem.clear()
+
+    def flush(self) -> None:
+        if self.checkpoint_every != 1:
+            self._checkpoint()
 
     # -- bootstrap ----------------------------------------------------
     def _bootstrap(self, seeds: list[str]) -> None:
@@ -242,34 +329,50 @@ class CrawlJob:
     # -- one superstep ------------------------------------------------
     def run_step(self) -> dict:
         t0 = time.monotonic()
+        phases: dict[str, float] = {}
+        self._retired_current: list[DataFrame] = []
+
+        def mark(name, _last=[t0]):
+            now = time.monotonic()
+            phases[name] = round(now - _last[0], 3)
+            _last[0] = now
+
         spark = self.spark
         step = self.step_no
-        frontier = self.io.read(spark, "frontier")
+        frontier = self._get("frontier")
 
         batch = select_fetch_batch(frontier, self.salts).cache()
         n_batch = batch.count()
+        mark("select_batch")
         if n_batch == 0:
             metrics = {"step": step + 1, "fetched": 0, "done": True}
-            self.io.write(
-                "frontier",
-                frontier,
-                meta={
-                    "step": step + 1,
-                    "metrics": metrics,
-                    "web_config": self.cfg.__dict__,
-                },
-            )
+            self._frontier_meta = {
+                "step": step + 1,
+                "metrics": metrics,
+                "web_config": self.cfg.__dict__,
+            }
+            if self.checkpoint_every == 1:
+                self.io.write("frontier", frontier, meta=self._frontier_meta)
             self.step_no += 1
             return metrics
 
-        # fetch: commit the docs snapshot first, then reuse the written
-        # parquet for link extraction + indexing (make_doc runs once; no
-        # executor cache pressure at scale)
-        self.io.write(
-            "docs", fetch_docs(batch, step, self.cfg), mode="append",
-            meta={"step": step + 1},
-        )
-        docs = self.io.read(spark, "docs").filter(F.col("fetch_step") == step)
+        # fetch: make_doc runs exactly once — durable mode commits the
+        # snapshot then re-reads the parquet; memory mode caches
+        if self.checkpoint_every == 1:
+            self.io.write(
+                "docs", fetch_docs(batch, step, self.cfg), mode="append",
+                meta={"step": step + 1},
+            )
+            docs = self.io.read(spark, "docs").filter(
+                F.col("fetch_step") == step
+            )
+        else:
+            docs = fetch_docs(batch, step, self.cfg).localCheckpoint(
+                eager=False
+            )
+            self._put("docs", docs, append=True)
+            self._retired_current.append(docs)
+        mark("fetch_write")
 
         # outlink extraction: media spans carry the links;
         # child depth = parent depth + 1 via doc_id == parent url
@@ -286,6 +389,9 @@ class CrawlJob:
             )
         )
 
+        raw_links = raw_links.repartition(
+            spark.sparkContext.defaultParallelism
+        )  # unlock full UDF parallelism (AQE coalesces by bytes)
         enriched = enrich_candidates(raw_links, self.cfg).cache()
         # one action for robots + link counts
         allow_counts = dict(
@@ -294,6 +400,7 @@ class CrawlJob:
             .agg(F.count("*").alias("cnt"))
             .collect()
         )
+        mark("enrich")
         n_links = sum(allow_counts.values())
         n_robots_blocked = allow_counts.get(False, 0)
         cand = (
@@ -309,7 +416,7 @@ class CrawlJob:
         )
         cand = seenset.with_shard(cand, "url", self.num_shards)
 
-        state = self.io.read(spark, "filter")
+        state = self._get("filter")
         probed = seenset.probe(cand, state).cache()
         # one action for candidate/maybe counts
         row = probed.agg(
@@ -317,17 +424,23 @@ class CrawlJob:
             F.sum(F.col("maybe_seen").cast("int")).alias("m"),
         ).collect()[0]
         n_cand, n_maybe = int(row["n"]), int(row["m"] or 0)
+        mark("probe")
         definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        seen = self.io.read(spark, "seen")
+        seen = self._get("seen")
         truly_new = maybe.join(seen.select("url"), "url", "left_anti")
         admitted = definitely_new.unionByName(truly_new).withColumn(
             "discovered_step", F.lit(step + 1)
         )
-        # commit the admitted snapshot, then reuse the written parquet for
-        # the seen-append, filter insert, frontier union and lineage counts
-        self.io.write("admitted", admitted, meta={"step": step + 1})
-        admitted = self.io.read(spark, "admitted")
+        # admitted is reused 4x (lineage, frontier, seen, filter): durable
+        # mode parks it in parquet, memory mode caches it
+        if self.checkpoint_every == 1:
+            self.io.write("admitted", admitted, meta={"step": step + 1})
+            admitted = self.io.read(spark, "admitted")
+        else:
+            admitted = admitted.localCheckpoint(eager=False)
+            self._retired_current.append(admitted)
+        mark("admit_write")
 
         # per-partition lineage metrics (north_rule) — also yields totals
         shard_counts = {
@@ -337,6 +450,7 @@ class CrawlJob:
             .collect()
         }
         n_admitted = sum(shard_counts.values())
+        mark("lineage")
         # maybe-seen rows that were NOT exactly seen are the filter's
         # false positives; the rest are true duplicates
         n_truly_new = n_admitted - (n_cand - n_maybe)
@@ -353,6 +467,11 @@ class CrawlJob:
             "admitted_per_shard": shard_counts,
             "duration_sec": None,  # filled below
         }
+        self._frontier_meta = {
+            "step": step + 1,
+            "metrics": metrics,
+            "web_config": self.cfg.__dict__,
+        }
 
         # frontier' = frontier - batch + admitted
         remaining = frontier.join(batch.select("url"), "url", "left_anti")
@@ -362,62 +481,88 @@ class CrawlJob:
             )
         ).repartition(self.num_shards, "host")
 
-        # commits (snapshot per superstep)
-        self.io.write(
-            "frontier",
-            new_frontier,
-            meta={
-                "step": step + 1,
-                "metrics": metrics,
-                "web_config": self.cfg.__dict__,
-            },
-        )
-        self.io.write(
-            "seen", admitted.select("url", "hash", "shard"), mode="append",
-            meta={"step": step + 1},
-        )
-        new_state = seenset.insert(admitted, state, self.capacity)
-        self.io.write("filter", new_state, meta={"step": step + 1})
+        if self.checkpoint_every == 1:
+            self.io.write("frontier", new_frontier, meta=self._frontier_meta)
+            mark("frontier_write")
+            self.io.write(
+                "seen", admitted.select("url", "hash", "shard"),
+                mode="append", meta={"step": step + 1},
+            )
+            mark("seen_write")
+            new_state = seenset.insert(admitted, state, self.capacity)
+            self.io.write("filter", new_state, meta={"step": step + 1})
+            mark("filter_write")
+        else:
+            self._put("frontier", new_frontier)
+            self._put(
+                "seen", admitted.select("url", "hash", "shard"), append=True
+            )
+            self._put("filter", seenset.insert(admitted, state, self.capacity))
+            mark("state_update")
         if self.index:
             # append this step's postings; full merge is a periodic
             # compaction, not per-step work (read side re-merges lazily)
-            self.io.write(
-                "postings", index_docs(docs), mode="append",
-                meta={"step": step + 1},
-            )
-            if (step + 1) % self.compact_every == 0:
+            if self.checkpoint_every == 1:
                 self.io.write(
-                    "postings",
-                    merge_postings(self.io.read(spark, "postings")),
-                    meta={"step": step + 1, "compacted": True},
+                    "postings", index_docs(docs), mode="append",
+                    meta={"step": step + 1},
+                )
+                if (step + 1) % self.compact_every == 0:
+                    self.io.write(
+                        "postings",
+                        merge_postings(self.io.read(spark, "postings")),
+                        meta={"step": step + 1, "compacted": True},
+                    )
+            else:
+                self._put(
+                    "postings", index_docs(docs), append=True,
+                    checkpoint=False,
                 )
 
-        metrics["duration_sec"] = time.monotonic() - t0
+        mark("index")
         self.step_no += 1
+        if self.checkpoint_every > 1 and self.step_no % self.checkpoint_every == 0:
+            self._checkpoint()
+            mark("checkpoint")
+        metrics["phases"] = phases
+        metrics["duration_sec"] = time.monotonic() - t0
         batch.unpersist()
         enriched.unpersist()
         probed.unpersist()
+        # retire superseded cached state lazily (one step late, so any
+        # still-running lazy consumers read from cache, not recompute)
+        self._retired.append(self._retired_current)
+        if len(self._retired) > 2:
+            for df in self._retired.pop(0):
+                df.unpersist()
         return metrics
 
     def run(self, n_steps: int) -> list[dict]:
-        return [self.run_step() for _ in range(n_steps)]
+        out = [self.run_step() for _ in range(n_steps)]
+        self.flush()
+        return out
 
     # -- views ---------------------------------------------------------
     def fetched_urls_by_step(self) -> dict[int, list[str]]:
-        docs = self.io.read(self.spark, "docs")
-        rows = docs.select("doc_id", "fetch_step").collect()
+        rows = self._get("docs").select("doc_id", "fetch_step").collect()
         out: dict[int, list[str]] = {}
         for r in rows:
             out.setdefault(r["fetch_step"], []).append(r["doc_id"])
         return {k: sorted(v) for k, v in out.items()}
 
     def postings(self) -> DataFrame:
-        """Merged view of the postings append chain (compaction-on-read
-        between periodic compaction commits)."""
-        return merge_postings(self.io.read(self.spark, "postings"))
+        """Merged, de-bucketed view of the postings append chain (the
+        stored table keeps per-term bucket shards; this view re-unifies
+        them for probes/tests)."""
+        merged = merge_postings(self._get("postings"))
+        return merged.groupBy("field", "term").agg(
+            F.sum("df").alias("df"),
+            F.sort_array(F.flatten(F.collect_list("postings"))).alias(
+                "postings"
+            ),
+        )
 
     def seen_urls(self) -> set[str]:
         return {
-            r["url"]
-            for r in self.io.read(self.spark, "seen").select("url").collect()
+            r["url"] for r in self._get("seen").select("url").collect()
         }

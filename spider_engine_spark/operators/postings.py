@@ -87,8 +87,27 @@ def build_token_stream(
     return out
 
 
-def aggregate_postings(tokens: DataFrame) -> DataFrame:
-    """I2: token stream -> (field, term, df, postings sorted by doc_id)."""
+def aggregate_postings(
+    tokens: DataFrame, doc_buckets: int | None = None
+) -> DataFrame:
+    """I2: token stream -> (field, term[, bucket], df, postings sorted by
+    doc_id).
+
+    doc_buckets shards each term's posting list by hash(doc_id): hot terms
+    (stopwords at 100 TB) would otherwise funnel into one task building
+    one giant array — the reference has the same sharding implicitly via
+    its per-partition indexes (design.md:76-79). Probe semantics are
+    unchanged (query_term unions buckets)."""
+    if doc_buckets:
+        return tokens.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(doc_buckets)).cast("int"),
+        ).groupBy("field", "term", "bucket").agg(
+            F.count("doc_id").alias("df"),
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "weight"))
+            ).alias("postings"),
+        )
     return tokens.groupBy("field", "term").agg(
         F.count("doc_id").alias("df"),
         F.sort_array(
@@ -151,7 +170,8 @@ def merge_postings(*snapshots: DataFrame) -> DataFrame:
     out = snapshots[0]
     for s in snapshots[1:]:
         out = out.unionByName(s)
-    return out.groupBy("field", "term").agg(
+    keys = ["field", "term"] + (["bucket"] if "bucket" in out.columns else [])
+    return out.groupBy(*keys).agg(
         F.sum("df").alias("df"),
         F.sort_array(F.flatten(F.collect_list("postings"))).alias("postings"),
     )

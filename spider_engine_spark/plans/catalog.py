@@ -1,0 +1,389 @@
+"""Catalog + table lifecycle: the engine facade (DDL/DML/recovery).
+
+Rebuilds the reference's Database -> Table -> Document hierarchy
+(engine/spider.go:22-31, core/database/database.go:21-26,
+core/table/table.go:40-60) on TableIO snapshots:
+
+- S5 create/drop database & table   (engine/ddl.go:20-183)
+- S6 add/del field schema evolution (table.go:245-368; del is logical)
+- S7 load/recovery                  (spider.go:49-103 — here: manifest reads)
+- S1 AddDoc (batched)               (table.go:422-519) incl. duplicate-PK
+  rejection (table.go:451-454) and auto-PK (table.go:446, helper/uuid.go)
+- M1 delete = tombstone             (table.go:523-560)
+- M2 update = delete + re-insert with a fresh docId (table.go:568-690);
+  update without a user PK is unsupported (table.go:581-583)
+- M3 burned docIds: rows that fail field typing still consume a docId and
+  are immediately tombstoned, so counters stay aligned
+  (design.md:158-165, partition.go:291-300)
+- I11 PK <-> docId mapping is the PK column on the base table
+- Q11 point lookup, Q12 status counters (table.go:1178-1211)
+
+Field types mirror README.md:66-77: primary / whole / words / number /
+time / pure. number and time are forward-only (no postings —
+README.md:29); time parses 'yyyy-MM-dd[ HH:mm:ss]' to epoch seconds
+(utils/helper/time.go:6-22); unparseable numerics get the MaxInt64
+sentinel (forwardindex.go:37,176) and burn the docId.
+
+Postings are rebuilt incrementally: each write appends that batch's
+postings; reads merge (operators.postings.merge_postings), compaction
+on demand — the flush/merge tiering of table.go:503-516 with Spark doing
+the k-way merge in the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_engine_spark.operators.postings import (
+    build_postings,
+    merge_postings,
+)
+from spider_engine_spark.operators.search import (
+    MAX_INT64,
+    SearchFilter,
+    search as search_op,
+)
+from spider_engine_spark.sources.tableio import TableIO
+
+FIELD_TYPES = {"primary", "whole", "words", "number", "time", "pure"}
+AUTO_PK = "_auto_pk"  # reference DEFAULT_PRIMARY_FIELD_NAME '#Def%Pri$Key@'
+SPLITTER_OF = {"whole": "whole", "words": "words"}
+
+
+def _typed_column(ftype: str, c: F.Column) -> F.Column:
+    if ftype == "number":
+        # JSON ints arrive as doubles and are truncated (forwardindex.go:126-130);
+        # unparseable -> MaxInt64 sentinel (forwardindex.go:176); try_cast
+        # because ANSI mode would throw on malformed input
+        return F.coalesce(
+            c.try_cast("double").try_cast("long"), F.lit(MAX_INT64)
+        )
+    if ftype == "time":
+        ts = F.coalesce(
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")),
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
+        )
+        return F.coalesce(
+            F.unix_timestamp(ts), F.lit(MAX_INT64)
+        )  # epoch (helper/time.go:6-22)
+    return c.cast("string")
+
+
+class Table:
+    def __init__(
+        self,
+        spark: SparkSession,
+        io: TableIO,
+        name: str,
+        fields: dict[str, str] | None = None,
+    ):
+        self.spark = spark
+        self.io = io
+        self.name = name
+        if io.exists(f"{name}__meta"):
+            meta = io.meta(f"{name}__meta")
+            self.fields = meta["fields"]
+            self.pk = meta["pk"]
+            self.next_doc_id = meta["next_doc_id"]
+            self.hidden = set(meta.get("hidden", []))
+        else:
+            if fields is None:
+                raise FileNotFoundError(f"table {name} does not exist")
+            bad = set(fields.values()) - FIELD_TYPES
+            if bad:
+                raise ValueError(f"unknown field types: {bad}")
+            pks = [f for f, t in fields.items() if t == "primary"]
+            if len(pks) > 1:
+                raise ValueError("at most one primary field")
+            # auto-generated hidden PK when absent (table.go:75,150-156)
+            self.pk = pks[0] if pks else AUTO_PK
+            self.fields = dict(fields)
+            if not pks:
+                self.fields[AUTO_PK] = "primary"
+            self.next_doc_id = 0
+            self.hidden: set[str] = set()
+            self._store_meta()
+
+    # -- meta (S3) ------------------------------------------------------
+    def _store_meta(self) -> None:
+        marker = self.spark.createDataFrame([(self.name,)], "table string")
+        self.io.write(
+            f"{self.name}__meta",
+            marker,
+            meta={
+                "fields": self.fields,
+                "pk": self.pk,
+                "next_doc_id": self.next_doc_id,
+                "hidden": sorted(self.hidden),
+            },
+        )
+
+    # -- views ------------------------------------------------------------
+    @property
+    def user_fields(self) -> dict[str, str]:
+        return {
+            f: t
+            for f, t in self.fields.items()
+            if f not in self.hidden and f != AUTO_PK
+        }
+
+    def _indexed_fields(self) -> dict[str, str]:
+        """whole/words get inverted indexes; primary too (exact term),
+        matching IDX_MAP (common.go:37-44)."""
+        out = {}
+        for f, t in self.fields.items():
+            if f in self.hidden:
+                continue
+            if t in SPLITTER_OF:
+                out[f] = SPLITTER_OF[t]
+            elif t == "primary" and f != AUTO_PK:
+                out[f] = "whole"
+        return out
+
+    def base(self, include_deleted: bool = False) -> DataFrame:
+        df = self.io.read(self.spark, f"{self.name}__base")
+        if not include_deleted and self.io.exists(f"{self.name}__deletes"):
+            dels = self.io.read(self.spark, f"{self.name}__deletes")
+            df = df.join(F.broadcast(dels), "doc_id", "left_anti")
+        keep = ["doc_id"] + [f for f in self.fields if f not in self.hidden]
+        return df.select(*[c for c in keep if c in df.columns])
+
+    def postings(self) -> DataFrame:
+        return merge_postings(self.io.read(self.spark, f"{self.name}__postings"))
+
+    # -- S1 add docs ------------------------------------------------------
+    def add_docs(self, rows: list[dict]) -> tuple[int, int]:
+        """Batch insert (the reference's serialized per-doc AddDoc, C1,
+        becomes one atomic batch commit). Returns (accepted, burned).
+
+        - duplicate PKs (within batch or vs table) are rejected;
+        - rows with untypeable number/time values still consume a docId
+          and are tombstoned (M3 burned-docId consistency).
+        """
+        spark = self.spark
+        raw = spark.createDataFrame(
+            [
+                tuple(str(r[f]) if r.get(f) is not None else None for f in self.fields)
+                for r in rows
+            ],
+            ", ".join(f"`{f}` string" for f in self.fields),
+        )
+        if self.pk == AUTO_PK:
+            raw = raw.withColumn(AUTO_PK, F.expr("uuid()"))
+        # duplicate-PK rejection (table.go:451-454): vs table and in-batch
+        raw = raw.dropDuplicates([self.pk])
+        if self.io.exists(f"{self.name}__base"):
+            # duplicate check is vs LIVE rows: a tombstoned PK may be
+            # re-inserted — that IS the update path (table.go:636-654)
+            existing = self.base(include_deleted=False).select(
+                F.col(self.pk).alias("_epk")
+            )
+            raw = raw.join(
+                existing, raw[self.pk] == existing["_epk"], "left_anti"
+            )
+        typed = raw.select(
+            *[
+                _typed_column(t, F.col(f)).alias(f)
+                for f, t in self.fields.items()
+            ]
+        )
+        # dense docId assignment in PK order (the single-writer arrival
+        # order of C1 is not reproducible distributively; PK order is the
+        # documented deterministic substitute)
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(self.pk)
+        batch = typed.withColumn(
+            "doc_id", F.row_number().over(w) + F.lit(self.next_doc_id - 1)
+        ).localCheckpoint()
+        n = batch.count()
+
+        # burned rows: numeric/time sentinel from an unparseable input
+        burn_cond = F.lit(False)
+        for f, t in self.fields.items():
+            if t in ("number", "time"):
+                burn_cond = burn_cond | (
+                    F.col(f).bitwiseAND(F.lit(MAX_INT64)) == F.lit(MAX_INT64)
+                )
+        burned = batch.filter(burn_cond).select("doc_id")
+        n_burned = burned.count()
+
+        self.io.write(f"{self.name}__base", batch, mode="append")
+        if n_burned:
+            self.io.write(f"{self.name}__deletes", burned, mode="append")
+        live = batch.join(burned, "doc_id", "left_anti")
+        postings = build_postings(live, "doc_id", self._indexed_fields())
+        self.io.write(f"{self.name}__postings", postings, mode="append")
+        self.next_doc_id += n
+        self._store_meta()
+        return n - n_burned, n_burned
+
+    # -- M1 / M2 ----------------------------------------------------------
+    def delete_doc(self, pk_value: str) -> bool:
+        hit = self.base().filter(F.col(self.pk) == pk_value).select("doc_id")
+        if not hit.take(1):
+            return False
+        self.io.write(f"{self.name}__deletes", hit, mode="append")
+        return True
+
+    def update_doc(self, pk_value: str, content: dict) -> bool:
+        """delete + re-insert with a fresh docId (table.go:568-690)."""
+        if self.pk == AUTO_PK:
+            # update unsupported without a user PK (table.go:581-583)
+            raise ValueError("update requires a user-provided primary key")
+        if not self.delete_doc(pk_value):
+            return False
+        row = dict(content)
+        row[self.pk] = pk_value
+        self.add_docs([row])
+        return True
+
+    # -- Q11 / search -------------------------------------------------------
+    def get_doc(self, pk_value: str) -> dict | None:
+        rows = self.base().filter(F.col(self.pk) == pk_value).collect()
+        if not rows:
+            return None
+        d = rows[0].asDict()
+        if self.pk == AUTO_PK:
+            d.pop(AUTO_PK, None)  # hidden auto PK (table.go:1058-1062)
+        return d
+
+    def search(
+        self,
+        keyword: str,
+        field: str = "",
+        filters: list[SearchFilter] | None = None,
+        offset: int = 0,
+        size: int = 0,
+    ) -> DataFrame:
+        numeric = {
+            f for f, t in self.fields.items() if t in ("number", "time")
+        }
+        deleted = (
+            self.io.read(self.spark, f"{self.name}__deletes")
+            if self.io.exists(f"{self.name}__deletes")
+            else None
+        )
+        return search_op(
+            self.io.read(self.spark, f"{self.name}__base"),
+            self.postings(),
+            keyword=keyword,
+            search_field=field,
+            filters=filters or [],
+            offset=offset,
+            size=size,
+            max_doc=self.next_doc_id,
+            deleted=deleted,
+            numeric_fields=numeric,
+        )
+
+    # -- S6 schema evolution ------------------------------------------------
+    def add_field(self, name: str, ftype: str) -> None:
+        if ftype not in FIELD_TYPES or ftype == "primary":
+            raise ValueError(f"cannot add field of type {ftype!r}")
+        if name in self.fields:
+            raise ValueError(f"field {name} exists")
+        self.fields[name] = ftype
+        self.hidden.discard(name)
+        if self.io.exists(f"{self.name}__base"):
+            # old rows get the missing-value sentinel ('' / MaxInt64) —
+            # the 'fake field' of field.go:57-76
+            fill = (
+                F.lit(MAX_INT64) if ftype in ("number", "time") else F.lit("")
+            )
+            df = self.io.read(self.spark, f"{self.name}__base").withColumn(
+                name, fill
+            )
+            self.io.write(f"{self.name}__base", df, mode="overwrite")
+        self._store_meta()
+
+    def delete_field(self, name: str) -> None:
+        """Logical delete: hidden from reads, data retained
+        (table.go:319-368)."""
+        if name not in self.fields or self.fields[name] == "primary":
+            raise ValueError(f"cannot delete field {name!r}")
+        self.hidden.add(name)
+        self._store_meta()
+
+    # -- Q12 status -----------------------------------------------------
+    def status(self) -> dict:
+        n_live = self.base().count()
+        n_deleted = (
+            self.io.read(self.spark, f"{self.name}__deletes")
+            .select("doc_id").distinct().count()
+            if self.io.exists(f"{self.name}__deletes")
+            else 0
+        )
+        return {
+            "table": self.name,
+            "fields": self.user_fields,
+            "primary_key": None if self.pk == AUTO_PK else self.pk,
+            "next_doc_id": self.next_doc_id,
+            "real_doc_num": n_live,
+            "deleted": n_deleted,
+            "postings_versions": len(
+                self.io.versions(f"{self.name}__postings")
+            )
+            if self.io.exists(f"{self.name}__postings")
+            else 0,
+        }
+
+    def compact(self) -> None:
+        """I10: merge the postings/base append chains (table.go:874-971)."""
+        for suffix in ("__base", "__postings", "__deletes"):
+            if self.io.exists(self.name + suffix):
+                if suffix == "__postings":
+                    self.io.write(
+                        self.name + suffix,
+                        merge_postings(
+                            self.io.read(self.spark, self.name + suffix)
+                        ),
+                        mode="overwrite",
+                    )
+                else:
+                    self.io.compact(self.spark, self.name + suffix)
+
+
+class Catalog:
+    """S5/S7: databases are TableIO roots under a base dir."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._dbs: dict[str, TableIO] = {}
+
+    def create_database(self, db: str) -> None:
+        import os
+
+        os.makedirs(f"{self.root}/{db}", exist_ok=True)
+        self._dbs[db] = TableIO(f"{self.root}/{db}")
+
+    def drop_database(self, db: str) -> None:
+        import shutil
+
+        shutil.rmtree(f"{self.root}/{db}", ignore_errors=True)
+        self._dbs.pop(db, None)
+
+    def _io(self, db: str) -> TableIO:
+        if db not in self._dbs:
+            import os
+
+            if not os.path.isdir(f"{self.root}/{db}"):
+                raise FileNotFoundError(f"database {db} does not exist")
+            self._dbs[db] = TableIO(f"{self.root}/{db}")
+        return self._dbs[db]
+
+    def create_table(
+        self, db: str, name: str, fields: dict[str, str]
+    ) -> Table:
+        return Table(self.spark, self._io(db), name, fields)
+
+    def table(self, db: str, name: str) -> Table:
+        """S7 recovery: reload from the persisted manifests."""
+        return Table(self.spark, self._io(db), name)
+
+    def drop_table(self, db: str, name: str) -> None:
+        io = self._io(db)
+        for suffix in ("__meta", "__base", "__postings", "__deletes"):
+            io.drop(name + suffix)

@@ -35,6 +35,8 @@ class WebConfig:
     paths_per_host: int = 100_000
     ticks_per_step: int = 8  # politeness time budget per superstep
     disallow_mod: int = 13  # path ids % mod == 0 land under /private/
+    words_per_span: int = 3  # min words per text span (3..3+6 default)
+    vocab_size: int = 0  # 0 -> the tiny fixed VOCAB; N -> 'w<0..N)' words
 
 
 DEFAULT = WebConfig()
@@ -136,8 +138,15 @@ def url_path(url: str) -> str:
     return rest[slash:] if slash >= 0 else "/"
 
 
-def make_text(key: str, n_words: int) -> str:
-    words = [VOCAB[h64(f"w:{key}:{j}") % len(VOCAB)] for j in range(n_words)]
+def make_text(key: str, n_words: int, cfg: WebConfig = DEFAULT) -> str:
+    if cfg.vocab_size:
+        words = [
+            f"w{h64(f'w:{key}:{j}') % cfg.vocab_size}" for j in range(n_words)
+        ]
+    else:
+        words = [
+            VOCAB[h64(f"w:{key}:{j}") % len(VOCAB)] for j in range(n_words)
+        ]
     return " ".join(words)
 
 
@@ -154,11 +163,11 @@ def make_doc(url: str, cfg: WebConfig = DEFAULT) -> dict:
     spans = []
     offset = 0
     for i, link in enumerate(links):
-        n_words = 3 + h64(f"len:{url}:{i}") % 6
+        n_words = cfg.words_per_span + h64(f"len:{url}:{i}") % 6
         spans.append(
             {
                 "kind": "text",
-                "text": make_text(f"{url}:{i}", n_words),
+                "text": make_text(f"{url}:{i}", n_words, cfg),
                 "media_ref": "",
                 "offset": offset,
             }

@@ -1,0 +1,174 @@
+"""Catalog/table lifecycle oracles — the reference's dominant test pattern
+(write -> query -> persist -> reload -> mutate -> merge -> query,
+core/table/table_test.go:33-314, SURVEY.md §5) on the F1 `user` fixture.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spider_engine_spark.operators.search import SearchFilter
+from spider_engine_spark.plans.catalog import Catalog
+
+FIELDS = {
+    "user_id": "primary",
+    "user_name": "whole",
+    "user_age": "number",
+    "user_desc": "words",
+}
+
+ROWS = [
+    {"user_id": "10001", "user_name": "张三", "user_age": 20, "user_desc": "喜欢美食,也喜欢旅游"},
+    {"user_id": "10002", "user_name": "李四", "user_age": 28, "user_desc": "喜欢电影,也喜欢美食"},
+    {"user_id": "10003", "user_name": "王二麻", "user_age": 30, "user_desc": "喜欢养生"},
+    {"user_id": "10004", "user_name": "爱新觉罗", "user_age": 69, "user_desc": "喜欢美食, 更喜欢打仗"},
+    {"user_id": "10005", "user_name": "李世民", "user_age": 50, "user_desc": "喜欢秋香和美食"},
+]
+
+
+@pytest.fixture(scope="module")
+def cat(spark, tmp_path_factory):
+    c = Catalog(spark, str(tmp_path_factory.mktemp("catalog")))
+    c.create_database("db1")
+    return c
+
+
+@pytest.fixture(scope="module")
+def user_table(cat):
+    t = cat.create_table("db1", "user", FIELDS)
+    accepted, burned = t.add_docs(ROWS)
+    assert (accepted, burned) == (5, 0)
+    return t
+
+
+def hits(t, kw, **kw2):
+    return sorted(r["user_id"] for r in t.search(kw, **kw2).collect())
+
+
+def test_search_and_filters(user_table):
+    # rune-probe for 美 (reference queries 美食; our T4 is per-rune)
+    assert hits(user_table, "美", field="user_desc") == [
+        "10001", "10002", "10004", "10005",
+    ]
+    # between 18..22 (table_test.go:773-836)
+    assert hits(
+        user_table, "美", field="user_desc",
+        filters=[SearchFilter("user_age", "between", begin=18, end=22)],
+    ) == ["10001"]
+    # prefix 李 on the whole field
+    assert hits(
+        user_table, "美", field="user_desc",
+        filters=[SearchFilter("user_name", "prefix", value="李")],
+    ) == ["10002", "10005"]
+    # god field cross-field search (table_test.go:876-957)
+    assert hits(user_table, "王") == ["10003"]
+
+
+def test_pk_lookup_and_duplicate_rejection(user_table):
+    doc = user_table.get_doc("10002")
+    assert doc["user_name"] == "李四" and doc["user_age"] == 28
+    # duplicate PK rejected (table.go:451-454 / database_test.go:131)
+    accepted, burned = user_table.add_docs(
+        [{"user_id": "10002", "user_name": "dup", "user_age": 1, "user_desc": "x"}]
+    )
+    assert accepted == 0 and burned == 0
+
+
+def test_reload_update_delete(cat, user_table):
+    # S7 recovery: reload from manifests
+    t2 = cat.table("db1", "user")
+    assert t2.next_doc_id == user_table.next_doc_id
+    assert hits(t2, "美", field="user_desc") == [
+        "10001", "10002", "10004", "10005",
+    ]
+    # M2 update: new docId, old tombstoned (table.go:568-690)
+    assert t2.update_doc(
+        "10001",
+        {"user_name": "张三", "user_age": 21, "user_desc": "只喜欢旅游"},
+    )
+    doc = t2.get_doc("10001")
+    assert doc["user_age"] == 21
+    assert hits(t2, "美", field="user_desc") == ["10002", "10004", "10005"]
+    # M1 delete
+    assert t2.delete_doc("10002")
+    assert t2.get_doc("10002") is None
+    assert hits(t2, "美", field="user_desc") == ["10004", "10005"]
+    assert not t2.delete_doc("no_such_pk")
+
+
+def test_burned_docid_consistency(cat):
+    """M3: wrong-typed rows consume docIds but are tombstoned; counters
+    stay aligned (table_test.go:437-624)."""
+    t = cat.create_table(
+        "db1", "burn", {"k": "primary", "age": "number", "body": "words"}
+    )
+    accepted, burned = t.add_docs(
+        [
+            {"k": "a", "age": 10, "body": "good row"},
+            {"k": "b", "age": "not_a_number", "body": "bad row"},
+            {"k": "c", "age": 30, "body": "good again"},
+        ]
+    )
+    assert (accepted, burned) == (2, 1)
+    assert t.next_doc_id == 3  # burned id consumed
+    st = t.status()
+    assert st["real_doc_num"] == 2 and st["deleted"] == 1
+    # the burned doc is not searchable
+    assert sorted(r["k"] for r in t.search("row", field="body").collect()) == ["a"]
+
+
+def test_schema_evolution(cat):
+    t = cat.create_table(
+        "db1", "evo", {"k": "primary", "body": "words"}
+    )
+    t.add_docs([{"k": "x", "body": "hello world"}])
+    # S6 add field: old rows get the missing sentinel
+    t.add_field("score", "number")
+    t.add_docs([{"k": "y", "body": "hello again", "score": 7}])
+    doc_x, doc_y = t.get_doc("x"), t.get_doc("y")
+    assert doc_y["score"] == 7
+    from spider_engine_spark.operators.search import MAX_INT64
+
+    assert doc_x["score"] == MAX_INT64  # sentinel for pre-evolution rows
+    # sentinel rows excluded from numeric filters (forwardindex.go:580)
+    got = sorted(
+        r["k"]
+        for r in t.search(
+            "hello", field="body",
+            filters=[SearchFilter("score", ">", value=0)],
+        ).collect()
+    )
+    assert got == ["y"]
+    # S6 delete field: logical hide
+    t.delete_field("score")
+    assert "score" not in t.get_doc("y")
+    with pytest.raises(ValueError):
+        t.delete_field("k")  # cannot delete the PK
+
+
+def test_auto_pk_and_update_unsupported(cat):
+    t = cat.create_table("db1", "nopk", {"body": "words"})
+    accepted, _ = t.add_docs([{"body": "alpha beta"}, {"body": "beta gamma"}])
+    assert accepted == 2
+    rows = t.search("beta", field="body").collect()
+    assert len(rows) == 2
+    with pytest.raises(ValueError):
+        t.update_doc("anything", {"body": "nope"})  # table.go:581-583
+
+
+def test_compact_preserves_results(cat):
+    t = cat.table("db1", "user")
+    before = hits(t, "美", field="user_desc")
+    t.compact()
+    assert hits(t, "美", field="user_desc") == before
+    # compacted postings read from a single snapshot dir
+    assert len(t.io._entry("user__postings")["dirs"]) == 1
+
+
+def test_drop_table(cat):
+    cat.create_table("db1", "tmp", {"body": "words"}).add_docs(
+        [{"body": "zzz"}]
+    )
+    cat.drop_table("db1", "tmp")
+    with pytest.raises(FileNotFoundError):
+        cat.table("db1", "tmp")

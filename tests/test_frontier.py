@@ -135,3 +135,28 @@ def test_resume_from_checkpoint(spark, tmp_path_factory):
 
     assert job_a.seen_urls() == job_b2.seen_urls()
     assert job_a.fetched_urls_by_step() == job_b2.fetched_urls_by_step()
+
+
+def test_memory_mode_matches_durable(spark, tmp_path_factory):
+    """checkpoint_every=3 (in-memory between snapshots) must produce
+    bit-identical crawl results to checkpoint_every=1 (durable)."""
+    seeds = wm.seed_urls(8)
+    root_a = str(tmp_path_factory.mktemp("crawl_dur"))
+    job_a = CrawlJob(spark, root_a, seeds=seeds, num_shards=2, salts=2)
+    job_a.run(3)
+
+    root_b = str(tmp_path_factory.mktemp("crawl_mem"))
+    job_b = CrawlJob(
+        spark, root_b, seeds=seeds, num_shards=2, salts=2, checkpoint_every=3
+    )
+    job_b.run(3)  # run() flushes at the end
+
+    assert job_a.seen_urls() == job_b.seen_urls()
+    assert job_a.fetched_urls_by_step() == job_b.fetched_urls_by_step()
+    # the flush really committed snapshots (read back via a fresh job)
+    job_c = CrawlJob(spark, root_b, num_shards=2, salts=2)
+    assert job_c.step_no == 3
+    assert job_c.seen_urls() == job_a.seen_urls()
+    pa = {(r["term"], r["df"]) for r in job_a.postings().collect()}
+    pb = {(r["term"], r["df"]) for r in job_c.postings().collect()}
+    assert pa == pb
