@@ -85,7 +85,7 @@ def main() -> None:
     # frontier crawl probe: 2 supersteps on a bench-scale web
     crawl_root = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
-        cfg = wm.WebConfig(num_hosts=2000)
+        cfg = wm.WebConfig(num_hosts=2000, vocab_size=5000)
         job = CrawlJob(
             spark,
             crawl_root,
@@ -94,6 +94,7 @@ def main() -> None:
             salts=4,
             index=True,
             cfg=cfg,
+            checkpoint_every=3,
         )
         t0 = time.monotonic()
         processed = 0
@@ -101,6 +102,7 @@ def main() -> None:
             m = job.run_step()
             processed += m.get("fetched", 0) + m.get("candidates", 0)
         crawl_sec = time.monotonic() - t0
+        job.flush()
         timings["crawl_2steps"] = round(crawl_sec, 3)
         crawl_urls_per_sec = round(processed / crawl_sec, 1)
         log(f"crawl: {processed} urls in {crawl_sec:.2f}s")

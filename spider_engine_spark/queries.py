@@ -795,3 +795,95 @@ def token_count_by_source(spark, sf_dir):
         F.sum(ta.token_count(F.col("text"))).alias("total_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming / multimodal / frontier surfaces
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_hourly_window",
+    """
+    SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS window_epoch,
+      event_type, count(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY window_epoch, event_type
+    """,
+)
+def streaming_hourly_window(spark, sf_dir):
+    """The streaming watermarked tumbling-window rollup, evaluated on the
+    static frame (batch/stream parity — same plan shape Structured
+    Streaming runs incrementally)."""
+    from spider_engine_spark.streaming.ingest import windowed_event_counts
+
+    out = windowed_event_counts(load(spark, sf_dir, "events"))
+    return out.select(
+        ntz_epoch("window_start").alias("window_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@query("multimodal_decode")  # blake2b-derived fake media: rows-only
+def multimodal_decode(spark, sf_dir):
+    """Binary media columns + metadata -> mapInPandas decode kernel;
+    returns per-kind decode stats (deterministic fake decoder)."""
+    from spider_engine_spark.operators.multimodal import (
+        decode_media,
+        synth_media,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = synth_media(docs)
+    feats = decode_media(media, dim=8)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("decode_ok").cast("int")).alias("n_ok"),
+    )
+
+
+@query("frontier_crawl")  # verified by the pytest replay oracle; rows-only
+def frontier_crawl(spark, sf_dir):
+    """Two supersteps of the URL-frontier scheduler on the deterministic
+    synthetic web; returns the per-step fetch sets (url, step). The strong
+    check is tests/test_frontier.py (bit-equality vs the pure-Python
+    replay simulator)."""
+    import tempfile
+
+    from spider_engine_spark import webmodel as wm
+    from spider_engine_spark.operators.frontier import CrawlJob
+
+    root = tempfile.mkdtemp(prefix="drv_crawl_")
+    job = CrawlJob(
+        spark, root, seeds=wm.seed_urls(20), num_shards=4, salts=2,
+        index=False,
+    )
+    job.run(2)
+    docs = job.io.read(spark, "docs")
+    return docs.select(
+        F.col("doc_id").alias("url"), F.col("fetch_step").alias("step")
+    ).orderBy("step", "url")
+
+
+@query("interleaved_spans_roundtrip")  # pandas-UDF generated: rows-only
+def interleaved_spans_roundtrip(spark, sf_dir):
+    """input_hint invariant surface: fetch-simulated interleaved docs,
+    exploded back to (doc_id, offset, kind, media_ref) — span order must
+    round-trip (strong check: tests/test_frontier.py span oracle)."""
+    from spider_engine_spark import webmodel as wm
+    from spider_engine_spark.operators.frontier import fetch_docs
+
+    seeds = spark.createDataFrame(
+        [(u,) for u in wm.seed_urls(50)], "url string"
+    )
+    docs = fetch_docs(seeds, 0)
+    return docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.media_ref").alias("media_ref"),
+    )

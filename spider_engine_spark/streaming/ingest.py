@@ -1,0 +1,100 @@
+"""Structured-Streaming ingest: the reference's write path, Spark-first.
+
+The reference serializes writes per table through a (mover, worker)
+goroutine pair with a 10 ms poll (C1, engine/spider.go:196-261) and
+flushes its mem partition every 10k docs (table.go:503-508). The Spark
+equivalent is a file-source readStream with foreachBatch: micro-batches
+arrive serialized per query, each batch appends a base + postings
+snapshot atomically (TableIO), and compaction is periodic — the same
+LSM tiering with Structured Streaming doing the scheduling.
+
+Also provided: watermarked tumbling-window aggregation and streaming
+dedup (dropDuplicates + watermark) — the event-time operators the
+reference lacks entirely (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_engine_spark.operators.postings import (
+    build_postings_native,
+    merge_postings,
+)
+from spider_engine_spark.sources.tableio import TableIO
+
+
+def stream_index_docs(
+    spark: SparkSession,
+    input_dir: str,
+    state_root: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    compact_every: int = 4,
+):
+    """Stream documents from parquet files into base + postings tables.
+
+    Returns the StreamingQuery; callers use trigger(availableNow) via
+    .awaitTermination() or processAllAvailable() in tests.
+    """
+    io = TableIO(state_root)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotence: skip replayed batch ids after checkpoint recovery
+        if io.exists("base"):
+            done = io.meta("base").get("batch_id", -1)
+            if batch_id <= done:
+                return
+        io.write("base", batch_df, mode="append", meta={"batch_id": batch_id})
+        postings = build_postings_native(batch_df, "doc_id", "text")
+        io.write(
+            "postings", postings, mode="append", meta={"batch_id": batch_id}
+        )
+        if (batch_id + 1) % compact_every == 0:
+            io.write(
+                "postings",
+                merge_postings(io.read(batch_df.sparkSession, "postings")),
+                meta={"batch_id": batch_id, "compacted": True},
+            )
+
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (late rows beyond
+    the watermark are dropped — the streaming rollup for the events table)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame, key: str = "event_id", watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon: the streaming
+    form of the URL-seen set (state-store backed)."""
+    return events.withWatermark("ts", watermark).dropDuplicates([key, "ts"])

@@ -1,0 +1,119 @@
+"""Streaming ingest + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_engine_spark.operators.multimodal import (
+    decode_media,
+    frame_sample,
+    synth_media,
+    thumbnail,
+)
+from spider_engine_spark.operators.postings import merge_postings, query_term
+from spider_engine_spark.sources.tableio import TableIO
+from spider_engine_spark.streaming.ingest import (
+    stream_index_docs,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+
+def test_stream_index_docs(spark, tmp_path):
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1
+    spark.createDataFrame(
+        [(0, "spark index stream"), (1, "stream of tokens")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    q = stream_index_docs(spark, src, state, ckpt)
+    q.awaitTermination(120)
+    # batch 2 (new files -> new micro-batch)
+    spark.createDataFrame(
+        [(2, "more stream data")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    q2 = stream_index_docs(spark, src, state, ckpt)
+    q2.awaitTermination(120)
+
+    io = TableIO(state)
+    assert io.read(spark, "base").count() == 3
+    postings = merge_postings(io.read(spark, "postings"))
+    got = sorted(
+        r.doc_id for r in query_term(postings, "text", "stream").collect()
+    )
+    assert got == [0, 1, 2]  # across both micro-batches
+
+
+def test_windowed_event_counts_semantics(spark, sf_dir="/root/testdata/sf0.001"):
+    # the streaming aggregation evaluated on a static frame must equal the
+    # plain groupBy (same logic), establishing the batch/stream parity
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    streamed = windowed_event_counts(events).orderBy(
+        "window_start", "event_type"
+    )
+    rows = streamed.collect()
+    assert rows, "windowed counts empty"
+    plain = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        ).count().collect()
+    )
+    assert sum(r["n_events"] for r in rows) == sum(r["count"] for r in plain)
+
+
+def test_streaming_dedup_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:05:00")],
+        "event_id long, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    out = streaming_dedup(df).collect()
+    assert len(out) == 2
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    base = spark.range(40).withColumnRenamed("id", "doc_id")
+    return synth_media(base).cache()
+
+
+def test_synth_media_schema_and_determinism(media, spark):
+    rows = media.orderBy("doc_id").collect()
+    assert len(rows) == 40
+    r = rows[0]
+    assert isinstance(bytes(r["media"]), bytes) and len(bytes(r["media"])) == r["meta"]["n_bytes"]
+    assert r["meta"]["kind"] in ("image", "audio", "video")
+    # deterministic across re-generation
+    again = synth_media(
+        spark.range(40).withColumnRenamed("id", "doc_id")
+    ).orderBy("doc_id").collect()
+    assert bytes(again[0]["media"]) == bytes(r["media"])
+
+
+def test_decode_media_features(media):
+    feats = decode_media(media, dim=8).collect()
+    assert len(feats) == 40
+    for r in feats[:5]:
+        assert r["decode_ok"] and len(r["feature"]) == 8
+        norm = sum(x * x for x in r["feature"])
+        assert abs(norm - 1.0) < 1e-3  # unit-norm fake embedding
+
+
+def test_decode_requires_codecs_raises(media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media, require_codecs=True)
+
+
+def test_thumbnail_and_frame_sample(media):
+    th = thumbnail(media, max_side=8).collect()
+    assert all(r["thumb_w"] <= 8 and r["thumb_h"] <= 8 for r in th)
+    frames = frame_sample(media, every_ms=1000)
+    vids = media.filter(F.col("meta.kind") == "video").count()
+    if vids:
+        got = frames.groupBy("doc_id").count().count()
+        assert got == vids
+        assert frames.filter(F.col("ts_ms") % 1000 != 0).count() == 0
