@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--words", type=int, default=None, help="words per text span (WebConfig.words_per_span)")
     ap.add_argument("--vocab", type=int, default=None, help="vocabulary size (WebConfig.vocab_size)")
     ap.add_argument("--checkpoint-every", type=int, default=1)
+    ap.add_argument("--no-flush", action="store_true",
+                    help="measurement mode: skip the final state snapshot")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
@@ -71,7 +73,8 @@ def main() -> None:
         total_processed += m.get("fetched", 0) + m.get("candidates", 0)
         step_wall += m.get("duration_sec") or 0.0
         print(json.dumps(m), flush=True)
-    job.flush()
+    if not args.no_flush:
+        job.flush()
     wall = time.monotonic() - t0
     print(
         json.dumps(

@@ -150,6 +150,39 @@ def tokenize(content: str, mode: str) -> list[tuple[str, int]]:
     return SPLITTERS[mode](content)
 
 
+TOKENS_COLS_SCHEMA = StructType(
+    [
+        StructField("terms", ArrayType(StringType(), False), False),
+        StructField("weights", ArrayType(IntegerType(), False), False),
+    ]
+)
+
+
+def tokenize_cols_udf(mode: str):
+    """Vectorized pandas UDF returning struct<terms:array<string>,
+    weights:array<int>> — parallel plain arrays instead of
+    array<struct>: the Arrow conversion of primitive lists is several
+    times cheaper than list-of-struct (dict) conversion, which matters
+    when a batch emits millions of tokens. Downstream zips natively:
+    explode(arrays_zip(terms, weights))."""
+    fn = SPLITTERS[mode]
+
+    @pandas_udf(TOKENS_COLS_SCHEMA)
+    def _tok(s: pd.Series) -> pd.DataFrame:
+        terms, weights = [], []
+        for x in s:
+            if x is None:
+                terms.append([])
+                weights.append([])
+                continue
+            pairs = fn(x)
+            terms.append([t for t, _ in pairs])
+            weights.append([w for _, w in pairs])
+        return pd.DataFrame({"terms": terms, "weights": weights})
+
+    return _tok
+
+
 def tokenize_udf(mode: str):
     """Vectorized pandas UDF: string column -> array<struct<term,weight>>.
 

@@ -47,7 +47,7 @@ from pyspark.sql.types import (
 )
 
 from spider_engine_spark import webmodel as wm
-from spider_engine_spark.functions.tokenizers import tokenize_udf
+from spider_engine_spark.functions.tokenizers import tokenize_cols_udf
 from spider_engine_spark.operators import seenset
 from spider_engine_spark.operators.postings import aggregate_postings, merge_postings
 from spider_engine_spark.sources.tableio import TableIO
@@ -181,14 +181,18 @@ def index_docs(docs: DataFrame) -> DataFrame:
         docs.sparkSession.sparkContext.defaultParallelism
     )  # tokenizer UDF parallelism (see fetch_docs note)
     n_buckets = docs.sparkSession.sparkContext.defaultParallelism * 2
-    toks = per_doc.select(
+    tokked = per_doc.select(
         F.xxhash64("doc_id").alias("doc_key"),
-        F.explode(tokenize_udf("words")(F.col("text"))).alias("tok"),
+        tokenize_cols_udf("words")(F.col("text")).alias("tw"),
+    )
+    toks = tokked.select(
+        "doc_key",
+        F.explode(F.arrays_zip("tw.terms", "tw.weights")).alias("tok"),
     ).select(
         F.lit("spans_text").alias("field"),
-        F.col("tok.term").alias("term"),
+        F.col("tok.terms").alias("term"),
         F.col("doc_key").alias("doc_id"),
-        F.col("tok.weight").alias("weight"),
+        F.col("tok.weights").alias("weight"),
     )
     return aggregate_postings(toks, doc_buckets=n_buckets)
 
@@ -231,6 +235,7 @@ class CrawlJob:
         self.salts = salts
         self.index = index
         self._mem: dict[str, DataFrame] = {}
+        self._postings_pieces: list[DataFrame] = []
         self._retired: list[list[DataFrame]] = []
         self._frontier_meta: dict = {}
         if self.io.exists("frontier"):
@@ -301,6 +306,9 @@ class CrawlJob:
     def flush(self) -> None:
         if self.checkpoint_every != 1:
             self._checkpoint()
+            for df in self._postings_pieces:
+                df.unpersist()
+            self._postings_pieces.clear()
 
     # -- bootstrap ----------------------------------------------------
     def _bootstrap(self, seeds: list[str]) -> None:
@@ -514,10 +522,15 @@ class CrawlJob:
                         meta={"step": step + 1, "compacted": True},
                     )
             else:
+                # materialize this step's postings NOW (cache+count): the
+                # tokenize graft is part of the superstep's work, and the
+                # cached per-step pieces keep the union lineage flat
+                step_postings = index_docs(docs).cache()
+                step_postings.count()
                 self._put(
-                    "postings", index_docs(docs), append=True,
-                    checkpoint=False,
+                    "postings", step_postings, append=True, checkpoint=False
                 )
+                self._postings_pieces.append(step_postings)
 
         mark("index")
         self.step_no += 1
