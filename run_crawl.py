@@ -25,6 +25,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--salts", type=int, default=4)
+    ap.add_argument("--capacity", type=int, default=1 << 16,
+                    help="cuckoo-filter capacity per shard")
     ap.add_argument("--no-index", action="store_true")
     ap.add_argument("--hosts", type=int, default=None, help="web size (WebConfig.num_hosts)")
     ap.add_argument("--words", type=int, default=None, help="words per text span (WebConfig.words_per_span)")
@@ -59,6 +61,7 @@ def main() -> None:
         args.root,
         seeds=wm.seed_urls(args.seeds, cfg),
         num_shards=args.shards,
+        capacity_per_shard=args.capacity,
         salts=args.salts,
         index=not args.no_index,
         cfg=cfg,

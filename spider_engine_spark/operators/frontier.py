@@ -388,7 +388,7 @@ class CrawlJob:
             F.col("url").alias("doc_id"), F.col("depth").alias("pdepth")
         )
         raw_links = (
-            docs.join(parent_depth, "doc_id")
+            docs.join(F.broadcast(parent_depth), "doc_id")
             .select(F.explode("spans").alias("s"), F.col("pdepth"))
             .filter(F.col("s.media_ref") != "")
             .select(

@@ -37,14 +37,17 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIG = {
-    "seeds": 150_000,
-    "hosts": 150_000,
+    # sized so parallel compute dominates the fixed per-superstep stage
+    # latency (~15 s): one superstep fetches ~1.1M pages of ~700 words
+    "seeds": 1_500_000,
+    "hosts": 1_500_000,
     "words": 120,  # ~720 words/page: realistic web-document weight
     "vocab": 50_000,
     "steps": 1,
     "shards": 32,
+    "capacity": 1 << 19,
     "shuffle_partitions": 64,  # held constant across both levels
-    "driver_memory": "24g",
+    "driver_memory": "48g",
 }
 
 
@@ -72,6 +75,7 @@ def run_once(cores: int, root: str, steps: int) -> dict:
         "--vocab", str(CONFIG["vocab"]),
         "--steps", str(steps),
         "--shards", str(CONFIG["shards"]),
+        "--capacity", str(CONFIG["capacity"]),
         "--shuffle-partitions", str(CONFIG["shuffle_partitions"]),
         "--checkpoint-every", str(steps + 1),
         "--no-flush",
