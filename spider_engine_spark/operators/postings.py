@@ -170,20 +170,40 @@ def merge_postings(*snapshots: DataFrame) -> DataFrame:
     out = snapshots[0]
     for s in snapshots[1:]:
         out = out.unionByName(s)
-    keys = ["field", "term"] + (["bucket"] if "bucket" in out.columns else [])
+    keys = ["field", "term"] + [
+        c for c in ("bucket", "term_bucket") if c in out.columns
+    ]
     return out.groupBy(*keys).agg(
         F.sum("df").alias("df"),
         F.sort_array(F.flatten(F.collect_list("postings"))).alias("postings"),
     )
 
 
+TERM_BUCKETS = 64  # hive partitions of the at-rest postings table
+
+
+def with_term_bucket(postings: DataFrame, n: int = TERM_BUCKETS) -> DataFrame:
+    """Add the at-rest partition column: pmod(xxhash64(term), n). Written
+    with partitionBy('term_bucket'), a term probe prunes to 1/n of the
+    files — the parquet analogue of the reference's btree term lookup."""
+    return postings.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n)).cast("int")
+    )
+
+
 def query_term(postings: DataFrame, field: str, term: str) -> DataFrame:
     """Q1: term probe -> (doc_id, weight) rows.
 
-    A filter on the postings table: with the postings table partitioned /
-    z-ordered by (field, term) this is a pruned scan, the analogue of the
-    reference's btree get + mmap block read (invertedindex.go:154-178).
+    When the postings table carries the at-rest term_bucket partition
+    column the probe filters on it first — Spark prunes the partition
+    dirs before any IO (the analogue of the reference's btree get + mmap
+    block read, invertedindex.go:154-178).
     """
+    if "term_bucket" in postings.columns:
+        postings = postings.filter(
+            F.col("term_bucket")
+            == F.pmod(F.xxhash64(F.lit(term)), F.lit(TERM_BUCKETS)).cast("int")
+        )
     return (
         postings.filter((F.col("field") == field) & (F.col("term") == term))
         .select(F.explode("postings").alias("p"))

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from spider_engine_spark.operators.postings import (
     build_postings,
     merge_postings,
+    with_term_bucket,
 )
 from spider_engine_spark.operators.search import (
     MAX_INT64,
@@ -198,6 +199,8 @@ class Table:
             "doc_id", F.row_number().over(w) + F.lit(self.next_doc_id - 1)
         ).localCheckpoint()
         n = batch.count()
+        if n == 0:  # fully-rejected batch: nothing to commit (a 0-row
+            return 0, 0  # partitioned write would leave a schema-less dir)
 
         # burned rows: numeric/time sentinel from an unparseable input
         burn_cond = F.lit(False)
@@ -213,8 +216,13 @@ class Table:
         if n_burned:
             self.io.write(f"{self.name}__deletes", burned, mode="append")
         live = batch.join(burned, "doc_id", "left_anti")
-        postings = build_postings(live, "doc_id", self._indexed_fields())
-        self.io.write(f"{self.name}__postings", postings, mode="append")
+        postings = with_term_bucket(
+            build_postings(live, "doc_id", self._indexed_fields())
+        )
+        self.io.write(
+            f"{self.name}__postings", postings, mode="append",
+            partition_by=["term_bucket"],
+        )
         self.next_doc_id += n
         self._store_meta()
         return n - n_burned, n_burned

@@ -38,6 +38,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # tmpfs shuffle dir when available: local-mode shuffle files are
+        # ephemeral; page-cache-backed IO removes disk syscall stalls
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-local"
+            if os.path.isdir("/dev/shm")
+            else "/tmp",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -84,8 +84,12 @@ class TableIO:
         df: DataFrame,
         mode: str = "overwrite",
         meta: dict | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
-        """Commit df as a new snapshot; returns the new version number."""
+        """Commit df as a new snapshot; returns the new version number.
+
+        partition_by writes hive-style partition dirs (readers get
+        partition pruning on those columns for free)."""
         manifest = self._load_manifest(name)
         vs = manifest["versions"]
         new_version = (vs[-1]["version"] + 1) if vs else 1
@@ -93,7 +97,10 @@ class TableIO:
         os.makedirs(tdir, exist_ok=True)
         final = os.path.join(tdir, f"v{new_version:06d}")
         tmp = os.path.join(tdir, f"_tmp.{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
         os.rename(tmp, final)  # atomic publish of the data dir
         if mode == "append" and vs:
             dirs = list(vs[-1]["dirs"]) + [final]
@@ -114,7 +121,16 @@ class TableIO:
         self, spark: SparkSession, name: str, version: int | None = None
     ) -> DataFrame:
         entry = self._entry(name, version)
-        return spark.read.parquet(*entry["dirs"])
+        dirs = entry["dirs"]
+        if len(dirs) == 1:
+            return spark.read.parquet(dirs[0])
+        # per-dir reads + union: hive-partitioned snapshot dirs cannot be
+        # listed together in one read (conflicting partition discovery
+        # roots); per-dir discovery keeps partition columns AND pruning
+        out = spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            out = out.unionByName(spark.read.parquet(d))
+        return out
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tdir(name), ignore_errors=True)
