@@ -209,3 +209,30 @@ def query_term(postings: DataFrame, field: str, term: str) -> DataFrame:
         .select(F.explode("postings").alias("p"))
         .select(F.col("p.doc_id").alias("doc_id"), F.col("p.weight").alias("weight"))
     )
+
+
+def multi_term_and(
+    postings: DataFrame, field: str, terms: list[str]
+) -> DataFrame:
+    """Multi-term AND: docs containing ALL terms, with summed weights.
+
+    The reference only ships single-term search (table.go:974); its
+    legacy code contains the sorted posting-list intersection
+    (search/search.go:228-261, a two-pointer sort-merge semi-join).
+    Spark-first: probe each term's postings and GROUP BY doc_id HAVING
+    count(distinct term) = N — the shuffle does the intersection, and at
+    scale each probe is a pruned partition read.
+    """
+    probes = None
+    for t in terms:
+        p = query_term(postings, field, t).withColumn("term", F.lit(t))
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        probes.groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("weight").alias("sum_weight"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+        .select("doc_id", "sum_weight")
+    )

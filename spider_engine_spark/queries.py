@@ -887,3 +887,145 @@ def interleaved_spans_roundtrip(spark, sf_dir):
         F.col("s.kind").alias("kind"),
         F.col("s.media_ref").alias("media_ref"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: multi-term AND, grouping sets, as-of join, percentiles, range join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "search_multi_term_and",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tok2 AS (
+      SELECT doc_id, term FROM toks WHERE term <> ''
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS total FROM tok2 GROUP BY doc_id
+    ), per_term AS (
+      SELECT doc_id, term, count(*) AS cnt FROM tok2
+      WHERE term IN ('spark', 'vector') GROUP BY doc_id, term
+    ), weighted AS (
+      SELECT p.doc_id, p.term,
+        trunc((p.cnt::FLOAT / d.total::FLOAT) * 10000::FLOAT)::BIGINT AS w
+      FROM per_term p JOIN per_doc d USING (doc_id)
+    )
+    SELECT doc_id, CAST(sum(w) AS BIGINT) AS sum_weight
+    FROM weighted GROUP BY doc_id HAVING count(DISTINCT term) = 2
+    """,
+)
+def search_multi_term_and(spark, sf_dir):
+    """Multi-term AND (the reference's legacy posting-intersection,
+    search/search.go:228-261) as a pruned-probe union + groupBy-HAVING."""
+    from spider_engine_spark.operators.postings import multi_term_and
+
+    docs = load(spark, sf_dir, "documents")
+    postings = build_postings_native(docs, "doc_id", "text")
+    return multi_term_and(postings, "text", ["spark", "vector"])
+
+
+@query(
+    "rollup_lang_source",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+      CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+def rollup_lang_source(spark, sf_dir):
+    """Grouping sets / rollup (operator class the reference lacks)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _dsum(F.col("n_chars"), "sum_chars"),
+    )
+
+
+@query(
+    "asof_join_latest_order",
+    """
+    WITH pairs AS (
+      SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+        row_number() OVER (
+          PARTITION BY e.event_id
+          ORDER BY o.o_orderdate DESC, o.o_orderkey ASC) AS rn
+      FROM events e
+      JOIN orders o
+        ON o.o_custkey = e.user_id + 1
+       AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, o_orderkey AS latest_orderkey,
+      o_totalprice AS latest_totalprice
+    FROM pairs WHERE rn = 1
+    """,
+)
+def asof_join_latest_order(spark, sf_dir):
+    """As-of join: each event matched to the customer's latest order at
+    event time — inequality join + per-key top-1 window (at scale:
+    bucket both sides by key, sort-merge within buckets)."""
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    joined = e.join(
+        o,
+        (o.o_custkey == e.user_id + 1) & (o.o_orderdate <= e.ts),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_totalprice").alias("latest_totalprice"),
+        )
+    )
+
+
+@query(
+    "value_percentiles",
+    """
+    SELECT event_type,
+      quantile_cont(value, 0.5) AS p50,
+      quantile_cont(value, 0.9) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (both engines use the
+    same linear-interpolation definition)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+    )
+
+
+@query(
+    "range_join_value_buckets",
+    """
+    WITH buckets AS (
+      SELECT i * 5.0 AS lo, (i + 1) * 5.0 AS hi
+      FROM range(0, 20) t(i)
+    )
+    SELECT b.lo AS bucket_lo, count(e.event_id) AS n_events
+    FROM buckets b LEFT JOIN events e
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.lo
+    """,
+)
+def range_join_value_buckets(spark, sf_dir):
+    """Range join of events against value buckets (small side broadcast;
+    Spark turns the inequality join into BroadcastNestedLoop)."""
+    e = load(spark, sf_dir, "events")
+    buckets = spark.range(0, 20).select(
+        (F.col("id") * 5.0).alias("lo"), ((F.col("id") + 1) * 5.0).alias("hi")
+    )
+    return (
+        F.broadcast(buckets)
+        .join(e, (e.value >= F.col("lo")) & (e.value < F.col("hi")), "left")
+        .groupBy(F.col("lo").alias("bucket_lo"))
+        .agg(F.count("event_id").alias("n_events"))
+    )

@@ -1,0 +1,91 @@
+"""Property-based oracles (hypothesis) — pure-Python kernels only (no
+Spark in the loop; these kernels ARE what the UDFs execute)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spider_engine_spark import webmodel as wm
+from spider_engine_spark.functions.tokenizers import (
+    PUNCTUATION,
+    split_rune_words,
+    split_semicolon_words,
+    split_true_words,
+    split_whole_words,
+    tf_weight,
+)
+from spider_engine_spark.operators.cuckoo import CuckooFilter
+
+text_st = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=200,
+)
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_whole_is_identity(s):
+    assert split_whole_words(s) == [(s, 0)]
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_rune_covers_unique_chars(s):
+    got = dict(split_rune_words(s))
+    assert set(got) == set(s)
+    assert all(w == 0 for w in got.values())
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_semicolon_partition(s):
+    got = dict(split_semicolon_words(s))
+    assert set(got) == set(s.split(";"))
+
+
+@given(text_st)
+@settings(max_examples=300, deadline=None)
+def test_true_words_weight_invariants(s):
+    pairs = split_true_words(s)
+    terms = [t for t, _ in pairs]
+    # no punctuation tokens survive; terms unique
+    assert not (set(terms) & PUNCTUATION)
+    assert len(terms) == len(set(terms))
+    # the float32 TF law: weights reproduce exactly from the counts
+    from spider_engine_spark.functions.tokenizers import segment
+
+    toks = [t for t in segment(s) if t not in PUNCTUATION]
+    total = len(toks)
+    for t, w in pairs:
+        assert w == tf_weight(toks.count(t), total)
+        assert 0 <= w <= 10000
+
+
+@given(st.integers(min_value=0, max_value=1 << 20), st.integers(min_value=1, max_value=1 << 20))
+@settings(max_examples=300, deadline=None)
+def test_tf_weight_matches_go_float32(cnt, total):
+    cnt = min(cnt, total)
+    expect = int(
+        np.float32(np.float32(cnt) / np.float32(total)) * np.float32(10000)
+    )
+    assert tf_weight(cnt, total) == expect
+
+
+@given(st.text(max_size=80).map(lambda s: "http://Host1.Example.com:80/" + s.replace("\n", "")))
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent(url):
+    c = wm.canonicalize(url)
+    assert wm.canonicalize(c) == c
+    assert c.startswith("http://host1.example.com")
+    assert "#" not in c
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 63) - 1), min_size=1, max_size=500, unique=True))
+@settings(max_examples=50, deadline=None)
+def test_cuckoo_never_false_negative(keys):
+    f = CuckooFilter(capacity=2000)
+    arr = np.array(keys, dtype=np.uint64)
+    f.insert(arr)
+    assert f.contains(arr).all()
