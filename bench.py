@@ -35,6 +35,9 @@ HEADLINE = [
     "events_hourly",
     "events_sessionize",
     "agg_distinct_users",
+    "dedup_minhash_lsh",
+    "knn_brute",
+    "asof_join_latest_order",
 ]
 
 

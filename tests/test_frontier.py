@@ -160,3 +160,34 @@ def test_memory_mode_matches_durable(spark, tmp_path_factory):
     pa = {(r["term"], r["df"]) for r in job_a.postings().collect()}
     pb = {(r["term"], r["df"]) for r in job_c.postings().collect()}
     assert pa == pb
+
+
+def test_hot_host_skew(spark, tmp_path_factory):
+    """Pathological skew: 90% of links target host0. The salted two-phase
+    selection must still respect host0's politeness budget exactly and
+    match the replay simulator."""
+    cfg = wm.WebConfig(hot_pct=90, num_hosts=10)
+    seeds = wm.seed_urls(12, cfg)
+    root = str(tmp_path_factory.mktemp("crawl_skew"))
+    job = CrawlJob(
+        spark, root, seeds=seeds, num_shards=2, salts=4, index=False, cfg=cfg
+    )
+    metrics = job.run(3)
+    sim = ReplaySimulator(seeds, cfg)
+    sim_metrics = sim.run(3)
+    assert job.fetched_urls_by_step() == sim.fetched_by_step
+    assert job.seen_urls() == sim.seen
+    for m, s in zip(metrics, sim_metrics):
+        assert m["fetched"] == s["fetched"]
+    # the hot host never exceeds its per-step budget
+    budget0 = wm.host_budget(wm.host_name(0), cfg)
+    docs = job.io.read(spark, "docs").collect()
+    per_step_host0: dict[int, int] = {}
+    for r in docs:
+        if wm.url_host(r["doc_id"]) == wm.host_name(0):
+            per_step_host0[r["fetch_step"]] = (
+                per_step_host0.get(r["fetch_step"], 0) + 1
+            )
+    assert per_step_host0 and all(
+        v <= budget0 for v in per_step_host0.values()
+    )

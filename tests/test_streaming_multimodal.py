@@ -117,3 +117,45 @@ def test_thumbnail_and_frame_sample(media):
         got = frames.groupBy("doc_id").count().count()
         assert got == vids
         assert frames.filter(F.col("ts_ms") % 1000 != 0).count() == 0
+
+
+def test_stateful_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState URL-seen: dedup must hold WITHIN and ACROSS
+    micro-batches (state-store backed)."""
+    from spider_engine_spark.streaming.stateful import stateful_seen_dedup
+
+    src = str(tmp_path / "urls")
+    ckpt = str(tmp_path / "ckpt2")
+    spark.createDataFrame(
+        [("http://a/1",), ("http://a/2",), ("http://a/1",)], "url string"
+    ).write.mode("append").parquet(src)
+
+    collected: list[str] = []
+
+    def run_batch():
+        stream = spark.readStream.schema("url string").parquet(src)
+        out = stateful_seen_dedup(stream, n_shards=2)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: collected.extend(
+                    r["url"] for r in df.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    assert set(collected) == {"http://a/1", "http://a/2"}  # in-batch dup dropped
+    assert len(collected) == 2
+
+    # batch 2: one repeat (cross-batch dup) + one new
+    spark.createDataFrame(
+        [("http://a/2",), ("http://b/9",)], "url string"
+    ).write.mode("append").parquet(src)
+    run_batch()
+    assert set(collected) == {"http://a/1", "http://a/2", "http://b/9"}
+    assert len(collected) == 3  # the cross-batch duplicate was dropped
