@@ -10,7 +10,13 @@ oracle_sql() — matching DuckDB SQL per query (omitted for ops that are
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the package lives next to this file; make the import robust to the
+# driver's working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -97,3 +97,72 @@ def ann_topk_lsh(
         .orderBy(F.desc("cosine"), F.asc(key))
         .limit(k)
     )
+
+
+def ivf_assign(
+    df: DataFrame, key: str, vec: str, centroids: list[list[float]]
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid
+    (the inverted-file 'list'). Centroids are fixed/deterministic (at
+    scale: a k-means sample pass); assignment is a JVM-native argmin over
+    k dot-product folds — one narrow column added, table partitioned by
+    `ivf_list` at rest."""
+    # materialize per-centroid sims as NAMED columns first: a chained
+    # when(...) over raw expressions copies the whole prior tree per
+    # centroid (O(3^k) analysis blowup); over named refs it stays linear
+    sims = df.select(
+        "*",
+        *[
+            cosine_col(
+                F.col(vec), F.array(*[F.lit(float(x)) for x in c])
+            ).alias(f"_sim{i}")
+            for i, c in enumerate(centroids)
+        ],
+    )
+    best = F.greatest(*[F.col(f"_sim{i}") for i in range(len(centroids))])
+    assign = F.lit(-1)
+    for i in reversed(range(len(centroids))):
+        assign = F.when(F.col(f"_sim{i}") == best, F.lit(i)).otherwise(assign)
+    return sims.withColumn("ivf_list", assign).drop(
+        *[f"_sim{i}" for i in range(len(centroids))]
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    key: str,
+    vec: str,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF probe: rank centroids by similarity to the query, scan only the
+    n_probe nearest inverted lists, exact cosine within them."""
+    q = np.asarray(query, dtype=np.float64)
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(np.dot(a, b) / (na * nb)) if na and nb else -1.0
+
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: -cos(q, np.asarray(centroids[i], dtype=np.float64)),
+    )
+    probe = order[:n_probe]
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        assigned.filter(F.col("ivf_list").isin(probe))
+        .select(F.col(key), cosine_col(F.col(vec), qcol).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(key))
+        .limit(k)
+    )
+
+
+def sample_centroids(
+    df: DataFrame, vec: str, n: int, key: str
+) -> list[list[float]]:
+    """Deterministic centroid seed: the first n vectors by key order (a
+    stand-in for a k-means pass; deterministic for reproducible plans)."""
+    rows = df.orderBy(key).limit(n).select(vec).collect()
+    return [list(r[0]) for r in rows]

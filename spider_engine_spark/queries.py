@@ -1029,3 +1029,24 @@ def range_join_value_buckets(spark, sf_dir):
         .groupBy(F.col("lo").alias("bucket_lo"))
         .agg(F.count("event_id").alias("n_events"))
     )
+
+
+@query("ann_ivf")  # approximate by construction -> rows-only; pytest
+def ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN top-10 for vec_id=0: nearest-centroid inverted
+    lists, n_probe=3 — the second scale path beside sign-LSH."""
+    from spider_engine_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        sample_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    cents = sample_centroids(emb, "embedding", 16, "vec_id")
+    assigned = ivf_assign(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", cents
+    )
+    return ivf_topk(
+        assigned, "vec_id", "embedding", qvec, cents, k=10, n_probe=3
+    ).select("vec_id", F.round("cosine", 3).alias("cosine_r3"))

@@ -129,3 +129,26 @@ def test_ann_lsh_recall(vectors):
     assert brute_ids[0] in ann_ids
     assert ann[0]["vec_id"] == brute_ids[0]
     assert len(ann_ids & set(brute_ids)) >= 2
+
+
+def test_ivf_ann(vectors):
+    from spider_engine_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        sample_centroids,
+    )
+
+    df, base = vectors
+    cents = sample_centroids(df, "embedding", 6, "vec_id")
+    assigned = ivf_assign(df.filter("vec_id <> 0"), "vec_id", "embedding", cents)
+    # every vector lands in exactly one list
+    assert assigned.filter("ivf_list < 0").count() == 0
+    q = [float(x) for x in base[0]]
+    got = ivf_topk(assigned, "vec_id", "embedding", q, cents, k=5, n_probe=3)
+    rows = got.collect()
+    brute = brute_force_topk(
+        df.filter("vec_id <> 0"), "vec_id", "embedding", q, k=5
+    ).collect()
+    # the planted near-copy is in a probed list and ranks first
+    assert rows[0]["vec_id"] == brute[0]["vec_id"] == 1
+    assert len({r["vec_id"] for r in rows} & {r["vec_id"] for r in brute}) >= 2
