@@ -7,7 +7,9 @@ Superstep dataflow (north_rule; all state through snapshot-commit TableIO):
      docs  ──explode media spans──> raw outlinks
      links ──canonicalize+enrich (Arrow UDF)──> candidates
      candidates ──robots filter──> allowed
-     allowed ──xxhash64 shard──> cuckoo probe ──> definitely-new / maybe
+     allowed ──xxhash64 shard──> cuckoo probe (minimal-traffic: only
+              (shard,hash) crosses the Arrow boundary; the tiny
+              maybe-set joins back, AQE broadcasts it)
      maybe  ──exact anti-join vs seen──> truly-new (FP audit metric)
      admitted = definitely-new ∪ truly-new  ──> frontier', seen', filter'
      docs   ──tokenize text spans (pandas UDF, T4)──> postings append
@@ -422,19 +424,26 @@ class CrawlJob:
                 F.first("budget").alias("budget"),
             )
         )
-        cand = seenset.with_shard(cand, "url", self.num_shards)
+        cand = seenset.with_shard(cand, "url", self.num_shards).localCheckpoint(
+            eager=False
+        )
+        self._retired_current.append(cand)
 
         state = self._get("filter")
-        probed = seenset.probe(cand, state).cache()
-        # one action for candidate/maybe counts
-        row = probed.agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("maybe_seen").cast("int")).alias("m"),
-        ).collect()[0]
-        n_cand, n_maybe = int(row["n"]), int(row["m"] or 0)
+        # minimal-traffic probe: only (shard, hash) crosses into Python;
+        # the maybe-set is tiny (true dups + cuckoo FPs) and AQE
+        # broadcasts it in the splits below
+        maybe_hashes = seenset.probe_hashes(
+            cand.select("shard", "hash"), state
+        ).localCheckpoint(eager=False)
+        self._retired_current.append(maybe_hashes)
+        n_cand = cand.count()
+        n_maybe = maybe_hashes.count()
         mark("probe")
-        definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        definitely_new = cand.join(
+            maybe_hashes, ["shard", "hash"], "left_anti"
+        )
+        maybe = cand.join(maybe_hashes, ["shard", "hash"], "left_semi")
         seen = self._get("seen")
         truly_new = maybe.join(seen.select("url"), "url", "left_anti")
         admitted = definitely_new.unionByName(truly_new).withColumn(
@@ -541,7 +550,6 @@ class CrawlJob:
         metrics["duration_sec"] = time.monotonic() - t0
         batch.unpersist()
         enriched.unpersist()
-        probed.unpersist()
         # retire superseded cached state lazily (one step late, so any
         # still-running lazy consumers read from cache, not recompute)
         self._retired.append(self._retired_current)

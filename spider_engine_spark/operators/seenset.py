@@ -123,3 +123,28 @@ def insert(
         .cogroup(state.groupBy("shard"))
         .applyInPandas(fn, STATE_SCHEMA)
     )
+
+
+def probe_hashes(keys: DataFrame, state: DataFrame) -> DataFrame:
+    """Minimal-traffic probe: keys(shard, hash) -> maybe-seen (shard, hash).
+
+    Only 16 bytes/candidate cross the Arrow boundary (the full-row
+    `probe` round-trips every candidate column; at millions of
+    candidates that dominates the stage). The caller splits candidates
+    with a join against the (tiny) maybe-set — AQE broadcasts it."""
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"shard": [], "hash": []}).astype(
+                {"shard": "int32", "hash": "int64"}
+            )
+        filt = CuckooFilter.from_bytes(bytes(right["data"].iloc[0]))
+        hits = filt.contains(left["hash"].to_numpy().astype("uint64"))
+        out = left.loc[hits, ["shard", "hash"]]
+        return out
+
+    return (
+        keys.groupBy("shard")
+        .cogroup(state.groupBy("shard"))
+        .applyInPandas(fn, "shard int, hash long")
+    )

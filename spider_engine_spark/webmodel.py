@@ -111,7 +111,7 @@ def canonicalize(url: str) -> str:
     u = url.strip()
     frag = u.find("#")
     if frag >= 0:
-        u = u[:frag]
+        u = u[:frag].strip()  # whitespace can be exposed by the cut
     if "://" in u:
         scheme, rest = u.split("://", 1)
     else:
