@@ -508,6 +508,10 @@ class CrawlJob:
             mark("seen_write")
             new_state = seenset.insert(admitted, state, self.capacity)
             self.io.write("filter", new_state, meta={"step": step + 1})
+            if (step + 1) % self.compact_every == 0:
+                # rewrite the seen append chain (read amplification control,
+                # the partition-merge analogue: table.go:874-971)
+                self.io.compact(spark, "seen", meta={"step": step + 1})
             mark("filter_write")
         else:
             self._put("frontier", new_frontier)

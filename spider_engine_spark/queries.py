@@ -1050,3 +1050,91 @@ def ann_ivf(spark, sf_dir):
     return ivf_topk(
         assigned, "vec_id", "embedding", qvec, cents, k=10, n_probe=3
     ).select("vec_id", F.round("cosine", 3).alias("cosine_r3"))
+
+
+# ---------------------------------------------------------------------------
+# Filter-semantics parity queries (the reference's quirky predicate set)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filters_all_ops",
+    """
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE n_chars >= 150            -- reference '>' evaluates >=
+      AND n_chars <= 450            -- reference '<' evaluates <=
+      AND n_chars <> 200
+      AND lang IN ('en', 'fr', 'de')
+      AND source NOT IN ('src0', 'src1')
+      AND starts_with(source, 'src')
+      AND contains(text, 'spark')
+    """,
+)
+def filters_all_ops(spark, sf_dir):
+    """Q5 predicate set over the forward index: numeric >=/<=//!=/in plus
+    string not-in/prefix/contain, AND-folded exactly as
+    forwardindex.go:564-644 evaluates them."""
+    from spider_engine_spark.operators.search import (
+        SearchFilter,
+        and_filters,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cond = and_filters(
+        docs,
+        [
+            SearchFilter("n_chars", ">", value=150),
+            SearchFilter("n_chars", "<", value=450),
+            SearchFilter("n_chars", "!=", value=200),
+            SearchFilter("lang", "in", values=["en", "fr", "de"]),
+            SearchFilter("source", "not in", values=["src0", "src1"]),
+            SearchFilter("source", "prefix", value="src"),
+            SearchFilter("text", "contain", value="spark"),
+        ],
+        numeric_fields={"n_chars"},
+    )
+    return docs.filter(cond).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "filter_sentinel_semantics",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN {(1 << 63) - 1} ELSE n_chars END AS v
+      FROM documents
+    )
+    SELECT
+      (SELECT count(*) FROM t
+        WHERE (v & {(1 << 63) - 1}) <> {(1 << 63) - 1} AND v >= 0)
+        AS n_match_ge,
+      (SELECT count(*) FROM t
+        WHERE v IS NOT NULL AND NOT (
+          (v & {(1 << 63) - 1}) <> {(1 << 63) - 1} AND v IN (99999)))
+        AS n_pass_not_in
+    """,
+)
+def filter_sentinel_semantics(spark, sf_dir):
+    """The MaxInt64 sentinel rules (forwardindex.go:580-607): sentinel
+    rows are excluded from every numeric match EXCEPT 'not in', where the
+    in-loop guard lets them pass. Every 7th doc gets the sentinel; the
+    counts expose both semantics."""
+    from spider_engine_spark.operators.search import (
+        MAX_INT64,
+        SearchFilter,
+        filter_condition,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "v",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(MAX_INT64)).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    ge = docs.filter(filter_condition(SearchFilter("v", ">", value=0), True))
+    ni = docs.filter(
+        filter_condition(SearchFilter("v", "not in", values=[99999]), True)
+    )
+    return ge.agg(F.count(F.lit(1)).alias("n_match_ge")).crossJoin(
+        ni.agg(F.count(F.lit(1)).alias("n_pass_not_in"))
+    )

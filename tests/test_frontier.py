@@ -129,7 +129,9 @@ def test_resume_from_checkpoint(spark, tmp_path_factory):
     job_b1 = CrawlJob(spark, root_b, seeds=seeds, num_shards=2, salts=2, index=False)
     job_b1.run(2)
     del job_b1
-    job_b2 = CrawlJob(spark, root_b, num_shards=2, salts=2, index=False)  # resume
+    job_b2 = CrawlJob(
+        spark, root_b, num_shards=2, salts=2, index=False, compact_every=2
+    )  # resume (+ seen compaction fires at step boundaries)
     assert job_b2.step_no == 2
     job_b2.run(1)
 
