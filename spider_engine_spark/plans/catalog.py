@@ -47,9 +47,14 @@ from spider_engine_spark.operators.search import (
 )
 from spider_engine_spark.sources.tableio import TableIO
 
-FIELD_TYPES = {"primary", "whole", "words", "number", "time", "pure"}
+FIELD_TYPES = {
+    "primary", "whole", "words", "number", "time", "pure",
+    # the reference's internal string index types (common.go:15-16):
+    "list",  # IDX_TYPE_STR_LIST: split on ';'
+    "word",  # IDX_TYPE_STR_WORD: per-rune
+}
 AUTO_PK = "_auto_pk"  # reference DEFAULT_PRIMARY_FIELD_NAME '#Def%Pri$Key@'
-SPLITTER_OF = {"whole": "whole", "words": "words"}
+SPLITTER_OF = {"whole": "whole", "words": "words", "list": "semicolon", "word": "rune"}
 
 
 def _typed_column(ftype: str, c: F.Column) -> F.Column:
@@ -257,6 +262,21 @@ class Table:
             d.pop(AUTO_PK, None)  # hidden auto PK (table.go:1058-1062)
         return d
 
+    def check_filters(self, filters: list[SearchFilter]) -> None:
+        """Validate filters vs field types (table.go:1075-1114)."""
+        numeric = {
+            f for f, t in self.fields.items() if t in ("number", "time")
+        }
+        for f in filters:
+            if f.field not in self.fields or f.field in self.hidden:
+                raise ValueError(f"field {f.field!r} not exist")
+            if f.op in (">", "<", "between") and f.field not in numeric:
+                raise ValueError(f"{f.field} should be number or time")
+            if f.op in ("prefix", "suffix", "contain") and f.field in numeric:
+                raise ValueError(f"{f.field} should be string")
+            if f.op in ("in", "not in") and not f.values:
+                raise ValueError(f"{f.field} needs a non-empty value list")
+
     def search(
         self,
         keyword: str,
@@ -265,6 +285,7 @@ class Table:
         offset: int = 0,
         size: int = 0,
     ) -> DataFrame:
+        self.check_filters(list(filters or []))
         numeric = {
             f for f, t in self.fields.items() if t in ("number", "time")
         }

@@ -172,3 +172,44 @@ def test_drop_table(cat):
     cat.drop_table("db1", "tmp")
     with pytest.raises(FileNotFoundError):
         cat.table("db1", "tmp")
+
+
+def test_list_and_word_field_types(cat):
+    """Internal index types: 'list' (semicolon, IDX_TYPE_STR_LIST) and
+    'word' (per-rune, IDX_TYPE_STR_WORD), common.go:15-16."""
+    t = cat.create_table(
+        "db1", "tags", {"k": "primary", "tags": "list", "cjk": "word"}
+    )
+    t.add_docs(
+        [
+            {"k": "1", "tags": "a;c", "cjk": "北京"},
+            {"k": "2", "tags": "c;f", "cjk": "南京"},
+            {"k": "3", "tags": "b;d", "cjk": "东京"},
+        ]
+    )
+    assert sorted(
+        r["k"] for r in t.search("c", field="tags").collect()
+    ) == ["1", "2"]
+    assert sorted(
+        r["k"] for r in t.search("京", field="cjk").collect()
+    ) == ["1", "2", "3"]
+    assert [r["k"] for r in t.search("北", field="cjk").collect()] == ["1"]
+
+
+def test_filter_type_validation(user_table):
+    """checkFilters parity (table.go:1075-1114)."""
+    with pytest.raises(ValueError, match="should be number or time"):
+        user_table.search(
+            "美", field="user_desc",
+            filters=[SearchFilter("user_name", ">", value=1)],
+        )
+    with pytest.raises(ValueError, match="should be string"):
+        user_table.search(
+            "美", field="user_desc",
+            filters=[SearchFilter("user_age", "prefix", value="2")],
+        )
+    with pytest.raises(ValueError, match="not exist"):
+        user_table.search(
+            "美", field="user_desc",
+            filters=[SearchFilter("nope", "=", value=1)],
+        )
