@@ -85,6 +85,57 @@ def main() -> None:
     index_docs_per_sec = round(n_docs / index_sec, 1)
     log(f"index build: {n_docs} docs in {index_sec:.2f}s")
 
+    # reference-scale corpus import (S1): the reference's only scale
+    # anchors are 54k/89k-doc weibo imports (TODO:4-8); same shape here,
+    # through the full catalog write path (typing, PK checks, docId
+    # assignment, postings build, snapshot commit)
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from spider_engine_spark.plans.catalog import Catalog
+
+    ingest_root = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        cat = Catalog(spark, ingest_root)
+        cat.create_database("bench")
+        t = cat.create_table(
+            "bench",
+            "weibo",
+            {
+                "key": "primary",
+                "weibo_content": "words",
+                "user_name": "whole",
+                "date": "time",
+                "read_cnt": "number",
+            },
+        )
+        n_rows = 89_000
+        words = F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("w"), F.pmod(F.xxhash64("id", F.lit(i)), F.lit(20000)))
+                for i in range(20)
+            ],
+        )
+        corpus = spark.range(n_rows).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key"),
+            words.alias("weibo_content"),
+            F.concat(F.lit("user"), F.pmod(F.col("id"), F.lit(5000))).alias(
+                "user_name"
+            ),
+            F.lit("2024-01-01 00:00:00").alias("date"),
+            (F.col("id") % 100000).alias("read_cnt"),
+        )
+        t0 = time.monotonic()
+        accepted, burned = t.add_docs_df(corpus)
+        ingest_sec = time.monotonic() - t0
+        timings["catalog_ingest_89k"] = round(ingest_sec, 3)
+        ingest_docs_per_sec = round(accepted / ingest_sec, 1)
+        log(f"catalog ingest: {accepted} docs in {ingest_sec:.2f}s")
+    finally:
+        shutil.rmtree(ingest_root, ignore_errors=True)
+
     # frontier crawl probe: 2 supersteps on a bench-scale web
     crawl_root = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
@@ -122,6 +173,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_dir,
                 "index_docs_per_sec": index_docs_per_sec,
+                "catalog_ingest_docs_per_sec": ingest_docs_per_sec,
                 "crawl_urls_per_sec": crawl_urls_per_sec,
             }
         )

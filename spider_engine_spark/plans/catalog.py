@@ -160,21 +160,31 @@ class Table:
 
     # -- S1 add docs ------------------------------------------------------
     def add_docs(self, rows: list[dict]) -> tuple[int, int]:
-        """Batch insert (the reference's serialized per-doc AddDoc, C1,
-        becomes one atomic batch commit). Returns (accepted, burned).
-
-        - duplicate PKs (within batch or vs table) are rejected;
-        - rows with untypeable number/time values still consume a docId
-          and are tombstoned (M3 burned-docId consistency).
-        """
-        spark = self.spark
-        raw = spark.createDataFrame(
+        """Batch insert of driver-side rows (the REST AddDoc analogue)."""
+        raw = self.spark.createDataFrame(
             [
                 tuple(str(r[f]) if r.get(f) is not None else None for f in self.fields)
                 for r in rows
             ],
             ", ".join(f"`{f}` string" for f in self.fields),
         )
+        return self.add_docs_df(raw)
+
+    def add_docs_df(self, raw: DataFrame) -> tuple[int, int]:
+        """Distributed batch insert: one atomic commit per batch (the
+        reference's serialized per-doc AddDoc + flush, C1/S1, as a
+        DataFrame pipeline). Returns (accepted, burned).
+
+        - missing columns are treated as missing values;
+        - duplicate PKs (within batch or vs table) are rejected;
+        - rows with untypeable number/time values still consume a docId
+          and are tombstoned (M3 burned-docId consistency).
+        """
+        for f in self.fields:
+            if f not in raw.columns and f != AUTO_PK:
+                raw = raw.withColumn(f, F.lit(None).cast("string"))
+            elif f in raw.columns:
+                raw = raw.withColumn(f, F.col(f).cast("string"))
         if self.pk == AUTO_PK:
             raw = raw.withColumn(AUTO_PK, F.expr("uuid()"))
         # duplicate-PK rejection (table.go:451-454): vs table and in-batch

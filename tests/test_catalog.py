@@ -213,3 +213,27 @@ def test_filter_type_validation(user_table):
             "美", field="user_desc",
             filters=[SearchFilter("nope", "=", value=1)],
         )
+
+
+def test_add_docs_df_distributed_ingest(cat, spark):
+    """Distributed ingest path: DataFrame in, same semantics (the
+    reference-scale corpus-import path, TODO:4-8)."""
+    from pyspark.sql import functions as F
+
+    t = cat.create_table(
+        "db1", "bulk", {"k": "primary", "n": "number", "body": "words"}
+    )
+    df = spark.range(1000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        F.col("id").alias("n"),
+        F.concat(F.lit("term"), (F.col("id") % 7)).alias("body"),
+    )
+    accepted, burned = t.add_docs_df(df)
+    assert (accepted, burned) == (1000, 0)
+    assert t.status()["real_doc_num"] == 1000
+    got = t.search("term3", field="body").count()
+    # clamp to top-100 page (reference default)
+    assert got == 100
+    from spider_engine_spark.operators.postings import query_term
+
+    assert query_term(t.postings(), "body", "term3").count() == 143
