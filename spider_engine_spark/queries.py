@@ -400,7 +400,7 @@ def window_topn_orders(spark, sf_dir):
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        o.withColumn("rk", F.row_number().over(w))
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
     )
@@ -474,9 +474,10 @@ def events_running_sum(spark, sf_dir):
       FROM events
     ), sessions AS (
       SELECT user_id, ts,
-        SUM(new_session) OVER (
+        CAST(SUM(new_session) OVER (
           PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -607,7 +608,8 @@ def dedup_simhash(spark, sf_dir):
         list_cosine_similarity(a.embedding, b.embedding) AS c
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     )
-    SELECT a, b, row_number() OVER (ORDER BY c DESC, a ASC, b ASC) AS rank
+    SELECT a, b,
+      row_number() OVER (ORDER BY c DESC, a ASC, b ASC) AS rank
     FROM p ORDER BY c DESC, a ASC, b ASC LIMIT 10
     """,
 )
@@ -630,7 +632,7 @@ def embedding_topk_pairs(spark, sf_dir):
     )
     w = Window.orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 10)
         .select("a", "b", "rank")
     )
@@ -660,9 +662,9 @@ def knn_brute(spark, sf_dir):
         list(qvec), k=10,
     )
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "vec_id", "rank"
-    )
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("vec_id", "rank")
 
 
 @query("ann_lsh")  # approximate by construction -> rows-only; pytest
@@ -712,7 +714,7 @@ def text_quality(spark, sf_dir):
     c = F.col("text")
     return docs.filter(ta.token_count(c) > 0).select(
         "doc_id",
-        ta.token_count(c).alias("n_tokens"),
+        ta.token_count(c).cast("long").alias("n_tokens"),
         ta.avg_token_len(c).alias("avg_token_len"),
         ta.distinct_ratio(c).alias("distinct_ratio"),
         ta.stopword_ratio(c, "en").alias("stopword_ratio"),
@@ -1007,7 +1009,7 @@ def value_percentiles(spark, sf_dir):
     "range_join_value_buckets",
     """
     WITH buckets AS (
-      SELECT i * 5.0 AS lo, (i + 1) * 5.0 AS hi
+      SELECT (i * 5.0)::DOUBLE AS lo, ((i + 1) * 5.0)::DOUBLE AS hi
       FROM range(0, 20) t(i)
     )
     SELECT b.lo AS bucket_lo, count(e.event_id) AS n_events

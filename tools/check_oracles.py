@@ -23,6 +23,25 @@ TABLES = [
 ]
 
 
+DUCK2CANON = {
+    "BIGINT": "long", "INTEGER": "int", "SMALLINT": "short",
+    "TINYINT": "byte", "DOUBLE": "double", "FLOAT": "float",
+    "VARCHAR": "string", "BOOLEAN": "boolean", "DATE": "date",
+    "TIMESTAMP": "timestamp", "HUGEINT": "decimal(38,0)",
+}
+
+
+def canon_duck(t: str) -> str:
+    t = t.upper()
+    if t.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    return DUCK2CANON.get(t, t.lower())
+
+
+def canon_spark(t: str) -> str:
+    return {"bigint": "long", "integer": "int"}.get(t, t)
+
+
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -82,6 +101,19 @@ def main():
         if sc != oc:
             failures.append(name)
             print(f"FAIL {name}: columns spark={sc} duck={oc}")
+            continue
+        # dtype comparison (the driver checks schema, not just names)
+        stypes = {f.name: canon_spark(f.dataType.simpleString()) for f in sdf.schema.fields}
+        cur2 = con.execute(f"DESCRIBE SELECT * FROM ({sql})")
+        otypes = {r[0]: canon_duck(r[1]) for r in cur2.fetchall()}
+        mism = {
+            c: (stypes.get(c), otypes.get(c))
+            for c in stypes
+            if stypes.get(c) != otypes.get(c)
+        }
+        if mism:
+            failures.append(name)
+            print(f"FAIL {name}: dtype mismatches {mism}")
             continue
         if len(sn) != len(on):
             failures.append(name)
