@@ -237,3 +237,33 @@ def test_add_docs_df_distributed_ingest(cat, spark):
     from spider_engine_spark.operators.postings import query_term
 
     assert query_term(t.postings(), "body", "term3").count() == 143
+
+
+def test_json_ingest_with_float_truncation(cat, spark, tmp_path):
+    """The reference ingests JSON docs; JSON numbers arrive as float64 and
+    are truncated back to int (forwardindex.go:126-130). Same pipeline:
+    spark.read.json -> add_docs_df."""
+    import json as _json
+
+    p = tmp_path / "docs.jsonl"
+    rows = [
+        {"k": "j1", "score": 41.9, "body": "json ingest path"},
+        {"k": "j2", "score": 7, "body": "second json row"},
+        {"k": "j3", "body": "missing score field"},
+    ]
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+    t = cat.create_table(
+        "db1", "jsonl", {"k": "primary", "score": "number", "body": "words"}
+    )
+    df = spark.read.json(str(p))
+    accepted, burned = t.add_docs_df(df)
+    # j3 lacks the number field: sentinel-padded AND burned — exactly the
+    # reference's consistency case (missing user_age burns the docId,
+    # table_test.go:437-624)
+    assert (accepted, burned) == (2, 1)
+    assert t.get_doc("j1")["score"] == 41  # float64 -> int truncation
+    assert t.get_doc("j2")["score"] == 7
+    assert t.get_doc("j3") is None  # burned -> tombstoned
+    assert sorted(
+        r["k"] for r in t.search("json", field="body").collect()
+    ) == ["j1", "j2"]
