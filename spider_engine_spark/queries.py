@@ -1140,3 +1140,56 @@ def filter_sentinel_semantics(spark, sf_dir):
     return ge.agg(F.count(F.lit(1)).alias("n_match_ge")).crossJoin(
         ni.agg(F.count(F.lit(1)).alias("n_pass_not_in"))
     )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                 for i in range(1, len(toks)-1)])
+        END AS sh
+      FROM t
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+      len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram-Jaccard near-dup pairs: candidates from a shared-
+    shingle equi-join (complete by construction: jaccard>0 implies >=1
+    common shingle), verified exactly. The non-probabilistic sibling of
+    dedup_minhash_lsh — same oracle, candidate generation differs."""
+    from spider_engine_spark.operators.dedup import (
+        jaccard_verify,
+        shingles_col,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col("text", 3)).alias("shingle")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    return jaccard_verify(pairs, docs, "doc_id", "text", n=3).filter(
+        F.col("jaccard") >= 0.8
+    )

@@ -159,3 +159,54 @@ def test_stateful_seen_dedup(spark, tmp_path):
     run_batch()
     assert set(collected) == {"http://a/1", "http://a/2", "http://b/9"}
     assert len(collected) == 3  # the cross-batch duplicate was dropped
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time semantics end-to-end: a row arriving in a later
+    micro-batch with event time older than the watermark horizon is
+    dropped from the append-mode windowed aggregation."""
+    from spider_engine_spark.streaming.ingest import windowed_event_counts
+
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ev_ckpt")
+    collected = []
+
+    def mk(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts_s string, event_type string, value double"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop(
+            "ts_s"
+        ).write.mode("append").parquet(src)
+
+    def run_batch():
+        stream = spark.readStream.schema(
+            "event_id long, event_type string, value double, ts timestamp"
+        ).parquet(src)
+        out = windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: collected.extend(
+                    (r["window_start"], r["event_type"], r["n_events"])
+                    for r in df.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: events up to 12:00 -> watermark advances to ~11:00
+    mk([(1, "2024-01-01 09:10:00", "click", 1.0),
+        (2, "2024-01-01 12:00:00", "click", 1.0)])
+    run_batch()
+    # batch 2: one VERY late event (08:30, behind the 11:00 watermark —
+    # must be dropped) and one fresh event closing the 12:00 window
+    mk([(3, "2024-01-01 08:30:00", "click", 1.0),
+        (4, "2024-01-01 14:00:00", "click", 1.0)])
+    run_batch()
+    counts = {(str(w), t): n for (w, t, n) in collected}
+    # the 09:00 window was emitted with ONLY event 1 (late row dropped)
+    assert counts.get(("2024-01-01 09:00:00", "click")) == 1
+    assert ("2024-01-01 08:00:00", "click") not in counts
