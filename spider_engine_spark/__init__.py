@@ -22,3 +22,35 @@ Everything is built on public PySpark APIs only.
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "Catalog",
+    "CrawlJob",
+    "ReplaySimulator",
+    "TableIO",
+    "get_spark",
+]
+
+
+def __getattr__(name):  # lazy: keep `import spider_engine_spark` light
+    if name == "Catalog":
+        from spider_engine_spark.plans.catalog import Catalog
+
+        return Catalog
+    if name == "CrawlJob":
+        from spider_engine_spark.operators.frontier import CrawlJob
+
+        return CrawlJob
+    if name == "ReplaySimulator":
+        from spider_engine_spark.simulator import ReplaySimulator
+
+        return ReplaySimulator
+    if name == "TableIO":
+        from spider_engine_spark.sources.tableio import TableIO
+
+        return TableIO
+    if name == "get_spark":
+        from spider_engine_spark.session import get_spark
+
+        return get_spark
+    raise AttributeError(name)
