@@ -329,11 +329,13 @@ class CrawlJob:
             frontier,
             meta={"step": 0, "metrics": {}, "web_config": self.cfg.__dict__},
         )
-        self.io.write("seen", cand.select("url", "hash", "shard"))
+        self.io.write(
+            "seen", cand.select("url", "hash", "shard"), meta={"step": 0}
+        )
         state = seenset.insert(
             cand, seenset.empty_state(self.spark), self.capacity
         )
-        self.io.write("filter", state)
+        self.io.write("filter", state, meta={"step": 0})
         self.step_no = 0
 
     # -- one superstep ------------------------------------------------
@@ -349,6 +351,17 @@ class CrawlJob:
 
         spark = self.spark
         step = self.step_no
+        if self.checkpoint_every == 1:
+            # crash recovery: the frontier commit is the superstep's commit
+            # point (written last); any table already carrying step+1 meta
+            # is an orphan append from a crashed attempt — snapshot-revert
+            # it before re-running the step idempotently
+            for tbl in ("docs", "seen", "filter", "postings", "admitted"):
+                if self.io.exists(tbl):
+                    if int(self.io.meta(tbl).get("step", 0)) > step:
+                        v = self.io.latest_version_at_step(tbl, step)
+                        if v is not None:
+                            self.io.revert(tbl, v)
         frontier = self._get("frontier")
 
         batch = select_fetch_batch(frontier, self.salts).cache()
@@ -499,8 +512,6 @@ class CrawlJob:
         ).repartition(self.num_shards, "host")
 
         if self.checkpoint_every == 1:
-            self.io.write("frontier", new_frontier, meta=self._frontier_meta)
-            mark("frontier_write")
             self.io.write(
                 "seen", admitted.select("url", "hash", "shard"),
                 mode="append", meta={"step": step + 1},
@@ -509,9 +520,13 @@ class CrawlJob:
             new_state = seenset.insert(admitted, state, self.capacity)
             self.io.write("filter", new_state, meta={"step": step + 1})
             if (step + 1) % self.compact_every == 0:
-                # rewrite the seen append chain (read amplification control,
-                # the partition-merge analogue: table.go:874-971)
-                self.io.compact(spark, "seen", meta={"step": step + 1})
+                # rewrite the seen append chain deduped (read amplification
+                # control, the partition-merge analogue: table.go:874-971)
+                self.io.write(
+                    "seen",
+                    self.io.read(spark, "seen").distinct(),
+                    meta={"step": step + 1},
+                )
             mark("filter_write")
         else:
             self._put("frontier", new_frontier)
@@ -544,8 +559,12 @@ class CrawlJob:
                     "postings", step_postings, append=True, checkpoint=False
                 )
                 self._postings_pieces.append(step_postings)
-
         mark("index")
+        if self.checkpoint_every == 1:
+            # COMMIT POINT: the frontier snapshot (carrying the step
+            # counter) goes last; everything before it is revertible
+            self.io.write("frontier", new_frontier, meta=self._frontier_meta)
+            mark("frontier_write")
         self.step_no += 1
         if self.checkpoint_every > 1 and self.step_no % self.checkpoint_every == 0:
             self._checkpoint()

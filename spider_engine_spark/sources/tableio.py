@@ -141,3 +141,30 @@ class TableIO:
         rewrite_data_files)."""
         df = self.read(spark, name)
         return self.write(name, df, mode="overwrite", meta=meta)
+
+    def revert(self, name: str, version: int) -> int:
+        """Snapshot rollback: commit a NEW version pointing at an old
+        version's data dirs (no data rewrite — Iceberg-style rollback).
+        Used by crash recovery to drop orphan appends from a superstep
+        that never reached its commit point."""
+        old = self._entry(name, version)
+        manifest = self._load_manifest(name)
+        vs = manifest["versions"]
+        new_version = vs[-1]["version"] + 1
+        vs.append(
+            {
+                "version": new_version,
+                "dirs": list(old["dirs"]),
+                "schema": old["schema"],
+                "meta": dict(old.get("meta", {})),
+            }
+        )
+        self._commit_manifest(name, manifest)
+        return new_version
+
+    def latest_version_at_step(self, name: str, max_step: int) -> int | None:
+        """Newest version whose meta step <= max_step (missing step = 0)."""
+        for v in reversed(self._load_manifest(name)["versions"]):
+            if int(v.get("meta", {}).get("step", 0)) <= max_step:
+                return v["version"]
+        return None

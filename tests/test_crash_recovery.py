@@ -1,0 +1,79 @@
+"""Crash-injection oracles: a superstep may die between ANY two snapshot
+commits; resume must be exactly-once (the frontier commit is the step's
+commit point; orphan appends are snapshot-reverted on restart)."""
+
+from __future__ import annotations
+
+import pytest
+
+from spider_engine_spark import webmodel as wm
+from spider_engine_spark.operators.frontier import CrawlJob
+from spider_engine_spark.simulator import ReplaySimulator
+
+SEEDS = wm.seed_urls(10)
+
+
+class _CrashAt:
+    """Wraps TableIO.write to raise after n successful writes."""
+
+    def __init__(self, io, n):
+        self.io = io
+        self.left = n
+        self.orig = io.write
+
+    def __enter__(self):
+        def crashing_write(*a, **kw):
+            if self.left == 0:
+                raise RuntimeError("injected crash")
+            self.left -= 1
+            return self.orig(*a, **kw)
+
+        self.io.write = crashing_write
+        return self
+
+    def __exit__(self, *exc):
+        self.io.write = self.orig
+        return False
+
+
+@pytest.mark.parametrize("crash_after", [0, 1, 2, 3, 4, 5])
+def test_resume_after_crash_at_every_commit_boundary(
+    spark, tmp_path_factory, crash_after
+):
+    """Run step 1 normally, crash step 2 after `crash_after` snapshot
+    commits (0 = before docs, ..., past the end = no crash), resume and
+    finish: final state must equal the replay simulator's."""
+    root = str(tmp_path_factory.mktemp(f"crash{crash_after}"))
+    job = CrawlJob(spark, root, seeds=SEEDS, num_shards=2, salts=2)
+    job.run_step()
+
+    crashed = False
+    with _CrashAt(job.io, crash_after):
+        try:
+            job.run_step()
+        except RuntimeError:
+            crashed = True
+    assert crashed, "crash point beyond the step's commit count"
+
+    # resume from the on-disk snapshots with a fresh job
+    job2 = CrawlJob(spark, root, num_shards=2, salts=2)
+    assert job2.step_no == 1  # step 2 never committed
+    job2.run(2)  # re-run step 2 + step 3
+
+    sim = ReplaySimulator(SEEDS)
+    sim.run(3)
+    assert job2.fetched_urls_by_step() == sim.fetched_by_step
+    assert job2.seen_urls() == sim.seen
+    # postings not double-counted by the orphan append
+    postings = job2.postings()
+    row = postings.orderBy("term").collect()[0]
+    n_docs_with_term = sum(
+        1
+        for d in sim.docs.values()
+        if any(
+            row["term"] in s["text"].split()
+            for s in d["spans"]
+            if s["kind"] == "text"
+        )
+    )
+    assert row["df"] == n_docs_with_term
