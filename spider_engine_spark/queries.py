@@ -1193,3 +1193,62 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return jaccard_verify(pairs, docs, "doc_id", "text", n=3).filter(
         F.col("jaccard") >= 0.8
     )
+
+
+@query(
+    "set_ops_docs",
+    """
+    WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    big AS (SELECT doc_id FROM documents WHERE n_chars >= 300)
+    SELECT 'intersect' AS op, count(*) AS n FROM (
+      SELECT doc_id FROM en INTERSECT SELECT doc_id FROM big)
+    UNION ALL
+    SELECT 'except', count(*) FROM (
+      SELECT doc_id FROM en EXCEPT SELECT doc_id FROM big)
+    UNION ALL
+    SELECT 'union', count(*) FROM (
+      SELECT doc_id FROM en UNION SELECT doc_id FROM big)
+    """,
+)
+def set_ops_docs(spark, sf_dir):
+    """Set operators (INTERSECT/EXCEPT/UNION-distinct) — an operator
+    class the reference lacks entirely (SURVEY.md §2.8)."""
+    docs = load(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    big = docs.filter(F.col("n_chars") >= 300).select("doc_id")
+    rows = [
+        en.intersect(big).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("intersect").alias("op"), "n"
+        ),
+        en.exceptAll(big).distinct().agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(F.lit("except").alias("op"), "n"),
+        en.union(big).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("union").alias("op"), "n"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@query(
+    "pivot_event_types",
+    """
+    SELECT user_id % 10 AS user_bucket,
+      count(*) FILTER (WHERE event_type = 'click') AS n_click,
+      count(*) FILTER (WHERE event_type = 'view') AS n_view,
+      count(*) FILTER (WHERE event_type = 'error') AS n_error
+    FROM events GROUP BY user_bucket
+    """,
+)
+def pivot_event_types(spark, sf_dir):
+    """Pivot/crosstab by event type (conditional aggregation — the
+    portable form of df.groupBy().pivot())."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+    )
