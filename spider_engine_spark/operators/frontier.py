@@ -79,27 +79,52 @@ DOC_SCHEMA = StructType(
 )
 
 
+def _canonicalize_series(s: pd.Series) -> pd.Series:
+    """Vectorized pandas form of webmodel.canonicalize — bit-identical
+    (the replay-equality tests compare against the scalar version)."""
+    import numpy as np
+
+    u = s.str.strip().str.split("#", n=1).str[0].str.strip()
+    has = u.str.contains("://", regex=False)
+    sp = u.str.split("://", n=1)
+    scheme = pd.Series(
+        np.where(has, sp.str[0].str.lower(), "http"), index=s.index
+    )
+    rest = pd.Series(np.where(has, sp.str[1], u), index=s.index)
+    ext = rest.str.extract(r"^([^/]*)(/.*)?$", expand=True)
+    netloc = ext[0].str.lower().str.replace(r":80$", "", regex=True)
+    path = ext[1].fillna("/")
+    path = path.where(path != "", "/")
+    return scheme + "://" + netloc + path
+
+
 def enrich_candidates(raw: DataFrame, cfg: wm.WebConfig = wm.DEFAULT) -> DataFrame:
     """raw(url_raw, depth) -> canonical candidates with host attributes.
 
-    One Arrow pass: canonicalize, host split, robots check, politeness
-    budget + priority (webmodel is the single source of truth shared with
-    the replay simulator)."""
+    One Arrow pass, fully vectorized: canonicalization is pandas string
+    kernels; the hash-derived host attributes (priority, politeness
+    budget) are computed once per UNIQUE host and dict-mapped back (the
+    host set is tiny next to the candidate set); the robots check is a
+    vectorized prefix test. webmodel stays the single source of truth
+    shared with the replay simulator."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls = pdf["url_raw"].map(wm.canonicalize)
-            hosts = urls.map(wm.url_host)
+            urls = _canonicalize_series(pdf["url_raw"])
+            after_scheme = urls.str.split("://", n=1).str[1]
+            hosts = after_scheme.str.split("/", n=1).str[0]
+            paths = "/" + after_scheme.str.split("/", n=1).str[1]
+            uniq = hosts.drop_duplicates()
+            prio = {h: wm.host_priority(h) for h in uniq}
+            budget = {h: wm.host_budget(h, cfg) for h in uniq}
             yield pd.DataFrame(
                 {
                     "url": urls,
                     "host": hosts,
                     "depth": pdf["depth"],
-                    "priority": hosts.map(wm.host_priority),
-                    "budget": hosts.map(lambda h: wm.host_budget(h, cfg)),
-                    "allowed": urls.map(
-                        lambda u: wm.robots_allowed(wm.url_path(u))
-                    ),
+                    "priority": hosts.map(prio),
+                    "budget": hosts.map(budget),
+                    "allowed": ~paths.str.startswith("/private/"),
                 }
             )
 
@@ -294,12 +319,23 @@ class CrawlJob:
         return cached
 
     def _checkpoint(self) -> None:
-        """Commit all in-memory state as TableIO snapshots."""
-        for name, df in self._mem.items():
+        """Commit all in-memory state as TableIO snapshots.
+
+        The frontier snapshot (the step-counter commit point) is written
+        LAST, mirroring the durable path's frontier-last invariant: a
+        crash mid-checkpoint leaves the frontier at the previous step and
+        run_step's orphan-revert pass rolls the other tables back to it —
+        never a frontier ahead of the seen state."""
+        names = sorted(self._mem, key=lambda n: n == "frontier")
+        for name in names:
             meta = self._frontier_meta if name == "frontier" else {
                 "step": self.step_no
             }
-            self.io.write(name, df, mode="overwrite", meta=meta)
+            part = ["shard"] if name == "seen" else None
+            self.io.write(
+                name, self._mem[name], mode="overwrite", meta=meta,
+                partition_by=part,
+            )
         # re-point memory at the durable snapshots so lineage is cut
         for name in list(self._mem):
             self._mem[name].unpersist()
@@ -330,7 +366,8 @@ class CrawlJob:
             meta={"step": 0, "metrics": {}, "web_config": self.cfg.__dict__},
         )
         self.io.write(
-            "seen", cand.select("url", "hash", "shard"), meta={"step": 0}
+            "seen", cand.select("url", "hash", "shard"), meta={"step": 0},
+            partition_by=["shard"],
         )
         state = seenset.insert(
             cand, seenset.empty_state(self.spark), self.capacity
@@ -351,11 +388,13 @@ class CrawlJob:
 
         spark = self.spark
         step = self.step_no
-        if self.checkpoint_every == 1:
-            # crash recovery: the frontier commit is the superstep's commit
-            # point (written last); any table already carrying step+1 meta
-            # is an orphan append from a crashed attempt — snapshot-revert
-            # it before re-running the step idempotently
+        # crash recovery (both modes): the frontier commit is the commit
+        # point (written last, durable per-step or at checkpoint time);
+        # any table already carrying meta step > the frontier's step is an
+        # orphan write from a crashed attempt — snapshot-revert it before
+        # re-running idempotently. In memory mode durable state only moves
+        # at checkpoints, so this no-ops between them.
+        if not self._mem:
             for tbl in ("docs", "seen", "filter", "postings", "admitted"):
                 if self.io.exists(tbl):
                     if int(self.io.meta(tbl).get("step", 0)) > step:
@@ -457,8 +496,25 @@ class CrawlJob:
             maybe_hashes, ["shard", "hash"], "left_anti"
         )
         maybe = cand.join(maybe_hashes, ["shard", "hash"], "left_semi")
-        seen = self._get("seen")
-        truly_new = maybe.join(seen.select("url"), "url", "left_anti")
+        if n_maybe:
+            # shard-pruned exact check: the seen table is hive-partitioned
+            # by shard at rest, so filtering to the shards the maybe-set
+            # actually touches prunes the scan to those partition dirs —
+            # the probe never reads the whole 10^10-row seen set.
+            touched = [
+                r["shard"]
+                for r in maybe_hashes.select("shard").distinct().collect()
+            ]
+            seen_probe = (
+                self._get("seen")
+                .filter(F.col("shard").isin(touched))
+                .select("shard", "url")
+            )
+            truly_new = maybe.join(
+                seen_probe, ["shard", "url"], "left_anti"
+            )
+        else:
+            truly_new = maybe  # empty by construction
         admitted = definitely_new.unionByName(truly_new).withColumn(
             "discovered_step", F.lit(step + 1)
         )
@@ -515,17 +571,21 @@ class CrawlJob:
             self.io.write(
                 "seen", admitted.select("url", "hash", "shard"),
                 mode="append", meta={"step": step + 1},
+                partition_by=["shard"],
             )
             mark("seen_write")
             new_state = seenset.insert(admitted, state, self.capacity)
             self.io.write("filter", new_state, meta={"step": step + 1})
             if (step + 1) % self.compact_every == 0:
-                # rewrite the seen append chain deduped (read amplification
-                # control, the partition-merge analogue: table.go:874-971)
-                self.io.write(
-                    "seen",
-                    self.io.read(spark, "seen").distinct(),
-                    meta={"step": step + 1},
+                # fold only the undersized seen snapshots (read-
+                # amplification control); admitted sets are disjoint by
+                # construction so a concat merge preserves distinctness,
+                # and large already-compacted dirs are reused untouched
+                # (the reference's pick-undersized-groups planner,
+                # table.go:874-971)
+                self.io.compact_small(
+                    spark, "seen", max_bytes=64 << 20,
+                    meta={"step": step + 1}, partition_by=["shard"],
                 )
             mark("filter_write")
         else:
@@ -544,10 +604,12 @@ class CrawlJob:
                     meta={"step": step + 1},
                 )
                 if (step + 1) % self.compact_every == 0:
-                    self.io.write(
-                        "postings",
-                        merge_postings(self.io.read(spark, "postings")),
+                    # incremental: re-group only the undersized postings
+                    # snapshots; reads re-merge across dirs lazily anyway
+                    self.io.compact_small(
+                        spark, "postings", max_bytes=64 << 20,
                         meta={"step": step + 1, "compacted": True},
+                        transform=merge_postings,
                     )
             else:
                 # materialize this step's postings NOW (cache+count): the

@@ -191,18 +191,27 @@ def with_term_bucket(postings: DataFrame, n: int = TERM_BUCKETS) -> DataFrame:
     )
 
 
-def query_term(postings: DataFrame, field: str, term: str) -> DataFrame:
+def query_term(
+    postings: DataFrame,
+    field: str,
+    term: str,
+    term_buckets: int = TERM_BUCKETS,
+) -> DataFrame:
     """Q1: term probe -> (doc_id, weight) rows.
 
     When the postings table carries the at-rest term_bucket partition
     column the probe filters on it first — Spark prunes the partition
     dirs before any IO (the analogue of the reference's btree get + mmap
     block read, invertedindex.go:154-178).
+
+    term_buckets MUST be the modulus the table was bucketed with
+    (with_term_bucket's n, carried in table meta); a mismatched modulus
+    would silently prune away the true bucket.
     """
     if "term_bucket" in postings.columns:
         postings = postings.filter(
             F.col("term_bucket")
-            == F.pmod(F.xxhash64(F.lit(term)), F.lit(TERM_BUCKETS)).cast("int")
+            == F.pmod(F.xxhash64(F.lit(term)), F.lit(term_buckets)).cast("int")
         )
     return (
         postings.filter((F.col("field") == field) & (F.col("term") == term))

@@ -59,11 +59,33 @@ def _num_ok(c: Column) -> Column:
     return c.bitwiseAND(F.lit(MAX_INT64)) != F.lit(MAX_INT64)
 
 
-def filter_condition(f: SearchFilter, numeric: bool) -> Column:
+def epoch_col(name: str, type_name: str) -> Column:
+    """Numeric view of a date/timestamp column for filter evaluation.
+
+    Spark 4 ANSI mode rejects cast(DATE/TIMESTAMP as long), so temporal
+    fields are converted explicitly: DATE -> days-since-epoch * 86400,
+    TIMESTAMP (incl. NTZ) -> wall-clock epoch seconds built from
+    components (session-timezone-independent)."""
+    c = F.col(name)
+    if type_name == "date":
+        return F.unix_date(c).cast("long") * 86400
+    return (
+        F.unix_date(c.cast("date")).cast("long") * 86400
+        + F.hour(c).cast("long") * 3600
+        + F.minute(c).cast("long") * 60
+        + F.second(c).cast("long")
+    )
+
+
+def filter_condition(
+    f: SearchFilter, numeric: bool, num_col: Column | None = None
+) -> Column:
     """Build one Column predicate with reference semantics
-    (forwardindex.go:564-644)."""
+    (forwardindex.go:564-644). num_col overrides the numeric view of the
+    field (used for date/timestamp columns where cast('long') is illegal
+    under ANSI)."""
     if numeric:
-        c = F.col(f.field).cast("long")
+        c = num_col if num_col is not None else F.col(f.field).cast("long")
         ok = _num_ok(c)
         if f.op == "=":
             return ok & (c == F.lit(f.value))
@@ -104,11 +126,18 @@ def and_filters(
     base: DataFrame,
     filters: Sequence[SearchFilter],
     numeric_fields: set[str],
+    temporal_types: dict[str, str] | None = None,
 ) -> Column | None:
+    temporal_types = temporal_types or {}
     cond = None
     for f in filters:
-        c = filter_condition(f, f.field in numeric_fields)
-        cond = c if cond is None else (cond & c)
+        num_col = (
+            epoch_col(f.field, temporal_types[f.field])
+            if f.field in temporal_types
+            else None
+        )
+        cond_f = filter_condition(f, f.field in numeric_fields, num_col)
+        cond = cond_f if cond is None else (cond & cond_f)
     return cond
 
 
@@ -132,6 +161,7 @@ def search(
     doc_id: str = "doc_id",
     deleted: DataFrame | None = None,
     numeric_fields: set[str] | None = None,
+    term_buckets: int | None = None,
 ) -> DataFrame:
     """Full search: returns the hydrated ranked page with a `score` column.
 
@@ -144,8 +174,17 @@ def search(
         numeric_fields = {
             f.name
             for f in base.schema.fields
-            if f.dataType.typeName() in ("long", "integer", "short", "byte", "timestamp", "date")
+            if f.dataType.typeName()
+            in ("long", "integer", "short", "byte", "timestamp",
+                "timestamp_ntz", "date")
         }
+    # temporal columns need an explicit numeric conversion (ANSI forbids
+    # cast(DATE as long)) — detect them from the schema
+    temporal_types = {
+        f.name: ("date" if f.dataType.typeName() == "date" else "timestamp")
+        for f in base.schema.fields
+        if f.dataType.typeName() in ("date", "timestamp", "timestamp_ntz")
+    }
     if max_doc is None:
         max_doc = base.count()
 
@@ -154,6 +193,8 @@ def search(
             F.col(doc_id).cast("long").alias("doc_id"),
             F.lit(0).alias("weight"),
         )
+    elif term_buckets is not None:
+        cand = query_term(postings, fld, keyword, term_buckets=term_buckets)
     else:
         cand = query_term(postings, fld, keyword)
 
@@ -168,7 +209,7 @@ def search(
     hydrated = cand.join(
         base.withColumn("doc_id", F.col(doc_id).cast("long")), "doc_id"
     )
-    cond = and_filters(hydrated, filters, numeric_fields)
+    cond = and_filters(hydrated, filters, numeric_fields, temporal_types)
     if cond is not None:
         hydrated = hydrated.filter(cond)
 

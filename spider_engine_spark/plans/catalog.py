@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spider_engine_spark.operators.postings import (
+    TERM_BUCKETS,
     build_postings,
     merge_postings,
     with_term_bucket,
@@ -93,6 +94,8 @@ class Table:
             self.pk = meta["pk"]
             self.next_doc_id = meta["next_doc_id"]
             self.hidden = set(meta.get("hidden", []))
+            self.fills = dict(meta.get("fills", {}))
+            self.term_buckets = int(meta.get("term_buckets", TERM_BUCKETS))
         else:
             if fields is None:
                 raise FileNotFoundError(f"table {name} does not exist")
@@ -109,6 +112,10 @@ class Table:
                 self.fields[AUTO_PK] = "primary"
             self.next_doc_id = 0
             self.hidden: set[str] = set()
+            # late-added fields are metadata-only: read-time fill values
+            # (the reference's lazy 'fake field', field.go:57-76)
+            self.fills: dict[str, object] = {}
+            self.term_buckets = TERM_BUCKETS
             self._store_meta()
 
     # -- meta (S3) ------------------------------------------------------
@@ -122,6 +129,8 @@ class Table:
                 "pk": self.pk,
                 "next_doc_id": self.next_doc_id,
                 "hidden": sorted(self.hidden),
+                "fills": self.fills,
+                "term_buckets": self.term_buckets,
             },
         )
 
@@ -149,6 +158,18 @@ class Table:
 
     def base(self, include_deleted: bool = False) -> DataFrame:
         df = self.io.read(self.spark, f"{self.name}__base")
+        # metadata-only schema evolution (S6): fields added after data was
+        # written exist only in `fills` — apply the fill value at read time
+        # instead of ever rewriting the base table (field.go:57-76's lazy
+        # 'fake field'; at 100 TB an ALTER must not touch data files).
+        for f, fill in self.fills.items():
+            ftype = "long" if self.fields.get(f) in ("number", "time") else "string"
+            if f not in df.columns:
+                df = df.withColumn(f, F.lit(fill).cast(ftype))
+            else:  # dirs written before the ALTER read back as null
+                df = df.withColumn(
+                    f, F.coalesce(F.col(f), F.lit(fill).cast(ftype))
+                )
         if not include_deleted and self.io.exists(f"{self.name}__deletes"):
             dels = self.io.read(self.spark, f"{self.name}__deletes")
             df = df.join(F.broadcast(dels), "doc_id", "left_anti")
@@ -206,16 +227,50 @@ class Table:
         )
         # dense docId assignment in PK order (the single-writer arrival
         # order of C1 is not reproducible distributively; PK order is the
-        # documented deterministic substitute)
+        # documented deterministic substitute). Fully parallel: range-
+        # partition on the PK, then id = partition offset + local rank —
+        # a global Window.orderBy(pk) would funnel the whole batch through
+        # ONE task, the ingest path's scale-killer at 100 TB. The global
+        # id equals the PK's global rank regardless of where the range
+        # boundaries fall, so determinism is preserved.
         from pyspark.sql.window import Window
 
-        w = Window.orderBy(self.pk)
-        batch = typed.withColumn(
-            "doc_id", F.row_number().over(w) + F.lit(self.next_doc_id - 1)
-        ).localCheckpoint()
-        n = batch.count()
+        n_parts = max(self.spark.sparkContext.defaultParallelism, 1)
+        ranged = (
+            typed.repartitionByRange(n_parts, F.col(self.pk))
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint()  # pin partition assignment across passes
+        )
+        counts = {
+            r["_pid"]: r["cnt"]
+            for r in ranged.groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        n = sum(counts.values())
         if n == 0:  # fully-rejected batch: nothing to commit (a 0-row
             return 0, 0  # partitioned write would leave a schema-less dir)
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_map = F.create_map(
+            *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+        )
+        w = Window.partitionBy("_pid").orderBy(self.pk)
+        batch = (
+            ranged.withColumn(
+                "doc_id",
+                (
+                    F.row_number().over(w).cast("long")
+                    - 1
+                    + off_map[F.col("_pid")]
+                    + F.lit(self.next_doc_id)
+                ),
+            )
+            .drop("_pid")
+            .localCheckpoint(eager=False)  # reused 4x below
+        )
 
         # burned rows: numeric/time sentinel from an unparseable input
         burn_cond = F.lit(False)
@@ -232,7 +287,8 @@ class Table:
             self.io.write(f"{self.name}__deletes", burned, mode="append")
         live = batch.join(burned, "doc_id", "left_anti")
         postings = with_term_bucket(
-            build_postings(live, "doc_id", self._indexed_fields())
+            build_postings(live, "doc_id", self._indexed_fields()),
+            n=self.term_buckets,
         )
         self.io.write(
             f"{self.name}__postings", postings, mode="append",
@@ -305,7 +361,7 @@ class Table:
             else None
         )
         return search_op(
-            self.io.read(self.spark, f"{self.name}__base"),
+            self.base(include_deleted=True),
             self.postings(),
             keyword=keyword,
             search_field=field,
@@ -315,6 +371,7 @@ class Table:
             max_doc=self.next_doc_id,
             deleted=deleted,
             numeric_fields=numeric,
+            term_buckets=self.term_buckets,
         )
 
     # -- S6 schema evolution ------------------------------------------------
@@ -325,16 +382,14 @@ class Table:
             raise ValueError(f"field {name} exists")
         self.fields[name] = ftype
         self.hidden.discard(name)
-        if self.io.exists(f"{self.name}__base"):
-            # old rows get the missing-value sentinel ('' / MaxInt64) —
-            # the 'fake field' of field.go:57-76
-            fill = (
-                F.lit(MAX_INT64) if ftype in ("number", "time") else F.lit("")
-            )
-            df = self.io.read(self.spark, f"{self.name}__base").withColumn(
-                name, fill
-            )
-            self.io.write(f"{self.name}__base", df, mode="overwrite")
+        # METADATA-ONLY: existing rows get the missing-value sentinel
+        # ('' / MaxInt64) applied at read time in base() — the lazy 'fake
+        # field' of field.go:57-76. No base-table rewrite: at 100 TB an
+        # ALTER that rewrote every row would be a multi-hour job for a
+        # metadata change.
+        self.fills[name] = (
+            MAX_INT64 if ftype in ("number", "time") else ""
+        )
         self._store_meta()
 
     def delete_field(self, name: str) -> None:
@@ -368,20 +423,32 @@ class Table:
             else 0,
         }
 
-    def compact(self) -> None:
-        """I10: merge the postings/base append chains (table.go:874-971)."""
+    def compact(self, max_bytes: int | None = None) -> None:
+        """I10: merge the postings/base append chains.
+
+        max_bytes=None rewrites each chain into one snapshot. With
+        max_bytes set, the merge planner is incremental like the
+        reference's (table.go:874-971 picks only undersized partition
+        groups): data dirs >= max_bytes are carried over untouched and
+        only the undersized tail is merged — at 100 TB you never rewrite
+        the large, already-compacted snapshots.
+        """
         for suffix in ("__base", "__postings", "__deletes"):
-            if self.io.exists(self.name + suffix):
-                if suffix == "__postings":
-                    self.io.write(
-                        self.name + suffix,
-                        merge_postings(
-                            self.io.read(self.spark, self.name + suffix)
-                        ),
-                        mode="overwrite",
-                    )
-                else:
-                    self.io.compact(self.spark, self.name + suffix)
+            name = self.name + suffix
+            if not self.io.exists(name):
+                continue
+            transform = merge_postings if suffix == "__postings" else None
+            part = ["term_bucket"] if suffix == "__postings" else None
+            if max_bytes is None:
+                df = self.io.read(self.spark, name)
+                if transform:
+                    df = transform(df)
+                self.io.write(name, df, mode="overwrite", partition_by=part)
+            else:
+                self.io.compact_small(
+                    self.spark, name, max_bytes=max_bytes,
+                    transform=transform, partition_by=part,
+                )
 
 
 class Catalog:
@@ -426,3 +493,35 @@ class Catalog:
         io = self._io(db)
         for suffix in ("__meta", "__base", "__postings", "__deletes"):
             io.drop(name + suffix)
+
+    # -- Q12 engine-wide status walk (spider.go:171-186) -----------------
+    def databases(self) -> list[str]:
+        import os
+
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def tables(self, db: str) -> list[str]:
+        io = self._io(db)
+        return sorted(
+            n[: -len("__meta")]
+            for n in io.table_names()
+            if n.endswith("__meta")
+        )
+
+    def status(self) -> dict:
+        """Engine-wide introspection: walk engine -> databases -> tables,
+        mirroring Spider.GetStatus (engine/spider.go:171-186) which nests
+        each database's DoGetStatus of each table."""
+        dbs = {}
+        n_tables = 0
+        for db in self.databases():
+            tbls = {
+                t: self.table(db, t).status() for t in self.tables(db)
+            }
+            n_tables += len(tbls)
+            dbs[db] = {"tables": tbls, "n_tables": len(tbls)}
+        return {"n_databases": len(dbs), "n_tables": n_tables, "databases": dbs}

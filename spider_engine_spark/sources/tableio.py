@@ -93,15 +93,7 @@ class TableIO:
         manifest = self._load_manifest(name)
         vs = manifest["versions"]
         new_version = (vs[-1]["version"] + 1) if vs else 1
-        tdir = self._tdir(name)
-        os.makedirs(tdir, exist_ok=True)
-        final = os.path.join(tdir, f"v{new_version:06d}")
-        tmp = os.path.join(tdir, f"_tmp.{uuid.uuid4().hex}")
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(tmp)
-        os.rename(tmp, final)  # atomic publish of the data dir
+        final = self._new_data_dir(name, df, new_version, partition_by)
         if mode == "append" and vs:
             dirs = list(vs[-1]["dirs"]) + [final]
         else:
@@ -117,6 +109,29 @@ class TableIO:
         self._commit_manifest(name, manifest)
         return new_version
 
+    def _new_data_dir(
+        self,
+        name: str,
+        df: DataFrame,
+        version: int,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Write df into a fresh uniquely-named data dir and return its
+        path. The dir name carries a uuid so a crash between the rename
+        and the manifest commit can never wedge a retry: the manifest is
+        the sole version authority and an orphaned dir is just unreferenced
+        garbage (Iceberg's orphan-file model)."""
+        tdir = self._tdir(name)
+        os.makedirs(tdir, exist_ok=True)
+        final = os.path.join(tdir, f"v{version:06d}-{uuid.uuid4().hex[:12]}")
+        tmp = os.path.join(tdir, f"_tmp.{uuid.uuid4().hex}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        os.rename(tmp, final)  # atomic publish of the data dir
+        return final
+
     def read(
         self, spark: SparkSession, name: str, version: int | None = None
     ) -> DataFrame:
@@ -127,13 +142,26 @@ class TableIO:
         # per-dir reads + union: hive-partitioned snapshot dirs cannot be
         # listed together in one read (conflicting partition discovery
         # roots); per-dir discovery keeps partition columns AND pruning
+        # allowMissingColumns: dirs written before a metadata-only ALTER
+        # lack the late-added columns; they read back as null and the
+        # table layer applies the fill value (catalog.Table.base)
         out = spark.read.parquet(dirs[0])
         for d in dirs[1:]:
-            out = out.unionByName(spark.read.parquet(d))
+            out = out.unionByName(
+                spark.read.parquet(d), allowMissingColumns=True
+            )
         return out
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tdir(name), ignore_errors=True)
+
+    def table_names(self) -> list[str]:
+        """All table names under this root (dirs with a manifest)."""
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.exists(self._manifest_path(d))
+        )
 
     def compact(self, spark: SparkSession, name: str, meta: dict | None = None) -> int:
         """Rewrite the append chain into a single snapshot (the analogue of
@@ -141,6 +169,60 @@ class TableIO:
         rewrite_data_files)."""
         df = self.read(spark, name)
         return self.write(name, df, mode="overwrite", meta=meta)
+
+    def _dir_bytes(self, d: str) -> int:
+        total = 0
+        for base, _dirs, files in os.walk(d):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(base, f))
+                except OSError:
+                    pass
+        return total
+
+    def compact_small(
+        self,
+        spark: SparkSession,
+        name: str,
+        max_bytes: int = 64 << 20,
+        meta: dict | None = None,
+        transform=None,
+        partition_by: list[str] | None = None,
+    ) -> int | None:
+        """Incremental merge planner: fold only data dirs < max_bytes into
+        one new dir; dirs >= max_bytes are referenced untouched by the new
+        snapshot (the reference's pick-undersized-groups behavior,
+        table.go:874-971). Returns the new version, or None if fewer than
+        two undersized dirs exist (nothing to merge).
+
+        transform: optional DataFrame->DataFrame applied to the merged
+        small-dir union (e.g. postings re-grouping)."""
+        entry = self._entry(name)
+        small = [d for d in entry["dirs"] if self._dir_bytes(d) < max_bytes]
+        big = [d for d in entry["dirs"] if d not in small]
+        if len(small) <= 1:
+            return None
+        df = spark.read.parquet(small[0])
+        for d in small[1:]:
+            df = df.unionByName(
+                spark.read.parquet(d), allowMissingColumns=True
+            )
+        if transform is not None:
+            df = transform(df)
+        manifest = self._load_manifest(name)
+        vs = manifest["versions"]
+        new_version = vs[-1]["version"] + 1
+        merged = self._new_data_dir(name, df, new_version, partition_by)
+        vs.append(
+            {
+                "version": new_version,
+                "dirs": big + [merged],
+                "schema": entry["schema"],
+                "meta": meta if meta is not None else dict(entry.get("meta", {})),
+            }
+        )
+        self._commit_manifest(name, manifest)
+        return new_version
 
     def revert(self, name: str, version: int) -> int:
         """Snapshot rollback: commit a NEW version pointing at an old

@@ -42,16 +42,25 @@ def stream_index_docs(
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # idempotence: skip replayed batch ids after checkpoint recovery
-        if io.exists("base"):
-            done = io.meta("base").get("batch_id", -1)
-            if batch_id <= done:
-                return
-        io.write("base", batch_df, mode="append", meta={"batch_id": batch_id})
-        postings = build_postings_native(batch_df, "doc_id", "text")
-        io.write(
-            "postings", postings, mode="append", meta={"batch_id": batch_id}
-        )
+        # idempotence: skip replayed batch ids after checkpoint recovery.
+        # Completion is tracked PER TABLE — if the process died after the
+        # base append but before the postings append, the replayed batch
+        # must still write the postings or base and index silently diverge.
+        def done(tbl: str) -> int:
+            return (
+                int(io.meta(tbl).get("batch_id", -1)) if io.exists(tbl) else -1
+            )
+
+        if batch_id > done("base"):
+            io.write(
+                "base", batch_df, mode="append", meta={"batch_id": batch_id}
+            )
+        if batch_id > done("postings"):
+            postings = build_postings_native(batch_df, "doc_id", "text")
+            io.write(
+                "postings", postings, mode="append",
+                meta={"batch_id": batch_id},
+            )
         if (batch_id + 1) % compact_every == 0:
             io.write(
                 "postings",

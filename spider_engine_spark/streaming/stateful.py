@@ -41,20 +41,26 @@ STATE_SCHEMA = StructType([StructField("hashes", ArrayType(LongType()), True)])
 
 
 def _dedup_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    # fully vectorized: first-occurrence dedup within the batch via
+    # pandas drop_duplicates, membership vs state via np.isin — no
+    # Python loop over rows anywhere in the operator
     seen = np.array(
         state.get[0] if state.exists and state.get[0] else [], dtype=np.int64
     )
-    seen_set = set(seen.tolist())
-    out_urls: list[str] = []
+    out_frames: list[pd.DataFrame] = []
     for pdf in pdf_iter:
-        for url, h in zip(pdf["url"], pdf["hash"]):
-            h = int(h)
-            if h not in seen_set:
-                seen_set.add(h)
-                out_urls.append(url)
-    state.update((list(seen_set),))
-    if out_urls:
-        yield pd.DataFrame({"url": out_urls, "shard": int(key[0])})
+        pdf = pdf.drop_duplicates(subset=["hash"], keep="first")
+        hashes = pdf["hash"].to_numpy(dtype=np.int64)
+        fresh = ~np.isin(hashes, seen)
+        new = pdf.loc[fresh]
+        if len(new):
+            out_frames.append(new[["url"]])
+            seen = np.concatenate([seen, hashes[fresh]])
+    state.update((seen.tolist(),))
+    if out_frames:
+        out = pd.concat(out_frames, ignore_index=True)
+        out["shard"] = int(key[0])
+        yield out
 
 
 def stateful_seen_dedup(
