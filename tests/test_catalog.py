@@ -46,22 +46,23 @@ def hits(t, kw, **kw2):
 
 
 def test_search_and_filters(user_table):
-    # rune-probe for 美 (reference queries 美食; our T4 is per-rune)
-    assert hits(user_table, "美", field="user_desc") == [
+    # word-probe 美食, exactly as table_test.go:102-147 queries it
+    # (the bundled max-match dictionary reproduces gojieba here)
+    assert hits(user_table, "美食", field="user_desc") == [
         "10001", "10002", "10004", "10005",
     ]
     # between 18..22 (table_test.go:773-836)
     assert hits(
-        user_table, "美", field="user_desc",
+        user_table, "美食", field="user_desc",
         filters=[SearchFilter("user_age", "between", begin=18, end=22)],
     ) == ["10001"]
     # prefix 李 on the whole field
     assert hits(
-        user_table, "美", field="user_desc",
+        user_table, "美食", field="user_desc",
         filters=[SearchFilter("user_name", "prefix", value="李")],
     ) == ["10002", "10005"]
     # god field cross-field search (table_test.go:876-957)
-    assert hits(user_table, "王") == ["10003"]
+    assert hits(user_table, "王二") == ["10003"]
 
 
 def test_pk_lookup_and_duplicate_rejection(user_table):
@@ -78,7 +79,7 @@ def test_reload_update_delete(cat, user_table):
     # S7 recovery: reload from manifests
     t2 = cat.table("db1", "user")
     assert t2.next_doc_id == user_table.next_doc_id
-    assert hits(t2, "美", field="user_desc") == [
+    assert hits(t2, "美食", field="user_desc") == [
         "10001", "10002", "10004", "10005",
     ]
     # M2 update: new docId, old tombstoned (table.go:568-690)
@@ -88,11 +89,11 @@ def test_reload_update_delete(cat, user_table):
     )
     doc = t2.get_doc("10001")
     assert doc["user_age"] == 21
-    assert hits(t2, "美", field="user_desc") == ["10002", "10004", "10005"]
+    assert hits(t2, "美食", field="user_desc") == ["10002", "10004", "10005"]
     # M1 delete
     assert t2.delete_doc("10002")
     assert t2.get_doc("10002") is None
-    assert hits(t2, "美", field="user_desc") == ["10004", "10005"]
+    assert hits(t2, "美食", field="user_desc") == ["10004", "10005"]
     assert not t2.delete_doc("no_such_pk")
 
 
@@ -158,9 +159,9 @@ def test_auto_pk_and_update_unsupported(cat):
 
 def test_compact_preserves_results(cat):
     t = cat.table("db1", "user")
-    before = hits(t, "美", field="user_desc")
+    before = hits(t, "美食", field="user_desc")
     t.compact()
-    assert hits(t, "美", field="user_desc") == before
+    assert hits(t, "美食", field="user_desc") == before
     # compacted postings read from a single snapshot dir
     assert len(t.io._entry("user__postings")["dirs"]) == 1
 
@@ -200,17 +201,17 @@ def test_filter_type_validation(user_table):
     """checkFilters parity (table.go:1075-1114)."""
     with pytest.raises(ValueError, match="should be number or time"):
         user_table.search(
-            "美", field="user_desc",
+            "美食", field="user_desc",
             filters=[SearchFilter("user_name", ">", value=1)],
         )
     with pytest.raises(ValueError, match="should be string"):
         user_table.search(
-            "美", field="user_desc",
+            "美食", field="user_desc",
             filters=[SearchFilter("user_age", "prefix", value="2")],
         )
     with pytest.raises(ValueError, match="not exist"):
         user_table.search(
-            "美", field="user_desc",
+            "美食", field="user_desc",
             filters=[SearchFilter("nope", "=", value=1)],
         )
 

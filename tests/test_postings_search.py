@@ -52,10 +52,9 @@ def probe_ids(postings, field, term):
 
 def test_term_probe_meishi(user_df, user_postings):
     # reference: search user_desc='美食' hits docs containing 美食
-    # (table_test.go:102-147); our deterministic T4 segments CJK per-rune
-    # (SURVEY.md §7.3 risk 1), so the equivalent probe is the rune '美',
-    # matching the same docs 0,1,3,4
-    assert probe_ids(user_postings, "user_desc", "美") == [0, 1, 3, 4]
+    # (table_test.go:102-147); the bundled max-match dictionary segments
+    # the fixture corpus exactly like gojieba, so the probe term IS 美食
+    assert probe_ids(user_postings, "user_desc", "美食") == [0, 1, 3, 4]
 
 
 def test_whole_field_exact_term(user_postings):
@@ -65,18 +64,16 @@ def test_whole_field_exact_term(user_postings):
 
 
 def test_god_field_cross_field(user_postings):
-    # god field: '李四' should hit doc 1 via user_name
-    # (table_test.go:876-957) — with the deterministic per-rune segmenter
-    # the god text contains runes 李 and 四; whole-name match happens at
-    # per-rune granularity, so probe a rune present only in names.
-    assert probe_ids(user_postings, GOD_FIELD, "王") == [2]
-    # '美' appears in user_desc of docs 0,1,3,4 via god field too
-    assert probe_ids(user_postings, GOD_FIELD, "美") == [0, 1, 3, 4]
+    # god field cross-field search (table_test.go:876-957): 王二麻
+    # segments as 王二/麻, so the god-field probe term is 王二.
+    assert probe_ids(user_postings, GOD_FIELD, "王二") == [2]
+    # '美食' appears in user_desc of docs 0,1,3,4 via god field too
+    assert probe_ids(user_postings, GOD_FIELD, "美食") == [0, 1, 3, 4]
 
 
 def test_postings_sorted_and_df(user_postings):
     row = user_postings.filter(
-        (F.col("field") == "user_desc") & (F.col("term") == "美")
+        (F.col("field") == "user_desc") & (F.col("term") == "美食")
     ).collect()[0]
     ids = [p.doc_id for p in row.postings]
     assert ids == sorted(ids)
@@ -88,14 +85,14 @@ def test_durability_roundtrip(tmp_path, spark, user_df, user_postings):
     path = str(tmp_path / "postings")
     user_postings.write.mode("overwrite").parquet(path)
     reloaded = spark.read.parquet(path)
-    assert probe_ids(reloaded, "user_desc", "美") == [0, 1, 3, 4]
+    assert probe_ids(reloaded, "user_desc", "美食") == [0, 1, 3, 4]
 
     # split-build + merge == whole-build (invertedindex.go:349-507 oracle)
     half1 = build_postings(user_df.filter("doc_id < 2"), "doc_id", FIELDS)
     half2 = build_postings(user_df.filter("doc_id >= 2"), "doc_id", FIELDS)
     merged = merge_postings(half1, half2)
     whole = user_postings
-    for fld, term in [("user_desc", "美"), ("user_desc", "喜"), (GOD_FIELD, "美")]:
+    for fld, term in [("user_desc", "美食"), ("user_desc", "喜"), (GOD_FIELD, "美食")]:
         assert probe_ids(merged, fld, term) == probe_ids(whole, fld, term)
     # postings arrays bit-equal after merge
     a = {
@@ -113,7 +110,7 @@ def test_search_end_to_end(user_df, user_postings):
     rows = search(
         user_df,
         user_postings,
-        keyword="美",
+        keyword="美食",
         search_field="user_desc",
         max_doc=5,
     ).orderBy(F.desc("score"), "doc_id").collect()
@@ -133,7 +130,7 @@ def test_search_filters_between_and_prefix(user_df, user_postings):
     rows = search(
         user_df,
         user_postings,
-        keyword="美",
+        keyword="美食",
         search_field="user_desc",
         filters=[SearchFilter("user_age", "between", begin=18, end=22)],
         max_doc=5,
@@ -143,7 +140,7 @@ def test_search_filters_between_and_prefix(user_df, user_postings):
     rows = search(
         user_df,
         user_postings,
-        keyword="美",
+        keyword="美食",
         search_field="user_desc",
         filters=[SearchFilter("user_name", "prefix", value="李")],
         max_doc=5,
@@ -156,7 +153,7 @@ def test_filter_gt_means_ge(user_df, user_postings):
     rows = search(
         user_df,
         user_postings,
-        keyword="美",
+        keyword="美食",
         search_field="user_desc",
         filters=[SearchFilter("user_age", ">", value=28)],
         max_doc=5,
@@ -195,18 +192,18 @@ def test_sentinel_exclusion(spark, user_postings):
 def test_pagination_clamp(user_df, user_postings):
     # invalid size -> clamp to (0, min(100, total)) (table.go:1029-1039)
     rows = search(
-        user_df, user_postings, keyword="美", search_field="user_desc",
+        user_df, user_postings, keyword="美食", search_field="user_desc",
         offset=0, size=0, max_doc=5,
     ).collect()
     assert len(rows) == 4
     rows = search(
-        user_df, user_postings, keyword="美", search_field="user_desc",
+        user_df, user_postings, keyword="美食", search_field="user_desc",
         offset=1, size=2, max_doc=5,
     ).collect()
     assert len(rows) == 2
     # out-of-range offset+size -> clamp to full first page
     rows = search(
-        user_df, user_postings, keyword="美", search_field="user_desc",
+        user_df, user_postings, keyword="美食", search_field="user_desc",
         offset=3, size=99, max_doc=5,
     ).collect()
     assert len(rows) == 4
@@ -226,7 +223,7 @@ def test_deleted_antijoin(spark, user_df, user_postings):
     rows = search(
         user_df,
         user_postings,
-        keyword="美",
+        keyword="美食",
         search_field="user_desc",
         deleted=deleted,
         max_doc=5,

@@ -46,13 +46,12 @@ def test_rune_words():
 
 
 def test_true_words_weight_law():
-    # T4 on a pure-CJK string: per-rune segmentation; '我爱北京天安门'
-    # -> 7 unique single-occurrence terms, weight = uint32(1/7*10000)
+    # T4 fixture from index_test.go:43-51: gojieba segments
+    # '我爱北京天安门' as 我/爱/北京/天安门 -> 4 single-occurrence terms,
+    # weight = uint32(float32(1/4)*10000) = 2500
     got = dict(split_true_words("我爱北京天安门"))
-    assert set(got) == set("我爱北京天安门")
-    expect = int(np.float32(np.float32(1) / np.float32(7)) * np.float32(10000))
-    assert all(w == expect for w in got.values())
-    assert expect == 1428
+    assert set(got) == {"我", "爱", "北京", "天安门"}
+    assert all(w == 2500 for w in got.values())
 
 
 def test_true_words_punctuation_and_latin():
@@ -64,11 +63,35 @@ def test_true_words_punctuation_and_latin():
 
 
 def test_true_words_mixed():
+    # the exact index_test.go:34-40 TestSplitWords input: jieba yields
+    # 我/爱/北京/天安门/,/ /Hello/ /world/! and trimPunctuation drops
+    # ','/' '/'!' -> 6 terms, weight uint32(float32(1/6)*10000) = 1666
     got = dict(split_true_words(CASE))
-    # 7 CJK runes + Hello + world, ',' '!' ' ' dropped
-    assert set(got) == set("我爱北京天安门") | {"Hello", "world"}
-    total = 9
-    assert got["Hello"] == tf_weight(1, total)
+    assert set(got) == {"我", "爱", "北京", "天安门", "Hello", "world"}
+    assert all(w == 1666 for w in got.values())
+    assert got["Hello"] == tf_weight(1, 6)
+
+
+def test_true_words_reference_corpus_fixtures():
+    # field_test.go / partition_test.go corpus sentences, gojieba terms
+    got = dict(split_true_words("天安门上太阳升"))
+    assert set(got) == {"天安门", "上", "太阳", "升"}
+    assert all(w == 2500 for w in got.values())
+    got = dict(split_true_words("火红的太阳"))
+    assert set(got) == {"火红", "的", "太阳"}
+    assert all(w == 3333 for w in got.values())
+    # partition_test.go: '张三喜欢游泳,也喜欢美食' -> 张三/喜欢/游泳/也/
+    # 喜欢/美食 (6 tokens after trim; 喜欢 twice)
+    got = dict(split_true_words("张三喜欢游泳,也喜欢美食"))
+    assert set(got) == {"张三", "喜欢", "游泳", "也", "美食"}
+    assert got["喜欢"] == tf_weight(2, 6) == 3333
+    assert got["美食"] == tf_weight(1, 6) == 1666
+    # jieba_test.go: whole-dict word
+    got = dict(split_true_words("中华人民共和国"))
+    assert got == {"中华人民共和国": 10000}
+    # out-of-dictionary CJK falls back to per-rune (documented deviation)
+    got = dict(split_true_words("爱婴斯坦"))
+    assert set(got) == set("爱婴斯坦")
 
 
 def test_tf_weight_float32_truncation():
@@ -98,9 +121,8 @@ def test_tokenize_udf(spark):
         .collect()
     )
     t0 = {r["term"]: r["weight"] for r in rows[0]["toks"]}
-    assert set(t0) == set("我爱北京天安门")
-    assert all(w == 1428 for w in t0.values())
+    assert set(t0) == {"我", "爱", "北京", "天安门"}
+    assert all(w == 2500 for w in t0.values())
     t1 = {r["term"]: r["weight"] for r in rows[1]["toks"]}
-    # '天安门上太阳升' -> 7 runes, one dup? none — all unique
-    assert set(t1) == set("天安门上太阳升")
+    assert set(t1) == {"天安门", "上", "太阳", "升"}
     assert rows[2]["toks"] == []
