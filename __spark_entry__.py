@@ -37,4 +37,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from spider_engine_spark.queries import ORACLES
 
-    return dict(ORACLES)
+    # a callable oracle builds its SQL lazily (e.g. the crawl fixtures run
+    # the pure-Python replay simulator and inline its rows as VALUES)
+    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}

@@ -7,7 +7,8 @@ whole-stage codegen); no Python in any per-row loop.
 - minhash_signatures / minhash_lsh_pairs: MinHash over token shingles via
   k seeded xxhash64 min-aggregations; banded LSH self-join for candidate
   pairs; exact shingle-Jaccard verification on candidates only.
-- simhash / simhash_pairs: 64-bit SimHash (pandas UDF batch compute),
+- simhash_signatures / simhash_pairs: 60-bit md5 SimHash (fully
+  JVM-native: conditional-sum aggregates, no Python anywhere),
   chunk-banded candidate generation, hamming distance via native
   bit_count(xor).
 - embedding_near_dups: sign-LSH bucketing over embeddings + exact cosine
@@ -23,10 +24,8 @@ a df-style frequency cap (cap_bucket_size arg).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 TOKEN_SPLIT = r"\s+"
 
@@ -133,6 +132,46 @@ def minhash_lsh_pairs(
     )
 
 
+def shared_shingle_pairs(
+    df: DataFrame,
+    key: str,
+    content: str,
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact candidate pairs: docs sharing >= 1 n-gram shingle.
+
+    max_df is the hot-shingle frequency cap: a boilerplate shingle shared
+    by k documents would otherwise emit k^2 candidate rows (the quadratic
+    bucket at 100 TB). Shingles with document frequency > max_df are
+    dropped from candidate generation — a pair is still found as long as
+    it shares at least ONE sub-threshold shingle, which any pair at
+    jaccard >= 0.8 of non-boilerplate text does (the same completeness
+    trade the reference's LSH sibling makes with cap_bucket_size)."""
+    sh = df.select(
+        F.col(key), F.explode(shingles_col(content, n)).alias("shingle")
+    )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_df)
+            .select("shingle")
+        )
+        # the hot set is tiny by construction — broadcast anti-join
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(F.col(f"a.{key}").alias("a"), F.col(f"b.{key}").alias("b"))
+        .distinct()
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame, df: DataFrame, key: str, content: str, n: int = 3
 ) -> DataFrame:
@@ -150,54 +189,61 @@ def jaccard_verify(
     return out.select("a", "b", "jaccard")
 
 
-def simhash_udf():
-    """64-bit SimHash of whitespace tokens (Arrow-batched)."""
-    import numpy as np
+SIMHASH_BITS = 60  # 15 hex chars of md5: fits signed int64 AND is
+#                    reproducible in portable SQL (the DuckDB oracle
+#                    computes the identical signature independently)
 
-    @F.pandas_udf(LongType())
-    def _simhash(s: pd.Series) -> pd.Series:
-        import hashlib
 
-        shifts = np.arange(64, dtype=np.uint64)
+def simhash_signatures(df: DataFrame, key: str, content: str) -> DataFrame:
+    """(key, sim): 60-bit SimHash of whitespace tokens — 100% JVM-native.
 
-        def one(text):
-            if not text:
-                return 0
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in text.split():
-                h = np.uint64(
-                    int.from_bytes(
-                        hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                        "big",
-                    )
-                )
-                bits = (h >> shifts) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            v = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    v |= 1 << i
-            return v - (1 << 64) if v >= (1 << 63) else v
-
-        return s.map(one)
-
-    return _simhash
+    Per-token hash = first 15 hex chars of md5 (60 bits); per bit b the
+    accumulator is sum over tokens of +-count, folded map-side by a
+    single groupBy with 60 conditional-sum aggregates (one shuffle, no
+    Python, no explode-by-bit row blowup). Same algorithm as the usual
+    64-bit SimHash, 4 bits narrower so an ANSI-SQL oracle can recompute
+    it exactly.
+    """
+    toks = df.select(
+        F.col(key), F.explode(tokens_col(content)).alias("term")
+    )
+    tc = toks.groupBy(key, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    th = tc.withColumn(
+        "h",
+        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                F.col("cnt"),
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"_b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    acc = th.groupBy(key).agg(*bit_aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sim = sim + F.when(
+            F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return acc.select(F.col(key), sim.alias("sim"))
 
 
 def simhash_pairs(
     df: DataFrame, key: str, content: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band on 4 x 16-bit chunks (pigeonhole:
-    hamming<=3 pairs share at least one exact chunk), verify with native
-    bit_count(xor)."""
-    withsim = df.select(F.col(key), simhash_udf()(F.col(content)).alias("sim"))
+    """Near-dup pairs by SimHash: band on 4 x 15-bit chunks (pigeonhole:
+    hamming<=3 pairs differ in at most 3 chunks, so at least one of the 4
+    is equal), verify with native bit_count(xor)."""
+    withsim = simhash_signatures(df, key, content)
     chunks = withsim.select(
         key,
         "sim",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("sim"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("sim"), i * 15).bitwiseAND(F.lit(0x7FFF))
                     for i in range(4)
                 ]
             )

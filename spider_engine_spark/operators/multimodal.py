@@ -34,7 +34,8 @@ MEDIA_META_SCHEMA = (
 )
 
 FEATURE_SCHEMA = (
-    "doc_id string, kind string, feature array<float>, decode_ok boolean"
+    "doc_id string, kind string, feature array<float>, decode_ok boolean, "
+    "n_bytes int"
 )
 
 THUMB_SCHEMA = "doc_id string, thumb binary, thumb_w int, thumb_h int"
@@ -42,17 +43,21 @@ THUMB_SCHEMA = "doc_id string, thumb binary, thumb_w int, thumb_h int"
 
 def synth_media(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
     """Attach deterministic fake media columns (payload + metadata) to any
-    table — the datagen path for multimodal tests/benchmarks."""
+    table — the datagen path for multimodal tests/benchmarks.
+
+    All derivations are md5-based so an independent SQL oracle can
+    recompute every metadata/stat field from doc_id alone, while the
+    Spark side actually round-trips the binary payload through Arrow:
+    payload = md5(doc_id) digest repeated to n bytes, n = 256 + h[0]*16,
+    kind = [image|audio|video][h[1] % 3] (h = the md5 digest bytes)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, metas = [], []
             for key in pdf["doc_id"].astype(str):
-                h = hashlib.blake2b(key.encode(), digest_size=8).digest()
+                h = hashlib.md5(key.encode()).digest()
                 n = 256 + h[0] * 16
-                payload = hashlib.blake2b(
-                    key.encode(), digest_size=32
-                ).digest() * (n // 32 + 1)
+                payload = h * (n // 16 + 1)
                 payloads.append(payload[:n])
                 kind = ["image", "audio", "video"][h[1] % 3]
                 metas.append(
@@ -78,9 +83,7 @@ def synth_media(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for a decode+embed kernel: hash-seeded
     pseudo-features (unit-norm float32)."""
-    seed = int.from_bytes(
-        hashlib.blake2b(payload, digest_size=8).digest(), "big"
-    )
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     v = rng.standard_normal(dim).astype(np.float32)
     return v / np.linalg.norm(v)
@@ -109,12 +112,20 @@ def decode_media(
                 [float(x) for x in _fake_decode(bytes(b), dim)]
                 for b in pdf["media"]
             ]
+            # integrity check of the Arrow binary round-trip: a payload
+            # decodes ok iff its leading block is md5(doc_id) — exactly
+            # how synth_media built it
+            oks = [
+                bytes(b)[:16] == hashlib.md5(str(k).encode()).digest()
+                for k, b in zip(pdf["doc_id"], pdf["media"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "kind": [m["kind"] for m in pdf["meta"]],
                     "feature": feats,
-                    "decode_ok": True,
+                    "decode_ok": oks,
+                    "n_bytes": [len(bytes(b)) for b in pdf["media"]],
                 }
             )
 

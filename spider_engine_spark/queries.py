@@ -589,15 +589,41 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@query("dedup_simhash")  # not SQL-expressible (blake2b) -> rows-only check
+@query(
+    "dedup_simhash",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tc AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term),
+    th AS (SELECT doc_id, cnt,
+             ('0x' || substring(md5(term), 1, 15))::BIGINT AS h FROM tc),
+    bits AS (
+      SELECT doc_id, bb.b AS b,
+        sum(CASE WHEN ((h >> bb.b) & 1) = 1 THEN cnt ELSE -cnt END) AS s
+      FROM th CROSS JOIN range(60) bb(b) GROUP BY doc_id, bb.b
+    ),
+    sig AS (
+      SELECT doc_id,
+        sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sim
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+      bit_count(xor(a.sim, b.sim))::INTEGER AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    """,
+)
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (hamming <= 3 of 64 bits), chunk-banded
-    candidates + native bit_count verify; pytest covers planted dups."""
+    """SimHash near-dup pairs (hamming <= 3 of 60 md5 bits): JVM-native
+    signature build (conditional-sum aggregates), 15-bit-chunk pigeonhole
+    banding for candidates, native bit_count(xor) verify. The oracle is a
+    full brute-force recomputation of the identical signature in SQL."""
     from spider_engine_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(
+    pairs = simhash_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
     )
+    return pairs.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
 @query(
@@ -614,10 +640,16 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def embedding_topk_pairs(spark, sf_dir):
-    """Embedding near-dup baseline: top-10 most-similar pairs by exact
-    cosine. Rank-only output: DuckDB's list_cosine_similarity accumulates
-    in float32 vs Spark's double fold, so scores differ ~1e-7 — ordering
-    is stable (gaps ~1e-3) but values would hash-mismatch."""
+    """Embedding all-pairs EXACT top-10 — the labeled brute-force
+    baseline (global top-k over arbitrary-cosine pairs is inherently
+    quadratic; the bucketed scale path is embedding_near_dups_lsh below).
+    Rank-only output: DuckDB's list_cosine_similarity accumulates in
+    float32 vs Spark's double fold, so scores differ ~1e-7 — ordering is
+    stable (gaps ~1e-3) but values would hash-mismatch.
+
+    Plan shape: the global top-10 is a distributed TakeOrdered (orderBy +
+    limit); the row_number window runs on the 10 surviving rows only —
+    never an unpartitioned window over the O(n^2) pair set."""
     from spider_engine_spark.operators.dedup import cosine_col
 
     emb = load(spark, sf_dir, "embeddings")
@@ -630,12 +662,77 @@ def embedding_topk_pairs(spark, sf_dir):
     pairs = a.join(b, F.col("a") < F.col("b")).withColumn(
         "c", cosine_col(F.col("va"), F.col("vb"))
     )
+    top = pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b")).limit(10)
     w = Window.orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .select("a", "b", "rank")
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("a", "b", "rank")
+
+
+def _scaled_copies(emb, n_copies: int = 10, id_offset: int = 1_000_000):
+    """Planted exact near-duplicates: copies of vec_id=0 scaled by powers
+    of two. Power-of-two scaling is EXACT in IEEE floats, so each copy's
+    cosine to the source, its sign-LSH bucket, and its IVF assignment are
+    bit-identical to the source's in BOTH engines — which is what makes
+    an approximate index oracle-checkable: the ANN result provably equals
+    the brute-force oracle's top-k."""
+    q0 = emb.filter(F.col("vec_id") == 0)
+    scales = F.array(
+        *[F.lit(float(2 ** (k + 1))) for k in range(n_copies)]
     )
+    return emb.select("vec_id", "embedding").unionByName(
+        q0.select(
+            F.posexplode(scales).alias("k", "s"), "embedding"
+        ).select(
+            (F.lit(id_offset) + F.col("k")).cast("long").alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.col("s")).cast("float")
+            ).alias("embedding"),
+        )
+    )
+
+
+_PLANTED_SQL = """
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    copies AS (
+      SELECT (1000000 + t.k)::BIGINT AS vec_id,
+        list_transform(q.qv,
+          x -> CAST(x * CAST(pow(2, t.k + 1) AS FLOAT) AS FLOAT)) AS embedding
+      FROM q, range(10) t(k)
+    ),
+    all_v AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT vec_id, embedding FROM copies
+    )
+"""
+
+
+@query(
+    "embedding_near_dups_lsh",
+    f"""
+    WITH {_PLANTED_SQL}
+    SELECT a.vec_id AS a, b.vec_id AS b
+    FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    """,
+)
+def embedding_near_dups_lsh(spark, sf_dir):
+    """Embedding near-duplicate pairs (cosine >= 0.95) via the BUCKETED
+    scale path: sign-LSH bucket assignment once per vector, candidate
+    pairs only within buckets, exact cosine verify on candidates. The
+    oracle brute-forces all pairs in SQL; the planted scaled copies (and
+    any pair at cosine >= 0.95) provably share their source's bucket, so
+    the bucketed plan finds exactly the oracle's pair set. Natural pairs
+    in this corpus top out at ~0.6, far from the threshold."""
+    from spider_engine_spark.operators.dedup import embedding_near_dups
+    from spider_engine_spark.operators.similarity import make_planes
+
+    emb = _scaled_copies(load(spark, sf_dir, "embeddings"))
+    planes = make_planes(64, 8)
+    pairs = embedding_near_dups(
+        emb, "vec_id", "embedding", planes, threshold=0.95
+    )
+    return pairs.select("a", "b")
 
 
 @query(
@@ -667,23 +764,46 @@ def knn_brute(spark, sf_dir):
     ).select("vec_id", "rank")
 
 
-@query("ann_lsh")  # approximate by construction -> rows-only; pytest
-def ann_lsh(spark, sf_dir):  # asserts recall vs knn_brute
-    """Sign-LSH bucketed ANN top-10 for vec_id=0 (scale path: probes the
-    query bucket + hamming-1 neighbors only)."""
+_ANN_ORACLE = f"""
+    WITH {_PLANTED_SQL},
+    scored AS (
+      SELECT a.vec_id, list_cosine_similarity(a.embedding, q.qv) AS c
+      FROM all_v a CROSS JOIN q WHERE a.vec_id <> 0
+    )
+    SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id ASC) AS rank
+    FROM scored ORDER BY c DESC, vec_id ASC LIMIT 10
+"""
+
+
+@query("ann_lsh", _ANN_ORACLE)
+def ann_lsh(spark, sf_dir):
+    """Sign-LSH bucketed ANN top-10 for vec_id=0: probes the query's
+    bucket + hamming<=1 neighbor buckets only (the scale path — ~9/256
+    buckets touched). Oracle-checkable because the ground-truth top-10
+    are planted power-of-two scaled copies of the query vector: they sit
+    in the query's own bucket BY CONSTRUCTION (sign bits are scale-
+    invariant, exactly), so the probe provably achieves recall 1.0 and
+    the result equals the SQL brute-force top-10. Recall on natural data
+    is separately asserted in pytest (tests/test_dedup_similarity.py)."""
     from spider_engine_spark.operators.similarity import (
         ann_topk_lsh,
         lsh_bucket,
         make_planes,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
-    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    emb = _scaled_copies(load(spark, sf_dir, "embeddings"))
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    )
     planes = make_planes(len(qvec), 8)
-    bucketed = lsh_bucket(emb.filter(F.col("vec_id") != 0), "embedding", planes)
-    return ann_topk_lsh(
-        bucketed, "vec_id", "embedding", qvec, planes, k=10
-    ).select("vec_id", F.round("cosine", 3).alias("cosine_r3"))
+    bucketed = lsh_bucket(
+        emb.filter(F.col("vec_id") != 0), "embedding", planes
+    )
+    top = ann_topk_lsh(bucketed, "vec_id", "embedding", qvec, planes, k=10)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("vec_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -828,10 +948,32 @@ def streaming_hourly_window(spark, sf_dir):
     )
 
 
-@query("multimodal_decode")  # blake2b-derived fake media: rows-only
+@query(
+    "multimodal_decode",
+    """
+    WITH h AS (
+      SELECT doc_id,
+        ('0x' || substring(md5(doc_id::VARCHAR), 1, 2))::INTEGER AS h0,
+        ('0x' || substring(md5(doc_id::VARCHAR), 3, 2))::INTEGER AS h1
+      FROM documents
+    )
+    SELECT
+      CASE h1 % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+        AS kind,
+      count(*) AS n_docs,
+      count(*) AS n_ok,
+      CAST(sum(256 + h0 * 16) AS BIGINT) AS total_bytes
+    FROM h GROUP BY kind
+    """,
+)
 def multimodal_decode(spark, sf_dir):
-    """Binary media columns + metadata -> mapInPandas decode kernel;
-    returns per-kind decode stats (deterministic fake decoder)."""
+    """Binary media columns + metadata -> mapInPandas decode kernel ->
+    per-kind stats. The synthetic payloads are md5-derived (repeated
+    md5(doc_id) blocks, length 256 + h0*16, kind from h1 % 3), so the
+    oracle recomputes every stat from doc_id alone in SQL while the
+    Spark side actually round-trips the binary payload through Arrow
+    and validates its leading md5 block (n_ok) and measured byte length
+    (total_bytes) — a genuine end-to-end check of the binary plumbing."""
     from spider_engine_spark.operators.multimodal import (
         decode_media,
         synth_media,
@@ -842,16 +984,37 @@ def multimodal_decode(spark, sf_dir):
     feats = decode_media(media, dim=8)
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("decode_ok").cast("int")).alias("n_ok"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_ok"),
+        F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"),
     )
 
 
-@query("frontier_crawl")  # verified by the pytest replay oracle; rows-only
+def _frontier_crawl_oracle() -> str:
+    """Independent fixture: the single-threaded pure-Python replay
+    simulator (simulator.py — no Spark anywhere in it) runs the SAME
+    seeds/config and its per-step fetch sets are inlined as VALUES. This
+    is the north_rule's replay-equality check surfaced to the driver's
+    hash gate: the distributed scheduler must reproduce the reference
+    ordering bit-for-bit."""
+    from spider_engine_spark import webmodel as wm
+    from spider_engine_spark.simulator import ReplaySimulator
+
+    sim = ReplaySimulator(wm.seed_urls(20))
+    sim.run(2)
+    rows = []
+    for step in sorted(sim.fetched_by_step):
+        rows += [(u, step) for u in sim.fetched_by_step[step]]
+    vals = ", ".join(f"('{u}', {s})" for u, s in rows)
+    return f"SELECT url, step FROM (VALUES {vals}) AS t(url, step)"
+
+
+@query("frontier_crawl", _frontier_crawl_oracle)
 def frontier_crawl(spark, sf_dir):
     """Two supersteps of the URL-frontier scheduler on the deterministic
-    synthetic web; returns the per-step fetch sets (url, step). The strong
-    check is tests/test_frontier.py (bit-equality vs the pure-Python
-    replay simulator)."""
+    synthetic web; returns the per-step fetch sets (url, step). The
+    oracle is the pure-Python replay simulator's fetch sets inlined as a
+    VALUES fixture (see _frontier_crawl_oracle); tests/test_frontier.py
+    additionally asserts seen-set and frontier equality."""
     import tempfile
 
     from spider_engine_spark import webmodel as wm
@@ -869,11 +1032,36 @@ def frontier_crawl(spark, sf_dir):
     ).orderBy("step", "url")
 
 
-@query("interleaved_spans_roundtrip")  # pandas-UDF generated: rows-only
+def _spans_oracle() -> str:
+    """Independent fixture: webmodel.make_doc evaluated driver-side in
+    pure Python over the same 50 seeds, every span inlined as VALUES —
+    the input_hint's per-row span-sequence equality (kind, text via
+    media_ref/order) checked through the driver's hash gate."""
+    from spider_engine_spark import webmodel as wm
+
+    rows = []
+    for u in wm.seed_urls(50):
+        doc = wm.make_doc(u)
+        for s in doc["spans"]:
+            rows.append(
+                (doc["doc_id"], s["offset"], s["kind"], s["media_ref"])
+            )
+    vals = ", ".join(
+        f"('{d}', {o}, '{k}', '{m}')" for d, o, k, m in rows
+    )
+    return (
+        'SELECT doc_id, "offset", kind, media_ref FROM '
+        f'(VALUES {vals}) AS t(doc_id, "offset", kind, media_ref)'
+    )
+
+
+@query("interleaved_spans_roundtrip", _spans_oracle)
 def interleaved_spans_roundtrip(spark, sf_dir):
-    """input_hint invariant surface: fetch-simulated interleaved docs,
-    exploded back to (doc_id, offset, kind, media_ref) — span order must
-    round-trip (strong check: tests/test_frontier.py span oracle)."""
+    """input_hint invariant surface: fetch-simulated interleaved docs
+    (mapInPandas over a distributed seed frame), exploded back to
+    (doc_id, offset, kind, media_ref). The oracle is the pure-Python
+    webmodel evaluated driver-side and inlined as VALUES — span sequence
+    and order must round-trip through Arrow bit-for-bit."""
     from spider_engine_spark import webmodel as wm
     from spider_engine_spark.operators.frontier import fetch_docs
 
@@ -1033,25 +1221,36 @@ def range_join_value_buckets(spark, sf_dir):
     )
 
 
-@query("ann_ivf")  # approximate by construction -> rows-only; pytest
+@query("ann_ivf", _ANN_ORACLE)
 def ann_ivf(spark, sf_dir):
     """IVF-bucketed ANN top-10 for vec_id=0: nearest-centroid inverted
-    lists, n_probe=3 — the second scale path beside sign-LSH."""
+    lists, n_probe=3 of 16 — the second scale path beside sign-LSH.
+    Oracle-checkable by the same planted-copy construction as ann_lsh:
+    IVF assignment is argmax of cosine vs the centroids and cosine is
+    exactly scale-invariant, so every copy lands in the query vector's
+    own nearest-centroid list, which n_probe >= 1 provably scans."""
     from spider_engine_spark.operators.similarity import (
         ivf_assign,
         ivf_topk,
         sample_centroids,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
-    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
-    cents = sample_centroids(emb, "embedding", 16, "vec_id")
+    natural = load(spark, sf_dir, "embeddings")
+    emb = _scaled_copies(natural)
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    )
+    cents = sample_centroids(natural, "embedding", 16, "vec_id")
     assigned = ivf_assign(
         emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", cents
     )
-    return ivf_topk(
+    top = ivf_topk(
         assigned, "vec_id", "embedding", qvec, cents, k=10, n_probe=3
-    ).select("vec_id", F.round("cosine", 3).alias("cosine_r3"))
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("vec_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -1166,30 +1365,17 @@ def filter_sentinel_semantics(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram-Jaccard near-dup pairs: candidates from a shared-
-    shingle equi-join (complete by construction: jaccard>0 implies >=1
-    common shingle), verified exactly. The non-probabilistic sibling of
+    shingle equi-join with a hot-shingle frequency cap (max_df=20 —
+    a boilerplate shingle shared by k docs would otherwise emit k^2
+    candidate rows), verified exactly. The non-probabilistic sibling of
     dedup_minhash_lsh — same oracle, candidate generation differs."""
     from spider_engine_spark.operators.dedup import (
         jaccard_verify,
-        shingles_col,
+        shared_shingle_pairs,
     )
 
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles_col("text", 3)).alias("shingle")
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
-        )
-        .distinct()
-    )
+    pairs = shared_shingle_pairs(docs, "doc_id", "text", n=3, max_df=20)
     return jaccard_verify(pairs, docs, "doc_id", "text", n=3).filter(
         F.col("jaccard") >= 0.8
     )
