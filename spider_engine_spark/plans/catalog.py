@@ -84,6 +84,7 @@ class Table:
         io: TableIO,
         name: str,
         fields: dict[str, str] | None = None,
+        term_buckets: int = TERM_BUCKETS,
     ):
         self.spark = spark
         self.io = io
@@ -102,6 +103,10 @@ class Table:
             bad = set(fields.values()) - FIELD_TYPES
             if bad:
                 raise ValueError(f"unknown field types: {bad}")
+            if "doc_id" in fields:
+                # the engine's internal docId column (the reference keeps
+                # docIds outside the user schema too, design.md:83-87)
+                raise ValueError("'doc_id' is a reserved column name")
             pks = [f for f, t in fields.items() if t == "primary"]
             if len(pks) > 1:
                 raise ValueError("at most one primary field")
@@ -115,7 +120,7 @@ class Table:
             # late-added fields are metadata-only: read-time fill values
             # (the reference's lazy 'fake field', field.go:57-76)
             self.fills: dict[str, object] = {}
-            self.term_buckets = TERM_BUCKETS
+            self.term_buckets = term_buckets
             self._store_meta()
 
     # -- meta (S3) ------------------------------------------------------
@@ -481,9 +486,15 @@ class Catalog:
         return self._dbs[db]
 
     def create_table(
-        self, db: str, name: str, fields: dict[str, str]
+        self,
+        db: str,
+        name: str,
+        fields: dict[str, str],
+        term_buckets: int = TERM_BUCKETS,
     ) -> Table:
-        return Table(self.spark, self._io(db), name, fields)
+        return Table(
+            self.spark, self._io(db), name, fields, term_buckets=term_buckets
+        )
 
     def table(self, db: str, name: str) -> Table:
         """S7 recovery: reload from the persisted manifests."""

@@ -123,8 +123,12 @@ def test_schema_evolution(cat):
         "db1", "evo", {"k": "primary", "body": "words"}
     )
     t.add_docs([{"k": "x", "body": "hello world"}])
-    # S6 add field: old rows get the missing sentinel
+    # S6 add field: METADATA-ONLY — the base table's data dirs must not
+    # be touched (field.go:57-76's lazy fake field; at 100 TB an ALTER
+    # cannot rewrite data)
+    dirs_before = list(t.io._entry("evo__base")["dirs"])
     t.add_field("score", "number")
+    assert t.io._entry("evo__base")["dirs"] == dirs_before
     t.add_docs([{"k": "y", "body": "hello again", "score": 7}])
     doc_x, doc_y = t.get_doc("x"), t.get_doc("y")
     assert doc_y["score"] == 7
@@ -268,3 +272,89 @@ def test_json_ingest_with_float_truncation(cat, spark, tmp_path):
     assert sorted(
         r["k"] for r in t.search("json", field="body").collect()
     ) == ["j1", "j2"]
+
+
+def test_reload_preserves_fills_and_buckets(cat):
+    """S7: metadata-only ALTER state survives recovery from manifests."""
+    t = cat.create_table(
+        "db1", "evo2", {"k": "primary", "body": "words"}, term_buckets=16
+    )
+    t.add_docs([{"k": "a", "body": "one two"}])
+    t.add_field("note", "whole")
+    t2 = cat.table("db1", "evo2")
+    assert t2.term_buckets == 16
+    assert t2.fills == {"note": ""}
+    assert t2.get_doc("a")["note"] == ""  # fill applied at read
+    # term probe with a non-default bucket modulus still resolves
+    assert [r["k"] for r in t2.search("two", field="body").collect()] == ["a"]
+
+
+def test_engine_wide_status(cat):
+    """Q12 full form: engine -> databases -> tables walk
+    (spider.go:171-186)."""
+    cat.create_database("db_status")
+    t = cat.create_table("db_status", "s1", {"k": "primary", "b": "words"})
+    t.add_docs([{"k": "1", "b": "x y"}, {"k": "2", "b": "y z"}])
+    st = cat.status()
+    assert st["n_databases"] >= 2  # db1 from the fixtures + db_status
+    s1 = st["databases"]["db_status"]["tables"]["s1"]
+    assert s1["real_doc_num"] == 2 and s1["next_doc_id"] == 2
+    assert st["n_tables"] >= 2
+
+
+def test_incremental_compaction_reuses_large_dirs(cat, spark):
+    """I10 merge planner: only undersized snapshot dirs are folded; dirs
+    over the threshold are referenced untouched (table.go:874-971)."""
+    t = cat.create_table("db1", "inc", {"k": "primary", "b": "words"})
+    for i in range(3):
+        t.add_docs([{"k": f"k{i}", "b": f"w{i} common"}])
+    entry = t.io._entry("inc__base")
+    assert len(entry["dirs"]) == 3
+    big = entry["dirs"][0]  # pretend the first snapshot is already large
+    t.io.compact_small(
+        spark, "inc__base",
+        max_bytes=t.io._dir_bytes(big) - 1 if t.io._dir_bytes(big) > 1 else 1,
+    )
+    # with every dir >= threshold nothing merges
+    assert len(t.io._entry("inc__base")["dirs"]) == 3
+    v = t.io.compact_small(spark, "inc__base", max_bytes=1 << 30)
+    assert v is not None
+    merged = t.io._entry("inc__base")["dirs"]
+    assert len(merged) == 1  # all were undersized -> one dir
+    # partial: append two more snapshots, merge with the merged dir big
+    t.add_docs([{"k": "k3", "b": "w3"}])
+    t.add_docs([{"k": "k4", "b": "w4"}])
+    threshold = t.io._dir_bytes(merged[0])
+    t.io.compact_small(spark, "inc__base", max_bytes=threshold)
+    after = t.io._entry("inc__base")["dirs"]
+    assert merged[0] in after  # large dir reused untouched
+    assert len(after) == 2  # big + one merged small dir
+    assert t.base().count() == 5
+
+
+def test_temporal_filter_on_date_column(spark, tmp_path):
+    """A SearchFilter on a date/timestamp field must not throw under
+    ANSI (cast DATE->long is illegal; epoch_col converts explicitly)."""
+    import datetime
+
+    from spider_engine_spark.operators.search import (
+        SearchFilter,
+        and_filters,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime.date(2024, 1, 1)),
+            (2, datetime.date(2024, 6, 1)),
+            (3, None),
+        ],
+        "doc_id long, d date",
+    )
+    cond = and_filters(
+        df,
+        [SearchFilter("d", ">", value=1704067200)],  # 2024-01-01 epoch
+        numeric_fields={"d"},
+        temporal_types={"d": "date"},
+    )
+    got = sorted(r["doc_id"] for r in df.filter(cond).collect())
+    assert got == [1, 2]  # reference '>' evaluates >=; null excluded

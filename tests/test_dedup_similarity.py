@@ -152,3 +152,69 @@ def test_ivf_ann(vectors):
     # the planted near-copy is in a probed list and ranks first
     assert rows[0]["vec_id"] == brute[0]["vec_id"] == 1
     assert len({r["vec_id"] for r in rows} & {r["vec_id"] for r in brute}) >= 2
+
+
+def test_hot_shingle_cap_bounds_candidates(spark):
+    """A boilerplate shingle shared by many docs must not explode the
+    shared-shingle candidate join: with the df cap active the candidate
+    count drops from O(k^2) to the true near-dup pairs, and verified
+    results are unchanged."""
+    from spider_engine_spark.operators.dedup import shared_shingle_pairs
+
+    boiler = "subscribe to our newsletter today"
+    rows = [(i, f"unique{i} text body {i} " + boiler) for i in range(30)]
+    # one true near-dup pair sharing non-boilerplate shingles
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = shared_shingle_pairs(docs, "doc_id", "text", n=3)
+    capped = shared_shingle_pairs(docs, "doc_id", "text", n=3, max_df=10)
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    assert n_uncapped >= 30 * 29 / 2  # boilerplate quadratic blowup
+    assert n_capped < n_uncapped / 10
+    got = [
+        (r["a"], r["b"])
+        for r in jaccard_verify(capped, docs, "doc_id", "text", n=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    ]
+    assert got == [(100, 101)]  # true pair survives the cap
+
+
+def test_simhash_signature_matches_pure_python(spark):
+    """The JVM-native 60-bit md5 SimHash equals an independent pure-Python
+    reimplementation of the same definition."""
+    import hashlib
+
+    from spider_engine_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_signatures,
+    )
+
+    texts = [
+        "the quick brown fox",
+        "pack my box with five dozen liquor jugs",
+        "the quick brown fox the quick",
+    ]
+
+    def py_simhash(text):
+        counts = {}
+        for t in text.split():
+            if t:
+                counts[t] = counts.get(t, 0) + 1
+        acc = [0] * SIMHASH_BITS
+        for t, c in counts.items():
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for b in range(SIMHASH_BITS):
+                acc[b] += c if (h >> b) & 1 else -c
+        return sum(1 << b for b in range(SIMHASH_BITS) if acc[b] > 0)
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["sim"]
+        for r in simhash_signatures(docs, "doc_id", "text").collect()
+    }
+    assert got == {i: py_simhash(t) for i, t in enumerate(texts)}
