@@ -1438,3 +1438,168 @@ def pivot_event_types(spark, sf_dir):
         F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 4 (round 2): more relational/semi-structured/multimodal surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q6",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+           AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.04 AND l_discount <= 0.06
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    """Forecast-revenue scan: pure filter + global agg. The whole query is
+    a single parquet scan with every predicate pushed down (PLANS.md) —
+    no shuffle except the 1-row partial-agg exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    lo = F.to_timestamp_ntz(F.lit("1996-01-01"))
+    hi = F.to_timestamp_ntz(F.lit("1997-01-01"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC6)
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "events_lead_lag",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, value,
+        lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_value,
+        floor(epoch(ts))::BIGINT
+          - lag(floor(epoch(ts))::BIGINT)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_sec
+      FROM events
+    )
+    SELECT user_id, event_id, value - prev_value AS dvalue, gap_sec
+    FROM w WHERE prev_value IS NOT NULL
+    """,
+)
+def events_lead_lag(spark, sf_dir):
+    """lead/lag window operators: per-user deltas between consecutive
+    events (value delta + inter-event gap). Partitioned window — scales
+    by user key."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = ntz_epoch("ts")
+    out = e.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("dvalue"),
+        (epoch - F.lag(epoch).over(w)).alias("gap_sec"),
+        F.lag("value").over(w).alias("_prev"),
+    )
+    return out.filter(F.col("_prev").isNotNull()).drop("_prev")
+
+
+@query(
+    "window_ntile_users",
+    """
+    WITH u AS (
+      SELECT user_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, total,
+      ntile(4) OVER (ORDER BY total DESC, user_id ASC) AS quartile
+    FROM u
+    """,
+)
+def window_ntile_users(spark, sf_dir):
+    """NTILE bucketing of users by total event value. The global-order
+    window runs on the user DIMENSION (post-aggregation, cardinality =
+    |users|), never on the raw event stream."""
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(_dsum(F.col("value"), "total"))
+    w = Window.orderBy(F.desc("total"), F.asc("user_id"))
+    return u.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+
+
+@query(
+    "json_props_topk",
+    """
+    SELECT (props->>'k')::BIGINT AS k, count(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY k ORDER BY n_events DESC, k ASC LIMIT 20
+    """,
+)
+def json_props_topk(spark, sf_dir):
+    """Semi-structured surface: JSON path extraction from the events
+    props column (get_json_object — JVM-side, codegen) + agg + top-k."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("k"))
+        .limit(20)
+    )
+
+
+@query(
+    "frame_sample_stats",
+    """
+    WITH h AS (
+      SELECT doc_id,
+        ('0x' || substring(md5(doc_id::VARCHAR), 3, 2))::INTEGER AS h1,
+        ('0x' || substring(md5(doc_id::VARCHAR), 9, 2))::INTEGER AS h4
+      FROM documents
+    ), vids AS (
+      SELECT doc_id, greatest((h4 * 100) // 1000 - 1, 0) + 1 AS n_frames
+      FROM h WHERE h1 % 3 = 2
+    )
+    SELECT count(*) AS n_videos,
+      CAST(sum(n_frames) AS BIGINT) AS total_frames,
+      CAST(max((n_frames - 1) * 1000) AS BIGINT) AS max_ts_ms
+    FROM vids
+    """,
+)
+def frame_sample_stats(spark, sf_dir):
+    """Multimodal frame sampling: synth video payloads -> frame_sample
+    (sequence-explode over duration metadata) -> corpus stats. The
+    oracle recomputes frame counts from the md5-derived duration field
+    while Spark actually explodes per-frame rows."""
+    from spider_engine_spark.operators.multimodal import (
+        frame_sample,
+        synth_media,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    frames = frame_sample(synth_media(docs), every_ms=1000)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nf"), F.max("ts_ms").alias("mt")
+    ).agg(
+        F.count(F.lit(1)).alias("n_videos"),
+        F.sum("nf").alias("total_frames"),
+        F.max("mt").cast("long").alias("max_ts_ms"),
+    )
