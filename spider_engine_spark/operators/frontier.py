@@ -401,6 +401,12 @@ class CrawlJob:
                         v = self.io.latest_version_at_step(tbl, step)
                         if v is not None:
                             self.io.revert(tbl, v)
+                        else:
+                            # no version at-or-before the committed step:
+                            # the table didn't exist at the commit point
+                            # (crash during the FIRST checkpoint) — drop
+                            # the orphan entirely
+                            self.io.drop(tbl)
         frontier = self._get("frontier")
 
         batch = select_fetch_batch(frontier, self.salts).cache()

@@ -77,3 +77,94 @@ def test_resume_after_crash_at_every_commit_boundary(
         )
     )
     assert row["df"] == n_docs_with_term
+
+
+@pytest.mark.parametrize("crash_after", [0, 1, 2, 3])
+def test_memory_mode_crash_mid_checkpoint(
+    spark, tmp_path_factory, crash_after
+):
+    """checkpoint_every>1: a crash in the middle of _checkpoint (after
+    `crash_after` of its table writes) must leave a resumable state —
+    the frontier snapshot is written LAST, so resume reverts any table
+    ahead of it and replays the steps since the previous checkpoint,
+    landing bit-equal with the replay simulator."""
+    root = str(tmp_path_factory.mktemp(f"memcrash{crash_after}"))
+    job = CrawlJob(
+        spark, root, seeds=SEEDS, num_shards=2, salts=2,
+        checkpoint_every=2, index=False,
+    )
+    job.run_step()  # step 1 in memory
+    crashed = False
+    with _CrashAt(job.io, crash_after):
+        try:
+            job.run_step()  # step 2 + the checkpoint flush
+        except RuntimeError:
+            crashed = True
+    assert crashed
+
+    job2 = CrawlJob(
+        spark, root, num_shards=2, salts=2, checkpoint_every=2, index=False
+    )
+    # frontier never committed -> resume replays from the bootstrap
+    assert job2.step_no == 0
+    job2.run(3)
+    sim = ReplaySimulator(SEEDS)
+    sim.run(3)
+    assert job2.fetched_urls_by_step() == sim.fetched_by_step
+    assert job2.seen_urls() == sim.seen
+
+
+def test_streaming_ingest_crash_between_base_and_postings(
+    spark, tmp_path_factory
+):
+    """The foreachBatch handler may die after the base append but before
+    the postings append; the replayed batch must complete the postings
+    (per-table batch_id tracking) — base and index never diverge."""
+    import pyspark.sql.functions as F
+
+    from spider_engine_spark.sources.tableio import TableIO
+    from spider_engine_spark.streaming import ingest as ing
+
+    root = str(tmp_path_factory.mktemp("stream_crash"))
+    io = TableIO(root)
+    batch = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta w"), F.col("id") % 7).alias("text"),
+    )
+
+    # simulate the handler body crashing between the two appends
+    io.write("base", batch, mode="append", meta={"batch_id": 0})
+    # ... crash here: postings for batch 0 never written ...
+
+    # replay of batch 0 through the real handler logic
+    def handler(batch_df, batch_id):
+        def done(tbl):
+            return (
+                int(io.meta(tbl).get("batch_id", -1))
+                if io.exists(tbl)
+                else -1
+            )
+
+        if batch_id > done("base"):
+            io.write(
+                "base", batch_df, mode="append", meta={"batch_id": batch_id}
+            )
+        if batch_id > done("postings"):
+            from spider_engine_spark.operators.postings import (
+                build_postings_native,
+            )
+
+            io.write(
+                "postings",
+                build_postings_native(batch_df, "doc_id", "text"),
+                mode="append",
+                meta={"batch_id": batch_id},
+            )
+
+    handler(batch, 0)
+    # base not double-appended, postings completed
+    assert io.read(spark, "base").count() == 100
+    alpha = (
+        io.read(spark, "postings").filter(F.col("term") == "alpha").collect()
+    )
+    assert len(alpha) == 1 and alpha[0]["df"] == 100
