@@ -36,8 +36,14 @@ HEADLINE = [
     "events_sessionize",
     "agg_distinct_users",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_near_dups_lsh",
     "knn_brute",
     "asof_join_latest_order",
+    "tpch_q6",
+    "tpch_q4_semijoin",
+    "json_props_topk",
+    "events_lead_lag",
 ]
 
 

@@ -1603,3 +1603,38 @@ def frame_sample_stats(spark, sf_dir):
         F.sum("nf").alias("total_frames"),
         F.max("mt").cast("long").alias("max_ts_ms"),
     )
+
+
+@query(
+    "tpch_q4_semijoin",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_semijoin(spark, sf_dir):
+    """EXISTS-style LEFT SEMI join (TPC-H q4 shape, adapted to the
+    available lineitem columns: orders with at least one line shipped
+    after the order date). The semi join shuffles on orderkey only and
+    short-circuits per probe row."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    lo = F.to_timestamp_ntz(F.lit("1997-01-01"))
+    hi = F.to_timestamp_ntz(F.lit("1998-01-01"))
+    sel = o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    hit = sel.join(
+        li,
+        (li.l_orderkey == sel.o_orderkey)
+        & (li.l_shipdate > sel.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )

@@ -250,3 +250,46 @@ def test_native_postings_matches_python(spark):
     }
     assert a == b
     assert a["a"] == [(0, 5000), (2, 3333)]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join pattern for repeated large⋈large joins at scale:
+    both sides written with bucketBy on the join key join WITHOUT any
+    Exchange in the physical plan (the shuffle is paid once at write
+    time — the layout the postings/base tables would use on a real
+    warehouse for recurring doc_id joins)."""
+    import io as _io
+    import contextlib
+
+    from pyspark.sql import functions as F
+
+    a = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("x")
+    )
+    b = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 31).alias("y")
+    )
+    for name, df in (("t_bucket_a", a), ("t_bucket_b", b)):
+        df.write.mode("overwrite").bucketBy(8, "doc_id").sortBy(
+            "doc_id"
+        ).option("path", str(tmp_path / name)).saveAsTable(name)
+    # disable broadcast so the planner exercises the bucketed
+    # sort-merge path (the large⋈large case this layout exists for)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_bucket_a").join(
+            spark.table("t_bucket_b"), "doc_id"
+        )
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        # co-located: neither side shuffles at query time
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    for name in ("t_bucket_a", "t_bucket_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
