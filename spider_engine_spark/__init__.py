@@ -26,6 +26,8 @@ __version__ = "0.1.0"
 __all__ = [
     "Catalog",
     "CrawlJob",
+    "SpiderController",
+    "serve_rest",
     "ReplaySimulator",
     "TableIO",
     "get_spark",
@@ -37,6 +39,14 @@ def __getattr__(name):  # lazy: keep `import spider_engine_spark` light
         from spider_engine_spark.plans.catalog import Catalog
 
         return Catalog
+    if name == "SpiderController":
+        from spider_engine_spark.controller import SpiderController
+
+        return SpiderController
+    if name == "serve_rest":
+        from spider_engine_spark.controller import serve
+
+        return serve
     if name == "CrawlJob":
         from spider_engine_spark.operators.frontier import CrawlJob
 

@@ -1,0 +1,125 @@
+"""REST facade parity: drive the reference's HTTP API shapes end-to-end
+over localhost (controller/http.go router + database.go/document.go
+handlers; response envelope = basic.Result)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from spider_engine_spark.controller import serve
+
+
+@pytest.fixture(scope="module")
+def api(spark, tmp_path_factory):
+    srv, _ = serve(spark, str(tmp_path_factory.mktemp("rest")))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    host, port = srv.server_address
+    base = f"http://{host}:{port}"
+
+    def call(method, path, body=None):
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(base + path, data=data, method=method)
+        req.add_header("Content-Type", "application/json")
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read().decode())
+
+    yield call
+    srv.shutdown()
+
+
+def test_rest_full_lifecycle(api):
+    # POST /db — create database (controller/database.go:17-40)
+    assert api("POST", "/db1")["code"] == 0
+    # POST /db/table — body is the fields ARRAY (database.go:70-110)
+    r = api(
+        "POST",
+        "/db1/user",
+        [
+            {"name": "user_id", "type": "primary"},
+            {"name": "user_name", "type": "whole"},
+            {"name": "user_age", "type": "number"},
+            {"name": "user_desc", "type": "words"},
+        ],
+    )
+    assert r["code"] == 0
+    # POST /db/table/key — add docs (document.go:16-56)
+    for key, name, age, desc in [
+        ("10001", "张三", 20, "喜欢美食,也喜欢旅游"),
+        ("10002", "李四", 28, "喜欢电影,也喜欢美食"),
+        ("10003", "王二麻", 30, "喜欢养生"),
+    ]:
+        r = api(
+            "POST",
+            f"/db1/user/{key}",
+            {"user_name": name, "user_age": age, "user_desc": desc},
+        )
+        assert r["code"] == 0 and r["data"] == key
+    # duplicate PK -> error envelope (table.go:451-454)
+    assert api("POST", "/db1/user/10001", {"user_name": "dup"})["code"] == 2
+
+    # GET /db/table/key (document.go:59-81)
+    r = api("GET", "/db1/user/10002")
+    assert r["code"] == 0
+    assert r["data"]["Detail"]["user_name"] == "李四"
+
+    # GET /_search with the reference's SearchParam + SearchFilter keys
+    r = api(
+        "POST",
+        "/_search",
+        {
+            "database": "db1",
+            "table": "user",
+            "fieldName": "user_desc",
+            "value": "美食",
+            "filters": [
+                {"field": "user_age", "type": ">", "int": 25},
+            ],
+        },
+    )
+    assert r["code"] == 0
+    keys = sorted(d["Key"] for d in r["data"]["docs"])
+    assert keys == ["10002"]  # 美食 docs with age >= 25 (>'s >= quirk)
+
+    # PATCH /db/table — addField (database.go:138-204)
+    r = api(
+        "PATCH",
+        "/db1/user",
+        {"type": "addField", "field": {"name": "score", "type": "number"}},
+    )
+    assert r["code"] == 0
+    # PUT /db/table/key — update (document.go:84-124)
+    assert (
+        api(
+            "PUT",
+            "/db1/user/10003",
+            {"user_name": "王二麻", "user_age": 31, "user_desc": "喜欢养生", "score": 7},
+        )["code"]
+        == 0
+    )
+    assert api("GET", "/db1/user/10003")["data"]["Detail"]["user_age"] == 31
+
+    # DELETE /db/table/key (document.go:127-151)
+    assert api("DELETE", "/db1/user/10002")["code"] == 0
+    assert api("GET", "/db1/user/10002")["code"] == 2  # gone
+
+    # GET /_status — engine-wide walk (spider.go:171-186)
+    st = api("GET", "/_status")
+    assert st["code"] == 0
+    assert st["data"]["n_databases"] >= 1
+    assert st["data"]["databases"]["db1"]["tables"]["user"]["real_doc_num"] == 2
+
+    # DELETE /db/table and /db
+    assert api("DELETE", "/db1/user")["code"] == 0
+    assert api("DELETE", "/db1")["code"] == 0
+
+    # unknown route -> 404 body
+    try:
+        api("GET", "/")
+        assert False, "expected 404"
+    except Exception:
+        pass
