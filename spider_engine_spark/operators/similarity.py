@@ -162,7 +162,69 @@ def ivf_topk(
 def sample_centroids(
     df: DataFrame, vec: str, n: int, key: str
 ) -> list[list[float]]:
-    """Deterministic centroid seed: the first n vectors by key order (a
-    stand-in for a k-means pass; deterministic for reproducible plans)."""
+    """Deterministic centroid seed: the first n vectors by key order
+    (deterministic for reproducible plans; kmeans_centroids refines)."""
     rows = df.orderBy(key).limit(n).select(vec).collect()
     return [list(r[0]) for r in rows]
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    key: str,
+    vec: str,
+    k: int,
+    iters: int = 5,
+    seed_key_order: bool = True,
+) -> list[list[float]]:
+    """Distributed spherical k-means (Lloyd) for the IVF coarse quantizer.
+
+    Deterministic by construction: seeds are the first k vectors in key
+    order, assignment is the same JVM argmax-cosine used by ivf_assign,
+    and the update step is an exact per-list mean (posexplode ->
+    groupBy(list, dim) -> decimal-summed average, so the result is
+    independent of partitioning). Each iteration is one assignment pass +
+    one narrow aggregation; only the k x dim centroid matrix ever reaches
+    the driver. An empty list keeps its previous centroid.
+    """
+    cents = sample_centroids(df, vec, k, key)
+    base = df.select(F.col(key).alias("_k"), F.col(vec).alias("_v"))
+    for _ in range(iters):
+        assigned = ivf_assign(base, "_k", "_v", cents)
+        comps = assigned.select(
+            "ivf_list", F.posexplode("_v").alias("dim", "x")
+        )
+        rows = (
+            comps.groupBy("ivf_list", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty lists keep centroid
+        by_list: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_list.setdefault(r["ivf_list"], {})[r["dim"]] = r["m"]
+        for li, dims in by_list.items():
+            new_cents[li] = [dims[d] for d in sorted(dims)]
+        cents = new_cents
+    return cents
+
+
+def ivf_inertia(df: DataFrame, key: str, vec: str, cents: list[list[float]]) -> float:
+    """Mean max-cosine of every vector to its assigned centroid (the
+    spherical-k-means objective; higher is tighter)."""
+    assigned = ivf_assign(
+        df.select(F.col(key).alias("_k"), F.col(vec).alias("_v")),
+        "_k", "_v", cents,
+    )
+    sims = [
+        cosine_col(
+            F.col("_v"), F.array(*[F.lit(float(x)) for x in c])
+        ).alias(f"_s{i}")
+        for i, c in enumerate(cents)
+    ]
+    best = assigned.select(F.greatest(*sims).alias("best"))
+    return best.agg(F.avg("best")).collect()[0][0]

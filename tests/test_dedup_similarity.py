@@ -218,3 +218,48 @@ def test_simhash_signature_matches_pure_python(spark):
         for r in simhash_signatures(docs, "doc_id", "text").collect()
     }
     assert got == {i: py_simhash(t) for i, t in enumerate(texts)}
+
+
+def test_kmeans_improves_ivf_partition(spark):
+    """Lloyd refinement must raise the spherical-k-means objective over
+    the deterministic seed centroids, stay deterministic, and keep
+    ivf_topk recall at least as good with the same n_probe."""
+    from spider_engine_spark.operators.similarity import (
+        ivf_assign,
+        ivf_inertia,
+        ivf_topk,
+        kmeans_centroids,
+        sample_centroids,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    seed = sample_centroids(emb, "embedding", 8, "vec_id")
+    refined = kmeans_centroids(emb, "vec_id", "embedding", 8, iters=3)
+    refined2 = kmeans_centroids(emb, "vec_id", "embedding", 8, iters=3)
+    assert refined == refined2  # deterministic
+    i0 = ivf_inertia(emb, "vec_id", "embedding", seed)
+    i1 = ivf_inertia(emb, "vec_id", "embedding", refined)
+    assert i1 > i0  # objective improved
+
+    # recall vs brute force with refined lists
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    )
+    brute = {
+        r["vec_id"]
+        for r in brute_force_topk(
+            emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", qvec, 10
+        ).collect()
+    }
+    assigned = ivf_assign(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", refined
+    )
+    got = {
+        r["vec_id"]
+        for r in ivf_topk(
+            assigned, "vec_id", "embedding", qvec, refined, k=10, n_probe=4
+        ).collect()
+    }
+    assert len(got & brute) >= 6  # decent recall at half the lists probed
