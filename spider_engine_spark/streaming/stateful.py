@@ -81,3 +81,60 @@ def stateful_seen_dedup(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def stateful_seen_dedup_tws(
+    stream: DataFrame, url_col: str = "url", n_shards: int = 8
+) -> DataFrame:
+    """Spark 4 transformWithStateInPandas form of the same operator: a
+    StatefulProcessor with a typed ValueState holding the shard's seen
+    hashes (RocksDB state store). Functionally identical to
+    stateful_seen_dedup; this is the forward-looking API (timers, typed
+    state, schema evolution) the applyInPandasWithState form migrates to.
+
+    ENV NOTE: the TWS driver worker requires google.protobuf, which is
+    not installed in this container — the pytest skips without it (same
+    honest gating as the multimodal codecs); the operator itself is the
+    correct shape for environments that have it.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SeenDedup(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            seen = np.array(
+                self._seen.get()[0] if self._seen.exists() else [],
+                dtype=np.int64,
+            )
+            for pdf in rows:
+                pdf = pdf.drop_duplicates(subset=["hash"], keep="first")
+                hashes = pdf["hash"].to_numpy(dtype=np.int64)
+                fresh = ~np.isin(hashes, seen)
+                new = pdf.loc[fresh]
+                if len(new):
+                    seen = np.concatenate([seen, hashes[fresh]])
+                    out = new[["url"]].copy()
+                    out["shard"] = int(key[0])
+                    yield out
+            self._seen.update((seen.tolist(),))
+
+        def close(self) -> None:
+            pass
+
+    keyed = stream.select(
+        F.col(url_col).alias("url"),
+        F.xxhash64(F.col(url_col)).alias("hash"),
+    ).withColumn(
+        "shard", F.pmod(F.col("hash"), F.lit(n_shards)).cast("int")
+    )
+    return keyed.groupBy("shard").transformWithStateInPandas(
+        statefulProcessor=SeenDedup(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

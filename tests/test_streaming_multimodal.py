@@ -210,3 +210,64 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 09:00 window was emitted with ONLY event 1 (late row dropped)
     assert counts.get(("2024-01-01 09:00:00", "click")) == 1
     assert ("2024-01-01 08:00:00", "click") not in counts
+
+
+def test_stateful_seen_dedup_tws(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API) form of the
+    URL-seen operator: same within/across-batch dedup semantics, RocksDB
+    state store. Requires google.protobuf (the TWS driver worker speaks
+    protobuf to the JVM) — not installed in this container, so this test
+    skips there; the applyInPandasWithState form above is the covered
+    path."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from spider_engine_spark.streaming.stateful import (
+        stateful_seen_dedup_tws,
+    )
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "urls")
+        ckpt = str(tmp_path / "ckpt_tws")
+        spark.createDataFrame(
+            [("http://a/1",), ("http://a/2",), ("http://a/1",)],
+            "url string",
+        ).write.mode("append").parquet(src)
+        collected: list[str] = []
+
+        def run_batch():
+            stream = spark.readStream.schema("url string").parquet(src)
+            out = stateful_seen_dedup_tws(stream, n_shards=2)
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, _id: collected.extend(
+                        r["url"] for r in df.collect()
+                    )
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_batch()
+        assert sorted(collected) == ["http://a/1", "http://a/2"]
+        spark.createDataFrame(
+            [("http://a/2",), ("http://b/9",)], "url string"
+        ).write.mode("append").parquet(src)
+        run_batch()
+        assert sorted(collected) == [
+            "http://a/1", "http://a/2", "http://b/9",
+        ]
+    finally:
+        if old:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
