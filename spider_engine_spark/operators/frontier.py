@@ -79,56 +79,82 @@ DOC_SCHEMA = StructType(
 )
 
 
-def _canonicalize_series(s: pd.Series) -> pd.Series:
-    """Vectorized pandas form of webmodel.canonicalize — bit-identical
-    (the replay-equality tests compare against the scalar version)."""
-    import numpy as np
-
-    u = s.str.strip().str.split("#", n=1).str[0].str.strip()
-    has = u.str.contains("://", regex=False)
-    sp = u.str.split("://", n=1)
-    scheme = pd.Series(
-        np.where(has, sp.str[0].str.lower(), "http"), index=s.index
+def canonicalize_col(c) -> "F.Column":
+    """100% JVM form of webmodel.canonicalize — bit-identical (the
+    replay-equality tests compare against the scalar Python version):
+    strip, cut fragment, strip; default scheme http; lowercase
+    scheme+netloc; drop :80; collapse empty path to '/'. Runs in
+    whole-stage codegen — the crawl's biggest phase (canonicalizing the
+    outlink stream) never enters Python at all."""
+    u = F.trim(c)
+    u = F.trim(F.substring_index(u, "#", 1))
+    has = u.contains("://")
+    scheme = F.when(has, F.lower(F.substring_index(u, "://", 1))).otherwise(
+        F.lit("http")
     )
-    rest = pd.Series(np.where(has, sp.str[1], u), index=s.index)
-    ext = rest.str.extract(r"^([^/]*)(/.*)?$", expand=True)
-    netloc = ext[0].str.lower().str.replace(r":80$", "", regex=True)
-    path = ext[1].fillna("/")
-    path = path.where(path != "", "/")
-    return scheme + "://" + netloc + path
+    rest = F.when(has, F.substring_index(u, "://", -1)).otherwise(u)
+    slash = F.instr(rest, "/")
+    netloc = F.regexp_replace(
+        F.lower(
+            F.when(
+                slash > 0, F.substring(rest, F.lit(1), slash - 1)
+            ).otherwise(rest)
+        ),
+        ":80$",
+        "",
+    )
+    path = F.when(slash > 0, rest.substr(slash, F.length(rest))).otherwise(
+        F.lit("/")
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(scheme, F.lit("://"), netloc, path)
+
+
+def host_attrs_udf(cfg: wm.WebConfig):
+    """Narrow Arrow UDF: host -> struct<priority, budget>. The blake2b
+    attribute hashes are computed once per UNIQUE host in the batch and
+    dict-mapped back — only the host column crosses the Arrow boundary
+    (minimal-traffic, no shuffle, no join)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<priority:int,budget:int>")
+    def _attrs(s: pd.Series) -> pd.DataFrame:
+        uniq = s.drop_duplicates()
+        prio = {h: wm.host_priority(h) for h in uniq}
+        budget = {h: wm.host_budget(h, cfg) for h in uniq}
+        return pd.DataFrame({"priority": s.map(prio), "budget": s.map(budget)})
+
+    return _attrs
 
 
 def enrich_candidates(raw: DataFrame, cfg: wm.WebConfig = wm.DEFAULT) -> DataFrame:
     """raw(url_raw, depth) -> canonical candidates with host attributes.
 
-    One Arrow pass, fully vectorized: canonicalization is pandas string
-    kernels; the hash-derived host attributes (priority, politeness
-    budget) are computed once per UNIQUE host and dict-mapped back (the
-    host set is tiny next to the candidate set); the robots check is a
-    vectorized prefix test. webmodel stays the single source of truth
-    shared with the replay simulator."""
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            urls = _canonicalize_series(pdf["url_raw"])
-            after_scheme = urls.str.split("://", n=1).str[1]
-            hosts = after_scheme.str.split("/", n=1).str[0]
-            paths = "/" + after_scheme.str.split("/", n=1).str[1]
-            uniq = hosts.drop_duplicates()
-            prio = {h: wm.host_priority(h) for h in uniq}
-            budget = {h: wm.host_budget(h, cfg) for h in uniq}
-            yield pd.DataFrame(
-                {
-                    "url": urls,
-                    "host": hosts,
-                    "depth": pdf["depth"],
-                    "priority": hosts.map(prio),
-                    "budget": hosts.map(budget),
-                    "allowed": ~paths.str.startswith("/private/"),
-                }
-            )
-
-    return raw.mapInPandas(fn, CAND_SCHEMA)
+    Canonicalization, host/path split and the robots prefix test are
+    pure JVM expressions (whole-stage codegen over the multi-billion-row
+    outlink stream); Python is reduced to the per-unique-host attribute
+    UDF (host column in, two ints out). webmodel stays the single source
+    of truth shared with the replay simulator."""
+    url = canonicalize_col(F.col("url_raw"))
+    base = raw.select(url.alias("url"), "depth")
+    after = F.substring_index(F.col("url"), "://", -1)
+    host = F.substring_index(after, "/", 1)
+    path = after.substr(F.length(host) + 1, F.length(after))
+    tagged = base.select(
+        "url",
+        host.alias("host"),
+        "depth",
+        (~path.startswith("/private/")).alias("allowed"),
+    )
+    attrs = host_attrs_udf(cfg)(F.col("host"))
+    return tagged.select(
+        "url",
+        "host",
+        "depth",
+        attrs["priority"].alias("priority"),
+        attrs["budget"].alias("budget"),
+        "allowed",
+    )
 
 
 def fetch_docs(batch: DataFrame, step: int, cfg: wm.WebConfig = wm.DEFAULT) -> DataFrame:
