@@ -83,7 +83,7 @@ def run_once(cores: int, root: str, steps: int) -> dict:
         "--master", f"local[{cores}]",
     ]
     out = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=900
+        cmd, capture_output=True, text=True, timeout=1800
     )
     summary = None
     for line in out.stdout.splitlines():
