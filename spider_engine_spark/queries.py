@@ -1638,3 +1638,66 @@ def tpch_q4_semijoin(spark, sf_dir):
     return hit.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("order_count")
     )
+
+
+@query(
+    "tpch_q14_promo",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+        THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+        ELSE 0 END) AS DOUBLE) AS promo_revenue,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+)
+def tpch_q14_promo(spark, sf_dir):
+    """Promotion-revenue share (TPC-H q14 shape): broadcast dim join +
+    conditional aggregation. Ratio left un-divided so the compare stays
+    order-independent (decimal sums)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    lo = F.to_timestamp_ntz(F.lit("1996-01-01"))
+    hi = F.to_timestamp_ntz(F.lit("1996-07-01"))
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC6)
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type").like("PROMO%"), disc).otherwise(
+                    F.lit(0).cast(_DEC6)
+                )
+            )
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(disc).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "regex_priority_codes",
+    """
+    SELECT regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS code,
+      count(*) AS n_orders
+    FROM orders GROUP BY code ORDER BY code
+    """,
+)
+def regex_priority_codes(spark, sf_dir):
+    """String/regex surface: regexp_extract of the numeric priority code
+    (JVM regex, identical semantics in DuckDB)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.regexp_extract("o_orderpriority", r"^([0-9]+)", 1).alias(
+                "code"
+            )
+        )
+        .groupBy("code")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("code")
+    )

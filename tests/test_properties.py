@@ -89,3 +89,39 @@ def test_cuckoo_never_false_negative(keys):
     arr = np.array(keys, dtype=np.uint64)
     f.insert(arr)
     assert f.contains(arr).all()
+
+
+def test_jvm_canonicalize_matches_python_reference(spark):
+    """The whole-stage-codegen canonicalize_col must be bit-identical to
+    webmodel.canonicalize across the URL shapes the synthetic web (and
+    real crawls) produce: case noise, :80 ports, fragments, whitespace,
+    missing schemes, empty paths, multi-segment paths, unicode hosts."""
+    from pyspark.sql import functions as F
+
+    from spider_engine_spark.operators.frontier import canonicalize_col
+
+    hosts = ["HOST3.Example.COM", "host0.example.com", "xn--bcher-kva.tld"]
+    paths = ["", "/", "/p/123", "/a/b/c?q=1", "/private/9"]
+    ports = ["", ":80", ":8080"]
+    frags = ["", "#sec1", "#a#b", "# trailing"]
+    schemes = ["http://", "HTTPS://", "hTtp://", ""]
+    pads = ["", "  ", "\t"]
+    cases = []
+    for h in hosts:
+        for p in paths:
+            for port in ports:
+                for f in frags:
+                    for s in schemes:
+                        for pad in pads[:2]:
+                            cases.append(f"{pad}{s}{h}{port}{p}{f}{pad}")
+    # plus the synthetic web's own outlink noise
+    for u in wm.seed_urls(20):
+        cases.extend(wm.child_links(u))
+    expected = [wm.canonicalize(u) for u in cases]
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = [
+        r["c"]
+        for r in df.select(canonicalize_col(F.col("u")).alias("c"))
+        .collect()
+    ]
+    assert got == expected
