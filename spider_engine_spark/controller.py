@@ -123,11 +123,20 @@ class SpiderController:
         return ok()
 
     def add_doc(self, db: str, table: str, key: str, content: dict) -> dict:
+        import uuid as _uuid
+
         with self._lock:
             t = self.catalog.table(db, table)
             row = {k: v for k, v in content.items()}
-            if t.pk and key:
-                row[t.pk] = key
+            from spider_engine_spark.plans.catalog import AUTO_PK
+
+            if t.pk == AUTO_PK:
+                # auto-PK table: the URL key is ignored; generate the
+                # key here so it can be returned, matching the
+                # reference's AddDoc contract (it returns the ASSIGNED
+                # primary key, table.go:446)
+                key = _uuid.uuid4().hex
+            row[t.pk] = key
             accepted, _burned = t.add_docs([row])
         if accepted == 0:
             return error("add failed (duplicate primary key?)")
@@ -142,7 +151,11 @@ class SpiderController:
 
     def update_doc(self, db: str, table: str, key: str, content: dict) -> dict:
         with self._lock:
-            self.catalog.table(db, table).update_doc(key, content)
+            found = self.catalog.table(db, table).update_doc(key, content)
+        if not found:
+            # the reference fails an update of a missing doc
+            # (table.go:614-617)
+            return error(f"can not find the doc {key}, update failed")
         return ok(key)
 
     def delete_doc(self, db: str, table: str, key: str) -> dict:
@@ -159,14 +172,19 @@ class SpiderController:
             filters=filters,
             offset=int(p.get("offset", 0)),
             size=int(p.get("size", 0)),
+            keep_total=True,
         ).collect()
         docs = []
+        total = 0
         for r in page:
             d = r.asDict()
+            # total = the PRE-pagination match count (the reference's
+            # SearchDocs returns (docs, total), table.go:1021)
+            total = d.pop("_total", total)
             d.pop("doc_id", None)
             d.pop("score", None)
             docs.append({"Key": d.get(t.pk, ""), "Detail": d})
-        return ok({"docs": docs, "total": len(docs)})
+        return ok({"docs": docs, "total": total})
 
 
 class _Handler(BaseHTTPRequestHandler):

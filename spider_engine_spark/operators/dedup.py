@@ -144,13 +144,20 @@ def shared_shingle_pairs(
     max_df is the hot-shingle frequency cap: a boilerplate shingle shared
     by k documents would otherwise emit k^2 candidate rows (the quadratic
     bucket at 100 TB). Shingles with document frequency > max_df are
-    dropped from candidate generation — a pair is still found as long as
-    it shares at least ONE sub-threshold shingle, which any pair at
-    jaccard >= 0.8 of non-boilerplate text does (the same completeness
-    trade the reference's LSH sibling makes with cap_bucket_size)."""
+    dropped from candidate generation. Completeness under the cap:
+
+    - exact-duplicate clusters (identical shingle SETS, jaccard = 1.0)
+      are recovered separately by an equality join on a hash of the full
+      shingle set, so even a cluster larger than max_df keeps all its
+      pairs — the catastrophic case a dedup pass exists for;
+    - a non-identical pair is found as long as it shares >= 1
+      sub-threshold shingle; pairs whose ENTIRE overlap is boilerplate
+      hotter than max_df can be missed — the same deliberate trade the
+      LSH sibling makes with cap_bucket_size."""
     sh = df.select(
         F.col(key), F.explode(shingles_col(content, n)).alias("shingle")
     )
+    extra = None
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -160,16 +167,35 @@ def shared_shingle_pairs(
         )
         # the hot set is tiny by construction — broadcast anti-join
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # exact-duplicate recovery: identical shingle sets pair
+        # regardless of how hot their shingles are (single groupBy on
+        # the set hash; quadratic only within true-duplicate clusters)
+        sig = df.select(
+            F.col(key),
+            F.md5(
+                F.concat_ws("\x1f", F.sort_array(shingles_col(content, n)))
+            ).alias("csig"),
+        )
+        sa, sb = sig.alias("sa"), sig.alias("sb")
+        extra = sa.join(
+            sb,
+            (F.col("sa.csig") == F.col("sb.csig"))
+            & (F.col(f"sa.{key}") < F.col(f"sb.{key}")),
+        ).select(
+            F.col(f"sa.{key}").alias("a"), F.col(f"sb.{key}").alias("b")
+        )
     a, b = sh.alias("a"), sh.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col(f"a.{key}") < F.col(f"b.{key}")),
         )
         .select(F.col(f"a.{key}").alias("a"), F.col(f"b.{key}").alias("b"))
-        .distinct()
     )
+    if extra is not None:
+        pairs = pairs.unionByName(extra)
+    return pairs.distinct()
 
 
 def jaccard_verify(
@@ -227,7 +253,14 @@ def simhash_signatures(df: DataFrame, key: str, content: str) -> DataFrame:
         sim = sim + F.when(
             F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return acc.select(F.col(key), sim.alias("sim"))
+    sigs = acc.select(F.col(key), sim.alias("sim"))
+    # zero-token documents have no rows after the explode; give them
+    # signature 0 so trivially-identical empty docs still pair
+    return (
+        df.select(F.col(key))
+        .join(sigs, key, "left")
+        .select(F.col(key), F.coalesce(F.col("sim"), F.lit(0).cast("long")).alias("sim"))
+    )
 
 
 def simhash_pairs(

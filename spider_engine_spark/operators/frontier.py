@@ -86,13 +86,17 @@ def canonicalize_col(c) -> "F.Column":
     scheme+netloc; drop :80; collapse empty path to '/'. Runs in
     whole-stage codegen — the crawl's biggest phase (canonicalizing the
     outlink stream) never enters Python at all."""
-    u = F.trim(c)
-    u = F.trim(F.substring_index(u, "#", 1))
+    # Python str.strip() strips UNICODE whitespace; (?U) makes Java's \s
+    # match the same class
+    ws = r"(?U)^\s+|\s+$"
+    u = F.regexp_replace(c, ws, "")
+    u = F.regexp_replace(F.substring_index(u, "#", 1), ws, "")
     has = u.contains("://")
-    scheme = F.when(has, F.lower(F.substring_index(u, "://", 1))).otherwise(
-        F.lit("http")
-    )
-    rest = F.when(has, F.substring_index(u, "://", -1)).otherwise(u)
+    # split at the FIRST '://' (substring_index(…, -1) would split at the
+    # last — wrong for e.g. 'http://h/redirect?to=b://c')
+    first = F.substring_index(u, "://", 1)
+    scheme = F.when(has, F.lower(first)).otherwise(F.lit("http"))
+    rest = F.when(has, u.substr(F.length(first) + 4, F.length(u))).otherwise(u)
     slash = F.instr(rest, "/")
     netloc = F.regexp_replace(
         F.lower(
@@ -144,7 +148,9 @@ def enrich_candidates(raw: DataFrame, cfg: wm.WebConfig = wm.DEFAULT) -> DataFra
         "url",
         host.alias("host"),
         "depth",
-        (~path.startswith("/private/")).alias("allowed"),
+        # single source of truth: the same disallow prefix the pure-
+        # Python robots_allowed (and the replay simulator) uses
+        (~path.startswith(wm.ROBOTS_DISALLOW_PREFIX)).alias("allowed"),
     )
     attrs = host_attrs_udf(cfg)(F.col("host"))
     return tagged.select(

@@ -59,22 +59,30 @@ def _num_ok(c: Column) -> Column:
     return c.bitwiseAND(F.lit(MAX_INT64)) != F.lit(MAX_INT64)
 
 
-def epoch_col(name: str, type_name: str) -> Column:
-    """Numeric view of a date/timestamp column for filter evaluation.
-
-    Spark 4 ANSI mode rejects cast(DATE/TIMESTAMP as long), so temporal
-    fields are converted explicitly: DATE -> days-since-epoch * 86400,
-    TIMESTAMP (incl. NTZ) -> wall-clock epoch seconds built from
-    components (session-timezone-independent)."""
-    c = F.col(name)
-    if type_name == "date":
-        return F.unix_date(c).cast("long") * 86400
+def ntz_epoch_expr(c: Column) -> Column:
+    """Wall-clock epoch seconds (floor) of a TIMESTAMP/TIMESTAMP_NTZ
+    column, built from date/time components so the value is independent
+    of the session timezone (a plain cast or unix_timestamp on NTZ is
+    either rejected under ANSI or session-tz-shifted). The single shared
+    implementation — queries.ntz_epoch delegates here."""
     return (
         F.unix_date(c.cast("date")).cast("long") * 86400
         + F.hour(c).cast("long") * 3600
         + F.minute(c).cast("long") * 60
         + F.second(c).cast("long")
     )
+
+
+def epoch_col(name: str, type_name: str) -> Column:
+    """Numeric view of a date/timestamp column for filter evaluation.
+
+    Spark 4 ANSI mode rejects cast(DATE/TIMESTAMP as long), so temporal
+    fields are converted explicitly: DATE -> days-since-epoch * 86400,
+    TIMESTAMP (incl. NTZ) -> ntz_epoch_expr."""
+    c = F.col(name)
+    if type_name == "date":
+        return F.unix_date(c).cast("long") * 86400
+    return ntz_epoch_expr(c)
 
 
 def filter_condition(
@@ -162,6 +170,7 @@ def search(
     deleted: DataFrame | None = None,
     numeric_fields: set[str] | None = None,
     term_buckets: int | None = None,
+    keep_total: bool = False,
 ) -> DataFrame:
     """Full search: returns the hydrated ranked page with a `score` column.
 
@@ -241,4 +250,8 @@ def search(
         F.lit(size)
     )
     page = ranked.filter((F.col("rn_") > lo) & (F.col("rn_") <= hi))
+    if keep_total:
+        # expose the pre-pagination match count (the reference's
+        # SearchDocs returns (docs, total), table.go:1021)
+        return page.withColumnRenamed("df_", "_total").drop("rn_", "weight")
     return page.drop("df_", "rn_", "weight")

@@ -212,7 +212,15 @@ class Table:
             elif f in raw.columns:
                 raw = raw.withColumn(f, F.col(f).cast("string"))
         if self.pk == AUTO_PK:
-            raw = raw.withColumn(AUTO_PK, F.expr("uuid()"))
+            # generate only where the caller did not supply one (the
+            # REST facade pre-generates so it can return the key,
+            # matching the reference's AddDoc contract)
+            if AUTO_PK in raw.columns:
+                raw = raw.withColumn(
+                    AUTO_PK, F.coalesce(F.col(AUTO_PK), F.expr("uuid()"))
+                )
+            else:
+                raw = raw.withColumn(AUTO_PK, F.expr("uuid()"))
         # duplicate-PK rejection (table.go:451-454): vs table and in-batch
         raw = raw.dropDuplicates([self.pk])
         if self.io.exists(f"{self.name}__base"):
@@ -355,6 +363,7 @@ class Table:
         filters: list[SearchFilter] | None = None,
         offset: int = 0,
         size: int = 0,
+        keep_total: bool = False,
     ) -> DataFrame:
         self.check_filters(list(filters or []))
         numeric = {
@@ -377,6 +386,7 @@ class Table:
             deleted=deleted,
             numeric_fields=numeric,
             term_buckets=self.term_buckets,
+            keep_total=keep_total,
         )
 
     # -- S6 schema evolution ------------------------------------------------
@@ -467,7 +477,10 @@ class Catalog:
     def create_database(self, db: str) -> None:
         import os
 
-        os.makedirs(f"{self.root}/{db}", exist_ok=True)
+        if os.path.isdir(f"{self.root}/{db}"):
+            # the reference errors on duplicate creation (ddl.go:28-31)
+            raise ValueError(f"database {db} already exists")
+        os.makedirs(f"{self.root}/{db}")
         self._dbs[db] = TableIO(f"{self.root}/{db}")
 
     def drop_database(self, db: str) -> None:
@@ -492,6 +505,9 @@ class Catalog:
         fields: dict[str, str],
         term_buckets: int = TERM_BUCKETS,
     ) -> Table:
+        if self._io(db).exists(f"{name}__meta"):
+            # the reference errors on duplicate creation (ddl.go:115-118)
+            raise ValueError(f"table {name} already exists")
         return Table(
             self.spark, self._io(db), name, fields, term_buckets=term_buckets
         )

@@ -50,20 +50,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def ntz_epoch(c) -> F.Column:
-    """Wall-clock epoch seconds (floor) of a TIMESTAMP_NTZ column.
+    """Wall-clock epoch seconds (floor) of a TIMESTAMP_NTZ column —
+    matches DuckDB floor(epoch(ts))::BIGINT on naive timestamps.
+    Delegates to the shared operators.search.ntz_epoch_expr."""
+    from spider_engine_spark.operators.search import ntz_epoch_expr
 
-    Built from date/hour/minute/second components so the value is
-    independent of the driver session's timezone (a plain cast or
-    unix_timestamp on NTZ is either rejected or session-tz-shifted).
-    Matches DuckDB floor(epoch(ts))::BIGINT on naive timestamps.
-    """
-    c = F.col(c) if isinstance(c, str) else c
-    return (
-        F.unix_date(c.cast("date")).cast("long") * 86400
-        + F.hour(c).cast("long") * 3600
-        + F.minute(c).cast("long") * 60
-        + F.second(c).cast("long")
-    )
+    return ntz_epoch_expr(F.col(c) if isinstance(c, str) else c)
 
 
 # ---------------------------------------------------------------------------
@@ -602,10 +594,14 @@ def dedup_minhash_lsh(spark, sf_dir):
         sum(CASE WHEN ((h >> bb.b) & 1) = 1 THEN cnt ELSE -cnt END) AS s
       FROM th CROSS JOIN range(60) bb(b) GROUP BY doc_id, bb.b
     ),
-    sig AS (
+    sig0 AS (
       SELECT doc_id,
         sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sim
       FROM bits GROUP BY doc_id
+    ),
+    sig AS (  -- zero-token docs get signature 0 (parity with Spark)
+      SELECT d.doc_id, coalesce(s.sim, 0::BIGINT) AS sim
+      FROM documents d LEFT JOIN sig0 s USING (doc_id)
     )
     SELECT a.doc_id AS a, b.doc_id AS b,
       bit_count(xor(a.sim, b.sim))::INTEGER AS hamming

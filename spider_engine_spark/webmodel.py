@@ -74,9 +74,13 @@ def host_priority(host: str) -> int:
     return h64("prio:" + host) % 3
 
 
+ROBOTS_DISALLOW_PREFIX = "/private/"  # shared with the JVM robots test
+#                                       in operators/frontier.py
+
+
 def robots_allowed(path: str) -> bool:
     """Global robots rule: /private/ subtrees are disallowed."""
-    return not path.startswith("/private/")
+    return not path.startswith(ROBOTS_DISALLOW_PREFIX)
 
 
 def child_links(url: str, cfg: WebConfig = DEFAULT) -> list[str]:
@@ -88,7 +92,7 @@ def child_links(url: str, cfg: WebConfig = DEFAULT) -> list[str]:
         hd = 0 if hi % 100 < cfg.hot_pct else (hi >> 8) % cfg.num_hosts
         pid = (hi >> 16) % cfg.paths_per_host
         if pid % cfg.disallow_mod == 0:
-            path = f"/private/{pid}"
+            path = f"{ROBOTS_DISALLOW_PREFIX}{pid}"
         else:
             path = f"/p/{pid}"
         host = host_name(hd)

@@ -84,6 +84,20 @@ def test_rest_full_lifecycle(api):
     assert r["code"] == 0
     keys = sorted(d["Key"] for d in r["data"]["docs"])
     assert keys == ["10002"]  # 美食 docs with age >= 25 (>'s >= quirk)
+    # total = PRE-pagination match count (table.go:1021), not page size
+    r = api(
+        "POST",
+        "/_search",
+        {"database": "db1", "table": "user", "fieldName": "user_desc",
+         "value": "美食", "size": 1},
+    )
+    assert len(r["data"]["docs"]) == 1 and r["data"]["total"] == 2
+
+    # PUT of a missing key -> error envelope (table.go:614-617)
+    assert api("PUT", "/db1/user/nope", {"user_name": "x"})["code"] == 2
+    # duplicate database / table creation -> error (ddl.go:28-31,115-118)
+    assert api("POST", "/db1")["code"] == 2
+    assert api("POST", "/db1/user", [{"name": "k", "type": "primary"}])["code"] == 2
 
     # PATCH /db/table — addField (database.go:138-204)
     r = api(
@@ -112,6 +126,15 @@ def test_rest_full_lifecycle(api):
     assert st["code"] == 0
     assert st["data"]["n_databases"] >= 1
     assert st["data"]["databases"]["db1"]["tables"]["user"]["real_doc_num"] == 2
+
+    # auto-PK table: AddDoc must return the ASSIGNED key (table.go:446)
+    assert api("POST", "/db1/nopk", [{"name": "body", "type": "words"}])["code"] == 0
+    r = api("POST", "/db1/nopk/ignored-key", {"body": "alpha beta"})
+    assert r["code"] == 0
+    assigned = r["data"]
+    assert assigned != "ignored-key"
+    got = api("GET", f"/db1/nopk/{assigned}")
+    assert got["code"] == 0 and got["data"]["Detail"]["body"] == "alpha beta"
 
     # DELETE /db/table and /db
     assert api("DELETE", "/db1/user")["code"] == 0

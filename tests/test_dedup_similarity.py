@@ -263,3 +263,19 @@ def test_kmeans_improves_ivf_partition(spark):
         ).collect()
     }
     assert len(got & brute) >= 6  # decent recall at half the lists probed
+
+
+def test_hot_shingle_cap_keeps_exact_dup_clusters(spark):
+    """A duplicate cluster LARGER than max_df must keep all its pairs:
+    every shingle in the cluster is hotter than the cap, but the exact
+    shingle-set recovery join finds the jaccard=1.0 pairs anyway."""
+    from spider_engine_spark.operators.dedup import shared_shingle_pairs
+
+    text = "exactly the same boilerplate body for every copy here"
+    rows = [(i, text) for i in range(30)]  # 30 > max_df=10
+    rows += [(100 + i, f"unique doc {i} alpha beta gamma {i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = shared_shingle_pairs(docs, "doc_id", "text", n=3, max_df=10)
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    expected = {(i, j) for i in range(30) for j in range(i + 1, 30)}
+    assert expected <= got  # all 435 exact-dup pairs survive the cap

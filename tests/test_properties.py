@@ -101,18 +101,19 @@ def test_jvm_canonicalize_matches_python_reference(spark):
     from spider_engine_spark.operators.frontier import canonicalize_col
 
     hosts = ["HOST3.Example.COM", "host0.example.com", "xn--bcher-kva.tld"]
-    paths = ["", "/", "/p/123", "/a/b/c?q=1", "/private/9"]
+    paths = ["", "/", "/p/123", "/a/b/c?q=1", "/private/9",
+             "/redirect?to=b://c"]
     ports = ["", ":80", ":8080"]
     frags = ["", "#sec1", "#a#b", "# trailing"]
     schemes = ["http://", "HTTPS://", "hTtp://", ""]
-    pads = ["", "  ", "\t"]
+    pads = ["", "  ", "\t", "\u00a0"]
     cases = []
     for h in hosts:
         for p in paths:
             for port in ports:
                 for f in frags:
                     for s in schemes:
-                        for pad in pads[:2]:
+                        for pad in pads:
                             cases.append(f"{pad}{s}{h}{port}{p}{f}{pad}")
     # plus the synthetic web's own outlink noise
     for u in wm.seed_urls(20):
