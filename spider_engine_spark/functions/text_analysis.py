@@ -77,3 +77,54 @@ def lang_guess(c: Column) -> Column:
 def fingerprint(c: Column, length: int = 16) -> Column:
     """Content fingerprint: md5 prefix of the normalized token stream."""
     return F.substring(F.md5(F.concat_ws(" ", tokens(F.lower(c)))), 1, length)
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+#  letter runs | digit runs | punctuation runs — the pre-tokenization
+#  split GPT-style BPE vocabularies are trained over (simplified: no
+#  contraction classes, ASCII-only letter class so Java regex and RE2
+#  (DuckDB) agree byte-for-byte)
+
+
+def bpe_ish_tokens(c: Column) -> Column:
+    """BPE-style pre-tokenization via regexp_extract_all — JVM-side; the
+    oracle uses DuckDB's regexp_extract_all with the same pattern."""
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    return F.size(bpe_ish_tokens(c))
+
+
+def winnowing_fingerprints(
+    c: Column, n: int = 3, w: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the standard rolling-hash selection for near-dup detection at scale):
+    hash every positional n-token gram (md5 60-bit, the SQL-reproducible
+    hash), slide a window of w consecutive gram hashes, keep each
+    window's minimum, distinct. All JVM array expressions — no UDF.
+
+    Returns array<long> (empty when the doc has < n+w-1 tokens). Two
+    documents sharing a long-enough run of text share a fingerprint with
+    certainty (the guarantee windowed-min selection provides and random
+    sampling does not).
+    """
+    toks = tokens(c)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(hashes) - (w - 1)),
+            lambda j: F.array_min(F.slice(hashes, j, w)),
+        )
+    )
+    return F.when(
+        F.size(toks) >= n + w - 1, wins
+    ).otherwise(F.array().cast("array<long>"))

@@ -1697,3 +1697,73 @@ def regex_priority_codes(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("code")
     )
+
+
+@query(
+    "bpe_token_count_by_lang",
+    """
+    SELECT lang,
+      CAST(sum(len(regexp_extract_all(text,
+        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS BIGINT) AS total_bpe_tokens,
+      count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def bpe_token_count_by_lang(spark, sf_dir):
+    """BPE-style pre-tokenization counting (letter/digit/punct runs) —
+    the token-budget estimator for an LLM training pipeline; JVM
+    regexp_extract_all on both sides."""
+    from spider_engine_spark.functions import text_analysis as ta
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(ta.bpe_ish_token_count(F.col("text"))).alias(
+            "total_bpe_tokens"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "winnowing_fingerprints",
+    """
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), big AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) >= 6
+    ), g AS (
+      SELECT doc_id,
+        [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+          AS grams
+      FROM big
+    ), h AS (
+      SELECT doc_id,
+        list_transform(grams,
+          x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS hs
+      FROM g
+    ), wmin AS (
+      SELECT doc_id,
+        list_distinct([list_min(hs[j:j+3]) for j in range(1, len(hs)-2)])
+          AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM wmin
+    """,
+)
+def winnowing_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (n=3 grams, window w=4),
+    exploded to (doc_id, fp) rows — the content-defined signatures a
+    100 TB near-dup pass joins on. Fully JVM; the oracle recomputes the
+    identical selection in SQL."""
+    from spider_engine_spark.functions.text_analysis import (
+        winnowing_fingerprints as fps_col,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(fps_col(F.col("text"), 3, 4)).alias("fp")
+        )
+    )

@@ -279,3 +279,30 @@ def test_hot_shingle_cap_keeps_exact_dup_clusters(spark):
     got = {(r["a"], r["b"]) for r in capped.collect()}
     expected = {(i, j) for i in range(30) for j in range(i + 1, 30)}
     assert expected <= got  # all 435 exact-dup pairs survive the cap
+
+
+def test_winnowing_shared_run_guarantees_shared_fingerprint(spark):
+    """Winnowing's core guarantee: two docs sharing a sufficiently long
+    token run (>= n+w-1 tokens) share at least one fingerprint; disjoint
+    docs share none."""
+    from spider_engine_spark.functions.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 >= 3+4-1
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro words here {shared} tail one"),
+            (1, f"completely different head {shared}"),
+            (2, "unrelated content with other tokens entirely present"),
+            (3, "tiny doc"),  # < n+w-1 tokens -> empty fingerprint set
+        ],
+        "doc_id long, text string",
+    )
+    rows = docs.select(
+        "doc_id", winnowing_fingerprints(F.col("text")).alias("fps")
+    ).collect()
+    fps = {r["doc_id"]: set(r["fps"]) for r in rows}
+    assert fps[0] & fps[1]  # shared run -> shared fingerprint
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+    assert fps[3] == set()
