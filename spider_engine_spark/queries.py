@@ -1767,3 +1767,60 @@ def winnowing_fingerprints(spark, sf_dir):
             "doc_id", F.explode(fps_col(F.col("text"), 3, 4)).alias("fp")
         )
     )
+
+
+@query(
+    "thumbnail_stats",
+    """
+    WITH hx AS (
+      SELECT doc_id, md5(doc_id::VARCHAR) AS m FROM documents
+    ), h AS (
+      SELECT doc_id,
+        ('0x' || substring(m, 1, 2))::INTEGER AS h0,
+        ('0x' || substring(m, 3, 2))::INTEGER AS h1,
+        ('0x' || substring(m, 5, 2))::INTEGER AS h2,
+        ('0x' || substring(m, 7, 2))::INTEGER AS h3
+      FROM hx
+    ), m AS (
+      SELECT doc_id,
+        CASE h1 % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+          AS kind,
+        256 + h0 * 16 AS n,
+        CASE WHEN h1 % 3 = 1 THEN 0 ELSE 16 + h2 % 64 END AS w,
+        CASE WHEN h1 % 3 = 1 THEN 0 ELSE 16 + h3 % 64 END AS hh
+      FROM h
+    )
+    SELECT kind, count(*) AS n_docs,
+      CAST(sum(least(w, 8)) AS BIGINT) AS sum_thumb_w,
+      CAST(sum(least(hh, 8)) AS BIGINT) AS sum_thumb_h,
+      CAST(sum(greatest(32, n // greatest(greatest(w, hh), 1))) AS BIGINT)
+        AS sum_thumb_bytes
+    FROM m GROUP BY kind
+    """,
+)
+def thumbnail_stats(spark, sf_dir):
+    """Multimodal resize kernel through the oracle gate: synth payloads ->
+    thumbnail (mapInPandas: clamped dims + payload downsample) -> per-kind
+    stats. The oracle recomputes the clamp/length arithmetic from the
+    md5-derived metadata while Spark measures the ACTUAL emitted binary
+    (octet length of the thumb column) — an end-to-end check of the
+    resize plumbing."""
+    from spider_engine_spark.operators.multimodal import (
+        synth_media,
+        thumbnail,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = synth_media(docs)
+    thumbs = thumbnail(media, max_side=8)
+    kinds = media.select("doc_id", F.col("meta.kind").alias("kind"))
+    return (
+        thumbs.join(kinds, "doc_id")
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("thumb_w").cast("long").alias("sum_thumb_w"),
+            F.sum("thumb_h").cast("long").alias("sum_thumb_h"),
+            F.sum(F.length("thumb")).cast("long").alias("sum_thumb_bytes"),
+        )
+    )
