@@ -59,18 +59,28 @@ def error(data) -> dict:
     return _result(RET_ERROR, str(data))
 
 
-def _to_filter(d: dict) -> SearchFilter:
-    """basic.SearchFilter JSON -> SearchFilter (keys from struct.go:61-69)."""
+def _to_filter(d: dict, field_types: dict | None = None) -> SearchFilter:
+    """basic.SearchFilter JSON -> SearchFilter (keys from struct.go:61-69).
+
+    str-vs-int is dispatched on the filtered field's DECLARED type (the
+    reference switches on the field's index type, not on value
+    truthiness) so an empty-string =/!=/prefix probe is expressible;
+    for unknown fields it falls back to which JSON key is present."""
     op = d.get("type", "=")
-    str_val = d.get("str", "")
-    int_val = d.get("int", 0)
     values: tuple = ()
     if op in ("in", "not in"):
         values = tuple(d.get("iranges") or []) or tuple(d.get("sranges") or [])
+    ftype = (field_types or {}).get(d.get("field", ""))
+    if ftype is not None:
+        value = d.get("int", 0) if ftype in ("number", "time") else d.get("str", "")
+    elif "str" in d:
+        value = d["str"]
+    else:
+        value = d.get("int", 0)
     return SearchFilter(
         field=d.get("field", ""),
         op=op,
-        value=str_val if str_val else int_val,
+        value=value,
         begin=d.get("begin"),
         end=d.get("end"),
         values=values,
@@ -165,7 +175,7 @@ class SpiderController:
 
     def search(self, p: dict) -> dict:
         t = self.catalog.table(p["database"], p["table"])
-        filters = [_to_filter(f) for f in p.get("filters") or []]
+        filters = [_to_filter(f, t.fields) for f in p.get("filters") or []]
         page = t.search(
             p.get("value", ""),
             field=p.get("fieldName", ""),

@@ -132,6 +132,25 @@ CJK_DICT = frozenset(
         # splitter/jieba fixtures
         "名字", "家乡", "江苏", "张二小", "中华人民共和国",
         "法国", "巴黎", "圣母院", "西班牙", "娃哈哈",
+        # general-corpus extension: high-frequency standard-Mandarin
+        # words (all present in jieba's public dictionary, so forward
+        # max-match segments them the same way jieba's DAG path does for
+        # unambiguous text). Chosen to be disjoint from the fixture
+        # sentences' token boundaries — the fixture-parity tests above
+        # stay bit-exact (verified by tests/test_tokenizers.py).
+        "我们", "你们", "他们", "她们", "大家", "自己",
+        "中国", "人民", "国家", "世界", "城市", "政府", "社会",
+        "时间", "今天", "明天", "昨天", "现在", "已经", "永远",
+        "工作", "学习", "生活", "问题", "知道", "认为", "觉得",
+        "什么", "怎么", "为什么", "没有", "可以", "应该", "能够",
+        "因为", "所以", "但是", "如果", "虽然", "并且", "或者",
+        "这个", "那个", "这些", "那些", "一些", "很多", "非常",
+        "朋友", "老师", "学生", "孩子", "父母", "先生", "女士",
+        "公司", "企业", "市场", "经济", "产品", "服务", "管理",
+        "发展", "技术", "科学", "历史", "文化", "教育", "研究",
+        "数据", "系统", "网络", "计算", "程序", "软件", "信息",
+        "搜索", "引擎", "索引", "查询", "分词", "文档", "互联网",
+        "人工智能", "机器学习", "数据库", "计算机",
     }
 )
 _DICT_MAX_LEN = max(len(w) for w in CJK_DICT)

@@ -131,17 +131,34 @@ def host_attrs_udf(cfg: wm.WebConfig):
     return _attrs
 
 
-def enrich_candidates(raw: DataFrame, cfg: wm.WebConfig = wm.DEFAULT) -> DataFrame:
+def enrich_candidates(
+    raw: DataFrame,
+    cfg: wm.WebConfig = wm.DEFAULT,
+    host_attrs: DataFrame | None = None,
+) -> DataFrame:
     """raw(url_raw, depth) -> canonical candidates with host attributes.
 
     Canonicalization, host/path split and the robots prefix test are
     pure JVM expressions (whole-stage codegen over the multi-billion-row
     outlink stream); Python is reduced to the per-unique-host attribute
     UDF (host column in, two ints out). webmodel stays the single source
-    of truth shared with the replay simulator."""
+    of truth shared with the replay simulator.
+
+    host_attrs: optional (host, priority, budget) table of already-
+    computed attributes (CrawlJob persists one). Known hosts take their
+    attrs from a broadcast join — zero Python, no Arrow transfer of the
+    candidate stream — and only rows for never-seen hosts run the UDF.
+    The crawl's hot-domain skew means the hit rate approaches 1 after
+    the first steps."""
     url = canonicalize_col(F.col("url_raw"))
     base = raw.select(url.alias("url"), "depth")
-    after = F.substring_index(F.col("url"), "://", -1)
+    # split at the FIRST '://' — mirroring canonicalize_col; a canonical
+    # URL whose path embeds '://' (http://h/redirect?to=b://c) must not
+    # have its host taken from the embedded scheme
+    scheme = F.substring_index(F.col("url"), "://", 1)
+    after = F.col("url").substr(
+        F.length(scheme) + 4, F.length(F.col("url"))
+    )
     host = F.substring_index(after, "/", 1)
     path = after.substr(F.length(host) + 1, F.length(after))
     tagged = base.select(
@@ -152,15 +169,28 @@ def enrich_candidates(raw: DataFrame, cfg: wm.WebConfig = wm.DEFAULT) -> DataFra
         # Python robots_allowed (and the replay simulator) uses
         (~path.startswith(wm.ROBOTS_DISALLOW_PREFIX)).alias("allowed"),
     )
-    attrs = host_attrs_udf(cfg)(F.col("host"))
-    return tagged.select(
-        "url",
-        "host",
-        "depth",
-        attrs["priority"].alias("priority"),
-        attrs["budget"].alias("budget"),
-        "allowed",
+
+    def _with_udf(df: DataFrame) -> DataFrame:
+        attrs = host_attrs_udf(cfg)(F.col("host"))
+        return df.select(
+            "url",
+            "host",
+            "depth",
+            attrs["priority"].alias("priority"),
+            attrs["budget"].alias("budget"),
+            "allowed",
+        )
+
+    if host_attrs is None:
+        return _with_udf(tagged)
+    known = F.broadcast(
+        host_attrs.select("host", "priority", "budget")
     )
+    hit = tagged.join(known, "host").select(
+        "url", "host", "depth", "priority", "budget", "allowed"
+    )
+    miss = tagged.join(known, "host", "left_anti")
+    return hit.unionByName(_with_udf(miss))
 
 
 def fetch_docs(batch: DataFrame, step: int, cfg: wm.WebConfig = wm.DEFAULT) -> DataFrame:
@@ -401,6 +431,14 @@ class CrawlJob:
             "seen", cand.select("url", "hash", "shard"), meta={"step": 0},
             partition_by=["shard"],
         )
+        # host-attribute cache: deterministic (host, priority, budget)
+        # rows; later supersteps broadcast-join it so known hosts never
+        # re-enter Python (see enrich_candidates)
+        self.io.write(
+            "hosts",
+            cand.select("host", "priority", "budget").distinct(),
+            meta={"step": 0},
+        )
         state = seenset.insert(
             cand, seenset.empty_state(self.spark), self.capacity
         )
@@ -427,7 +465,7 @@ class CrawlJob:
         # re-running idempotently. In memory mode durable state only moves
         # at checkpoints, so this no-ops between them.
         if not self._mem:
-            for tbl in ("docs", "seen", "filter", "postings", "admitted"):
+            for tbl in ("docs", "seen", "filter", "postings", "admitted", "hosts"):
                 if self.io.exists(tbl):
                     if int(self.io.meta(tbl).get("step", 0)) > step:
                         v = self.io.latest_version_at_step(tbl, step)
@@ -492,7 +530,11 @@ class CrawlJob:
         raw_links = raw_links.repartition(
             spark.sparkContext.defaultParallelism
         )  # unlock full UDF parallelism (AQE coalesces by bytes)
-        enriched = enrich_candidates(raw_links, self.cfg).cache()
+        have_hosts = "hosts" in self._mem or self.io.exists("hosts")
+        hosts_df = self._get("hosts") if have_hosts else None
+        enriched = enrich_candidates(
+            raw_links, self.cfg, host_attrs=hosts_df
+        ).cache()
         # one action for robots + link counts
         allow_counts = dict(
             (bool(r["allowed"]), r["cnt"])
@@ -500,6 +542,26 @@ class CrawlJob:
             .agg(F.count("*").alias("cnt"))
             .collect()
         )
+        # grow the host-attr cache with this step's never-seen hosts
+        # (disjoint from the table by construction -> append keeps keys
+        # unique; a crash before the frontier commit is reverted by the
+        # orphan pass above)
+        if hosts_df is None:
+            new_hosts = enriched.select("host", "priority", "budget").distinct()
+        else:
+            new_hosts = (
+                enriched.join(
+                    F.broadcast(hosts_df.select("host")), "host", "left_anti"
+                )
+                .select("host", "priority", "budget")
+                .distinct()
+            )
+        if self.checkpoint_every == 1:
+            self.io.write(
+                "hosts", new_hosts, mode="append", meta={"step": step + 1}
+            )
+        else:
+            self._put("hosts", new_hosts, append=True)
         mark("enrich")
         n_links = sum(allow_counts.values())
         n_robots_blocked = allow_counts.get(False, 0)
@@ -687,12 +749,15 @@ class CrawlJob:
         return out
 
     # -- views ---------------------------------------------------------
-    def fetched_urls_by_step(self) -> dict[int, list[str]]:
-        rows = self._get("docs").select("doc_id", "fetch_step").collect()
-        out: dict[int, list[str]] = {}
-        for r in rows:
-            out.setdefault(r["fetch_step"], []).append(r["doc_id"])
-        return {k: sorted(v) for k, v in out.items()}
+    # All views return DataFrames — at 10^10 URLs a collect() here would
+    # OOM the driver. Tests that need Python sets collect through the
+    # bounded helpers in tests/conftest.py.
+    def fetched_df(self) -> DataFrame:
+        """(fetch_step, url) for everything fetched so far — distributed
+        view; aggregate/join it, don't collect it."""
+        return self._get("docs").select(
+            "fetch_step", F.col("doc_id").alias("url")
+        )
 
     def postings(self) -> DataFrame:
         """Merged, de-bucketed view of the postings append chain (the
@@ -706,7 +771,6 @@ class CrawlJob:
             ),
         )
 
-    def seen_urls(self) -> set[str]:
-        return {
-            r["url"] for r in self._get("seen").select("url").collect()
-        }
+    def seen_df(self) -> DataFrame:
+        """Distributed (url) view of the exact seen set."""
+        return self._get("seen").select("url")

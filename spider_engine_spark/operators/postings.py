@@ -235,6 +235,50 @@ def query_term(
     )
 
 
+def multi_term_or(
+    postings: DataFrame,
+    field: str,
+    terms: list[str],
+    max_doc: int,
+    term_buckets: int = TERM_BUCKETS,
+) -> DataFrame:
+    """Scored multi-term OR: docs containing ANY term, score = sum over
+    matched terms of the per-term TF-IDF.
+
+    The reference's legacy multi-query loop
+    (/root/reference/engine/search/search.go:263-320) folds an
+    idf-scaled weight into the accumulator per query term via sorted-list
+    merges (InteractionWithStartAndDf, search.go:228-261). Spark-first:
+    one pruned partition probe per term, union, then a single
+    groupBy(doc_id) sum — the shuffle replaces the merge loops, and each
+    per-term score uses the same law as single-term search
+    (table.go:1116-1123) with df = the term's own posting-list length
+    (the df statistic the postings table already carries).
+    """
+    from spider_engine_spark.operators.search import tfidf_score
+
+    probes = None
+    for t in terms:
+        p = query_term(postings, field, t, term_buckets=term_buckets)
+        p = p.withColumn("term", F.lit(t))
+        probes = p if probes is None else probes.unionByName(p)
+    # per-term df from the union itself (one shuffle, tiny result) — at
+    # scale this can equally come from the postings df column; both equal
+    # |posting list| for an unfiltered probe
+    dfs = probes.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
+    scored = probes.join(F.broadcast(dfs), "term").withColumn(
+        "score", tfidf_score(F.col("weight"), max_doc, F.col("df_"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("score").alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .select("doc_id", "n_terms", "score")
+    )
+
+
 def multi_term_and(
     postings: DataFrame, field: str, terms: list[str]
 ) -> DataFrame:

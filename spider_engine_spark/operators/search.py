@@ -77,11 +77,16 @@ def epoch_col(name: str, type_name: str) -> Column:
     """Numeric view of a date/timestamp column for filter evaluation.
 
     Spark 4 ANSI mode rejects cast(DATE/TIMESTAMP as long), so temporal
-    fields are converted explicitly: DATE -> days-since-epoch * 86400,
-    TIMESTAMP (incl. NTZ) -> ntz_epoch_expr."""
+    fields are converted explicitly: DATE -> days-since-epoch * 86400;
+    instant TIMESTAMP -> unix_seconds (true epoch, independent of
+    spark.sql.session.timeZone — the component-built expression would
+    shift with it for instant types); TIMESTAMP_NTZ -> ntz_epoch_expr
+    (wall-clock components; unix_seconds is illegal on NTZ)."""
     c = F.col(name)
     if type_name == "date":
         return F.unix_date(c).cast("long") * 86400
+    if type_name == "timestamp":
+        return F.unix_seconds(c)
     return ntz_epoch_expr(c)
 
 
@@ -171,12 +176,27 @@ def search(
     numeric_fields: set[str] | None = None,
     term_buckets: int | None = None,
     keep_total: bool = False,
+    df_source: str = "count",
 ) -> DataFrame:
     """Full search: returns the hydrated ranked page with a `score` column.
 
     search_field '' routes to the god field (table.go:997-1000);
     keyword '' is a full range scan with weight 0 (partition.go:701-704).
     max_doc is the table's NextDocId (pass row-count for dense ids).
+
+    df_source: where the TF-IDF df statistic comes from.
+    - 'count' (default): count-agg over the filtered candidate set — the
+      reference's exact semantics (df = |result set after filters|,
+      table.go:1116) and the only correct choice when filters or deletes
+      can shrink the set.
+    - 'postings': read df straight from the postings table's per-term df
+      column (summed over doc-buckets). Identical by definition when
+      there are no filters/deletes and every posting doc exists in base —
+      and skips re-computing the candidate subplan for the stats agg (the
+      broadcast exchange otherwise evaluates it twice). The 100 TB form:
+      df is an index statistic, not a per-query aggregation.
+      Falls back to 'count' when filters/deletes/empty-keyword make the
+      statistic inapplicable.
     """
     fld = search_field or GOD_FIELD
     if numeric_fields is None:
@@ -190,7 +210,7 @@ def search(
     # temporal columns need an explicit numeric conversion (ANSI forbids
     # cast(DATE as long)) — detect them from the schema
     temporal_types = {
-        f.name: ("date" if f.dataType.typeName() == "date" else "timestamp")
+        f.name: f.dataType.typeName()  # date | timestamp | timestamp_ntz
         for f in base.schema.fields
         if f.dataType.typeName() in ("date", "timestamp", "timestamp_ntz")
     }
@@ -228,7 +248,23 @@ def search(
     # back to (0, min(100, total))), so rank = distributed TakeOrdered to
     # that bound, then row_number over the tiny pre-ranked set. A hot
     # term's million-row posting list never funnels through one task.
-    stats = hydrated.agg(F.count(F.lit(1)).alias("df_"))
+    if (
+        df_source == "postings"
+        and keyword != ""
+        and not filters
+        and deleted is None
+    ):
+        pruned = postings
+        if term_buckets is not None and "term_bucket" in postings.columns:
+            pruned = postings.filter(
+                F.col("term_bucket")
+                == F.pmod(F.xxhash64(F.lit(keyword)), F.lit(term_buckets)).cast("int")
+            )
+        stats = pruned.filter(
+            (F.col("field") == fld) & (F.col("term") == keyword)
+        ).agg(F.coalesce(F.sum("df"), F.lit(0)).alias("df_"))
+    else:
+        stats = hydrated.agg(F.count(F.lit(1)).alias("df_"))
     scored = hydrated.crossJoin(F.broadcast(stats)).withColumn(
         "score", tfidf_score(F.col("weight"), max_doc, F.col("df_"))
     )

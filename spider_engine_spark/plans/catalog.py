@@ -364,6 +364,7 @@ class Table:
         offset: int = 0,
         size: int = 0,
         keep_total: bool = False,
+        df_source: str = "postings",
     ) -> DataFrame:
         self.check_filters(list(filters or []))
         numeric = {
@@ -387,6 +388,10 @@ class Table:
             numeric_fields=numeric,
             term_buckets=self.term_buckets,
             keep_total=keep_total,
+            # df comes from the postings statistic when no filters/
+            # deletes shrink the candidate set (search_op falls back to
+            # the reference's count-agg semantics otherwise)
+            df_source=df_source,
         )
 
     # -- S6 schema evolution ------------------------------------------------

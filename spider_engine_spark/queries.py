@@ -108,6 +108,10 @@ def _search_docs(spark, sf_dir, keyword, filters=(), offset=0, size=100):
         offset=offset,
         size=size,
         max_doc=docs.count(),
+        # df from the postings statistic when no filters shrink the set
+        # (search() falls back to the count-agg otherwise) — one fewer
+        # evaluation of the candidate subplan
+        df_source="postings",
     )
     return page.select("doc_id", "text", "lang", "source", "n_chars", "score")
 
@@ -1112,6 +1116,48 @@ def search_multi_term_and(spark, sf_dir):
 
 
 @query(
+    "search_multi_term_or",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tok2 AS (
+      SELECT doc_id, term FROM toks WHERE term <> ''
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS total FROM tok2 GROUP BY doc_id
+    ), per_term AS (
+      SELECT doc_id, term, count(*) AS cnt FROM tok2
+      WHERE term IN ('spark', 'vector') GROUP BY doc_id, term
+    ), weighted AS (
+      SELECT p.doc_id, p.term,
+        trunc((p.cnt::FLOAT / d.total::FLOAT) * 10000::FLOAT)::BIGINT AS w
+      FROM per_term p JOIN per_doc d USING (doc_id)
+    ), dfs AS (
+      SELECT term, count(*) AS df FROM weighted GROUP BY term
+    ), scored AS (
+      SELECT w.doc_id,
+        trunc(w.w / 10000.0
+              * log10((SELECT count(*) FROM documents)::DOUBLE / f.df::DOUBLE)
+              * 1000.0)::BIGINT AS s
+      FROM weighted w JOIN dfs f USING (term)
+    )
+    SELECT doc_id, count(*) AS n_terms, CAST(sum(s) AS BIGINT) AS score
+    FROM scored GROUP BY doc_id
+    """,
+)
+def search_multi_term_or(spark, sf_dir):
+    """Scored multi-term OR (the reference's legacy idf-accumulating
+    multi-query loop, search/search.go:263-320) as a pruned-probe union +
+    one groupBy(doc_id) sum of per-term TF-IDF."""
+    from spider_engine_spark.operators.postings import multi_term_or
+
+    docs = load(spark, sf_dir, "documents")
+    postings = build_postings_native(docs, "doc_id", "text")
+    return multi_term_or(
+        postings, "text", ["spark", "vector"], max_doc=docs.count()
+    )
+
+
+@query(
     "rollup_lang_source",
     """
     SELECT lang, source, count(*) AS n_docs,
@@ -1224,11 +1270,14 @@ def ann_ivf(spark, sf_dir):
     Oracle-checkable by the same planted-copy construction as ann_lsh:
     IVF assignment is argmax of cosine vs the centroids and cosine is
     exactly scale-invariant, so every copy lands in the query vector's
-    own nearest-centroid list, which n_probe >= 1 provably scans."""
+    own nearest-centroid list, which n_probe >= 1 provably scans — for
+    ANY centroid set, which is why the quantizer can be the real
+    distributed Lloyd k-means (deterministic seed + exact per-list means)
+    rather than the raw first-n seed without weakening the oracle."""
     from spider_engine_spark.operators.similarity import (
         ivf_assign,
         ivf_topk,
-        sample_centroids,
+        kmeans_centroids,
     )
 
     natural = load(spark, sf_dir, "embeddings")
@@ -1236,7 +1285,7 @@ def ann_ivf(spark, sf_dir):
     qvec = list(
         emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     )
-    cents = sample_centroids(natural, "embedding", 16, "vec_id")
+    cents = kmeans_centroids(natural, "vec_id", "embedding", 16, iters=2)
     assigned = ivf_assign(
         emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", cents
     )
@@ -1350,21 +1399,41 @@ def filter_sentinel_semantics(spark, sf_dir):
                                  for i in range(1, len(toks)-1)])
         END AS sh
       FROM t
+    ), e AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM s
+    ), cold AS (  -- the engine's max_df=20 hot-shingle candidate cap
+      SELECT shingle FROM e GROUP BY shingle HAVING count(*) <= 20
+    ), cand AS (
+      SELECT DISTINCT ea.doc_id AS a, eb.doc_id AS b
+      FROM e ea
+      JOIN cold c ON ea.shingle = c.shingle
+      JOIN e eb ON eb.shingle = ea.shingle AND ea.doc_id < eb.doc_id
+      UNION
+      SELECT sa.doc_id, sb.doc_id  -- identical-set recovery path
+      FROM s sa JOIN s sb
+        ON sa.doc_id < sb.doc_id
+       AND list_sort(sa.sh) = list_sort(sb.sh)
     )
-    SELECT a.doc_id AS a, b.doc_id AS b,
-      len(list_intersect(a.sh, b.sh))::DOUBLE
-        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-    FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    SELECT cand.a, cand.b,
+      len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+    FROM cand
+    JOIN s sa ON sa.doc_id = cand.a
+    JOIN s sb ON sb.doc_id = cand.b
+    WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram-Jaccard near-dup pairs: candidates from a shared-
     shingle equi-join with a hot-shingle frequency cap (max_df=20 —
     a boilerplate shingle shared by k docs would otherwise emit k^2
-    candidate rows), verified exactly. The non-probabilistic sibling of
-    dedup_minhash_lsh — same oracle, candidate generation differs."""
+    candidate rows) plus an identical-shingle-set recovery join, verified
+    exactly. The oracle models the SAME candidate rule (cold-shingle
+    overlap OR identical sets), so a corpus where a >=0.8 pair overlaps
+    only on hot shingles fails ON BOTH SIDES identically instead of
+    silently diverging. The non-probabilistic sibling of
+    dedup_minhash_lsh — same verification, candidate generation differs."""
     from spider_engine_spark.operators.dedup import (
         jaccard_verify,
         shared_shingle_pairs,

@@ -40,12 +40,28 @@ def stream_index_docs(
     """
     io = TableIO(state_root)
     stream = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        stream.writeStream.foreachBatch(make_batch_handler(io, compact_every))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def make_batch_handler(io: TableIO, compact_every: int = 4):
+    """The foreachBatch body, exposed so crash-replay tests drive the
+    REAL handler at every commit boundary.
+
+    Idempotence: skip replayed batch ids after checkpoint recovery.
+    Completion is tracked PER TABLE — if the process died after the base
+    append but before the postings append (or before the periodic
+    compaction commit), the replayed batch must still finish the
+    remaining writes or base and index silently diverge. The compaction
+    overwrite itself is idempotent: merge_postings of an already-merged
+    table is a fixpoint, so replaying it after a crash on either side of
+    the commit converges to the same snapshot."""
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # idempotence: skip replayed batch ids after checkpoint recovery.
-        # Completion is tracked PER TABLE — if the process died after the
-        # base append but before the postings append, the replayed batch
-        # must still write the postings or base and index silently diverge.
         def done(tbl: str) -> int:
             return (
                 int(io.meta(tbl).get("batch_id", -1)) if io.exists(tbl) else -1
@@ -68,12 +84,7 @@ def stream_index_docs(
                 meta={"batch_id": batch_id, "compacted": True},
             )
 
-    return (
-        stream.writeStream.foreachBatch(handle_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return handle_batch
 
 
 def windowed_event_counts(

@@ -358,3 +358,27 @@ def test_temporal_filter_on_date_column(spark, tmp_path):
     )
     got = sorted(r["doc_id"] for r in df.filter(cond).collect())
     assert got == [1, 2]  # reference '>' evaluates >=; null excluded
+
+
+def test_instant_timestamp_filter_tz_independent(spark):
+    """Numeric filter values on an instant TIMESTAMP field must mean true
+    epoch seconds regardless of spark.sql.session.timeZone (the NTZ
+    wall-clock component expression would shift with it)."""
+    from pyspark.sql import functions as F
+
+    from spider_engine_spark.operators.search import epoch_col
+
+    df = spark.createDataFrame([(1,)], "doc_id long").select(
+        "doc_id", F.timestamp_seconds(F.lit(1704067200)).alias("t")
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    got = {}
+    try:
+        for tz in ("UTC", "Asia/Shanghai"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got[tz] = df.select(
+                epoch_col("t", "timestamp").alias("e")
+            ).first()["e"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert got["UTC"] == got["Asia/Shanghai"] == 1704067200

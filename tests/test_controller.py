@@ -146,3 +146,52 @@ def test_rest_full_lifecycle(api):
         assert False, "expected 404"
     except Exception:
         pass
+
+
+def test_filter_value_dispatch_by_field_type(api):
+    """str-vs-int filter values dispatch on the field's DECLARED type
+    (reference behavior), so an empty-string probe on a string field is
+    expressible and an int filter carrying a stray empty 'str' key still
+    reads the int."""
+    assert api("POST", "/db2")["code"] == 0
+    assert (
+        api(
+            "POST",
+            "/db2/t",
+            [
+                {"name": "k", "type": "primary"},
+                {"name": "tag", "type": "whole"},
+                {"name": "n", "type": "number"},
+                {"name": "body", "type": "words"},
+            ],
+        )["code"]
+        == 0
+    )
+    for key, tag, n in [("1", "", 5), ("2", "x", 7)]:
+        r = api(
+            "POST", f"/db2/t/{key}", {"tag": tag, "n": n, "body": "alpha"}
+        )
+        assert r["code"] == 0
+
+    def search(filters):
+        return api(
+            "POST",
+            "/_search",
+            {
+                "database": "db2",
+                "table": "t",
+                "fieldName": "body",
+                "value": "alpha",
+                "filters": filters,
+            },
+        )
+
+    # empty-string equality on a string field: must match doc 1 (the old
+    # truthiness dispatch silently turned this into the integer 0)
+    r = search([{"field": "tag", "type": "=", "str": ""}])
+    assert [d["Key"] for d in r["data"]["docs"]] == ["1"]
+    # int filter with a stray empty 'str' key present: still numeric
+    r = search([{"field": "n", "type": "=", "str": "", "int": 7}])
+    assert [d["Key"] for d in r["data"]["docs"]] == ["2"]
+
+    assert api("DELETE", "/db2")["code"] == 0

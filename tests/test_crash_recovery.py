@@ -10,6 +10,8 @@ from spider_engine_spark import webmodel as wm
 from spider_engine_spark.operators.frontier import CrawlJob
 from spider_engine_spark.simulator import ReplaySimulator
 
+from conftest import fetched_urls_by_step, seen_urls
+
 SEEDS = wm.seed_urls(10)
 
 
@@ -62,8 +64,8 @@ def test_resume_after_crash_at_every_commit_boundary(
 
     sim = ReplaySimulator(SEEDS)
     sim.run(3)
-    assert job2.fetched_urls_by_step() == sim.fetched_by_step
-    assert job2.seen_urls() == sim.seen
+    assert fetched_urls_by_step(job2) == sim.fetched_by_step
+    assert seen_urls(job2) == sim.seen
     # postings not double-counted by the orphan append
     postings = job2.postings()
     row = postings.orderBy("term").collect()[0]
@@ -110,8 +112,8 @@ def test_memory_mode_crash_mid_checkpoint(
     job2.run(3)
     sim = ReplaySimulator(SEEDS)
     sim.run(3)
-    assert job2.fetched_urls_by_step() == sim.fetched_by_step
-    assert job2.seen_urls() == sim.seen
+    assert fetched_urls_by_step(job2) == sim.fetched_by_step
+    assert seen_urls(job2) == sim.seen
 
 
 def test_streaming_ingest_crash_between_base_and_postings(
@@ -136,35 +138,67 @@ def test_streaming_ingest_crash_between_base_and_postings(
     io.write("base", batch, mode="append", meta={"batch_id": 0})
     # ... crash here: postings for batch 0 never written ...
 
-    # replay of batch 0 through the real handler logic
-    def handler(batch_df, batch_id):
-        def done(tbl):
-            return (
-                int(io.meta(tbl).get("batch_id", -1))
-                if io.exists(tbl)
-                else -1
-            )
-
-        if batch_id > done("base"):
-            io.write(
-                "base", batch_df, mode="append", meta={"batch_id": batch_id}
-            )
-        if batch_id > done("postings"):
-            from spider_engine_spark.operators.postings import (
-                build_postings_native,
-            )
-
-            io.write(
-                "postings",
-                build_postings_native(batch_df, "doc_id", "text"),
-                mode="append",
-                meta={"batch_id": batch_id},
-            )
-
-    handler(batch, 0)
+    # replay of batch 0 through the REAL handler
+    ing.make_batch_handler(io, compact_every=4)(batch, 0)
     # base not double-appended, postings completed
     assert io.read(spark, "base").count() == 100
     alpha = (
         io.read(spark, "postings").filter(F.col("term") == "alpha").collect()
     )
     assert len(alpha) == 1 and alpha[0]["df"] == 100
+
+
+def test_streaming_ingest_crash_between_append_and_compaction(
+    spark, tmp_path_factory
+):
+    """A compaction batch (every compact_every-th) has a THIRD commit:
+    base append -> postings append -> merged-postings overwrite. A crash
+    between the postings append and the compaction commit must, on
+    replay, skip both appends (per-table batch_id) and still run the
+    compaction; base and postings never diverge across that window, and
+    a second replay after the compaction commit is a fixpoint."""
+    import pyspark.sql.functions as F
+
+    from spider_engine_spark.sources.tableio import TableIO
+    from spider_engine_spark.streaming import ingest as ing
+
+    root = str(tmp_path_factory.mktemp("stream_crash2"))
+    io = TableIO(root)
+
+    def batch_df(b):
+        return spark.range(50).select(
+            (F.col("id") + 50 * b).alias("doc_id"),
+            F.concat(F.lit("alpha beta w"), F.col("id") % 7).alias("text"),
+        )
+
+    handler = ing.make_batch_handler(io, compact_every=2)
+    handler(batch_df(0), 0)
+
+    # batch 1 is a compaction batch; crash after both appends but BEFORE
+    # the compaction commit = run only the append part of the handler
+    from spider_engine_spark.operators.postings import build_postings_native
+
+    io.write("base", batch_df(1), mode="append", meta={"batch_id": 1})
+    io.write(
+        "postings",
+        build_postings_native(batch_df(1), "doc_id", "text"),
+        mode="append",
+        meta={"batch_id": 1},
+    )
+    # ... crash here: compaction for batch 1 never committed ...
+    n_dirs_before = len(io._entry("postings")["dirs"])
+    assert n_dirs_before == 2  # two uncompacted appends
+
+    # replay of batch 1 through the REAL handler
+    handler(batch_df(1), 1)
+    assert io.read(spark, "base").count() == 100  # appends not repeated
+    merged = io.read(spark, "postings")
+    alpha = merged.filter(F.col("term") == "alpha").collect()
+    assert len(alpha) == 1 and alpha[0]["df"] == 100  # compaction done
+    assert len(io._entry("postings")["dirs"]) == 1
+
+    # a second replay (crash AFTER the compaction commit) is a fixpoint
+    handler(batch_df(1), 1)
+    again = io.read(spark, "postings").filter(F.col("term") == "alpha").collect()
+    assert len(again) == 1 and again[0]["df"] == 100
+    assert io.read(spark, "base").count() == 100

@@ -14,6 +14,8 @@ from spider_engine_spark import webmodel as wm
 from spider_engine_spark.operators.frontier import CrawlJob
 from spider_engine_spark.simulator import ReplaySimulator
 
+from conftest import fetched_urls_by_step, seen_urls
+
 N_SEEDS = 20
 N_STEPS = 3
 
@@ -31,7 +33,7 @@ def crawl(spark, tmp_path_factory):
 
 def test_fetch_order_matches_simulator(crawl):
     job, sim, _, _ = crawl
-    spark_fetched = job.fetched_urls_by_step()
+    spark_fetched = fetched_urls_by_step(job)
     for step in range(N_STEPS):
         assert spark_fetched[step] == sim.fetched_by_step[step], (
             f"step {step} fetch set diverged"
@@ -40,7 +42,7 @@ def test_fetch_order_matches_simulator(crawl):
 
 def test_seen_set_matches_simulator(crawl):
     job, sim, _, _ = crawl
-    assert job.seen_urls() == sim.seen
+    assert seen_urls(job) == sim.seen
 
 
 def test_frontier_matches_simulator(crawl):
@@ -135,8 +137,8 @@ def test_resume_from_checkpoint(spark, tmp_path_factory):
     assert job_b2.step_no == 2
     job_b2.run(1)
 
-    assert job_a.seen_urls() == job_b2.seen_urls()
-    assert job_a.fetched_urls_by_step() == job_b2.fetched_urls_by_step()
+    assert seen_urls(job_a) == seen_urls(job_b2)
+    assert fetched_urls_by_step(job_a) == fetched_urls_by_step(job_b2)
 
 
 def test_memory_mode_matches_durable(spark, tmp_path_factory):
@@ -153,12 +155,12 @@ def test_memory_mode_matches_durable(spark, tmp_path_factory):
     )
     job_b.run(3)  # run() flushes at the end
 
-    assert job_a.seen_urls() == job_b.seen_urls()
-    assert job_a.fetched_urls_by_step() == job_b.fetched_urls_by_step()
+    assert seen_urls(job_a) == seen_urls(job_b)
+    assert fetched_urls_by_step(job_a) == fetched_urls_by_step(job_b)
     # the flush really committed snapshots (read back via a fresh job)
     job_c = CrawlJob(spark, root_b, num_shards=2, salts=2)
     assert job_c.step_no == 3
-    assert job_c.seen_urls() == job_a.seen_urls()
+    assert seen_urls(job_c) == seen_urls(job_a)
     pa = {(r["term"], r["df"]) for r in job_a.postings().collect()}
     pb = {(r["term"], r["df"]) for r in job_c.postings().collect()}
     assert pa == pb
@@ -177,8 +179,8 @@ def test_hot_host_skew(spark, tmp_path_factory):
     metrics = job.run(3)
     sim = ReplaySimulator(seeds, cfg)
     sim_metrics = sim.run(3)
-    assert job.fetched_urls_by_step() == sim.fetched_by_step
-    assert job.seen_urls() == sim.seen
+    assert fetched_urls_by_step(job) == sim.fetched_by_step
+    assert seen_urls(job) == sim.seen
     for m, s in zip(metrics, sim_metrics):
         assert m["fetched"] == s["fetched"]
     # the hot host never exceeds its per-step budget

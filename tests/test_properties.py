@@ -126,3 +126,30 @@ def test_jvm_canonicalize_matches_python_reference(spark):
         .collect()
     ]
     assert got == expected
+
+
+def test_enrich_host_split_matches_python_reference(spark):
+    """enrich_candidates' host split must mirror webmodel.url_host /
+    url_path / robots_allowed / host_priority / host_budget even when the
+    canonical URL's path embeds '://' (e.g. a redirect query string) —
+    the replay-equality invariant on hostile-but-valid URLs."""
+    from pyspark.sql import functions as F
+
+    from spider_engine_spark.operators.frontier import enrich_candidates
+
+    urls = [
+        "http://host0.example.com/redirect?to=b://c",
+        "http://h.example/private/9?next=https://evil.example/",
+        "http://host3.example.com/p/1",
+        "plain.example/x?u=ftp://y/z",
+    ]
+    raw = spark.createDataFrame([(u, 0) for u in urls], "url_raw string, depth int")
+    rows = {r["url"]: r for r in enrich_candidates(raw).collect()}
+    assert len(rows) == len(urls)
+    for u in urls:
+        cu = wm.canonicalize(u)
+        r = rows[cu]
+        assert r["host"] == wm.url_host(cu), cu
+        assert r["allowed"] == wm.robots_allowed(wm.url_path(cu)), cu
+        assert r["priority"] == wm.host_priority(wm.url_host(cu)), cu
+        assert r["budget"] == wm.host_budget(wm.url_host(cu)), cu

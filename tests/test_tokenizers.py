@@ -110,6 +110,75 @@ def test_punctuation_table_exact():
     assert "。" in PUNCTUATION and "【" in PUNCTUATION
 
 
+def test_segment_is_a_partition_of_the_input():
+    """segment() must tile the input exactly (no char lost or invented),
+    dictionary hit or per-rune fallback alike — the invariant that makes
+    the punctuation trim and the TF totals well-defined."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spider_engine_spark.functions.tokenizers import CJK_DICT, segment
+
+    piece = st.one_of(
+        st.sampled_from(sorted(CJK_DICT)),
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=0x4E00, max_codepoint=0x4E2F
+            ),
+            max_size=3,
+        ),
+        st.text(
+            alphabet="abcXYZ019_ .,;。，！?-", max_size=6
+        ),
+    )
+
+    @given(st.lists(piece, max_size=8))
+    @settings(max_examples=200, deadline=None)
+    def check(parts):
+        text = "".join(parts)
+        assert "".join(segment(text)) == text
+
+    check()
+
+
+def test_udf_and_python_paths_identical_across_dict_boundary(spark):
+    """The pandas-UDF path and the pure-Python path must produce
+    identical (term, weight) postings for text on BOTH sides of the
+    dictionary-coverage boundary: dict words, out-of-dict CJK (per-rune
+    fallback), latin runs, punctuation, and mixtures crossing between
+    them mid-string."""
+    import itertools
+
+    from spider_engine_spark.functions.tokenizers import (
+        CJK_DICT,
+        split_true_words,
+        tokenize_udf,
+    )
+
+    dict_words = sorted(CJK_DICT)
+    fallback = ["爱婴斯坦", "砼砖", "龘"]  # not in the dictionary
+    latin = ["spark", "w01_x", ""]
+    punct = ["。", ", ", "【】"]
+    texts = []
+    for a, b, c in itertools.islice(
+        itertools.product(dict_words, fallback + latin, punct), 120
+    ):
+        texts.append(f"{a}{b}{c}{a}")
+        texts.append(f"{b}{a}{c}")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    rows = (
+        df.select("doc_id", tokenize_udf("words")("content").alias("toks"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    for r in rows:
+        expected = split_true_words(texts[r["doc_id"]])
+        got = [(t["term"], t["weight"]) for t in r["toks"]]
+        assert got == expected, texts[r["doc_id"]]
+
+
 def test_tokenize_udf(spark):
     df = spark.createDataFrame(
         [(0, "我爱北京天安门"), (1, "天安门上太阳升"), (2, None)],
