@@ -141,10 +141,10 @@ def thumbnail(df: DataFrame, max_side: int = 8) -> DataFrame:
             ws, hs, thumbs = [], [], []
             for m, b in zip(pdf["meta"], pdf["media"]):
                 w, h = int(m["width"] or 0), int(m["height"] or 0)
-                scale = max(w, h, 1)
+                scale = max(w, h, 1)  # >= 1, safe divisor
                 ws.append(min(w, max_side))
                 hs.append(min(h, max_side))
-                thumbs.append(bytes(b)[: max(32, len(bytes(b)) // max(scale, 1))])
+                thumbs.append(bytes(b)[: max(32, len(bytes(b)) // scale)])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
