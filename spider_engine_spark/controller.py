@@ -67,12 +67,23 @@ def _to_filter(d: dict, field_types: dict | None = None) -> SearchFilter:
     truthiness) so an empty-string =/!=/prefix probe is expressible;
     for unknown fields it falls back to which JSON key is present."""
     op = d.get("type", "=")
+    ftype = (field_types or {}).get(d.get("field", ""))
+    numeric = ftype in ("number", "time") if ftype is not None else None
     values: tuple = ()
     if op in ("in", "not in"):
-        values = tuple(d.get("iranges") or []) or tuple(d.get("sranges") or [])
-    ftype = (field_types or {}).get(d.get("field", ""))
-    if ftype is not None:
-        value = d.get("int", 0) if ftype in ("number", "time") else d.get("str", "")
+        # same declared-type dispatch for the range lists: the reference
+        # reads RangeNums for numeric fields and RangeStrs for string
+        # fields (forwardindex.go:589-607), not whichever key is present
+        if numeric is True:
+            values = tuple(d.get("iranges") or [])
+        elif numeric is False:
+            values = tuple(d.get("sranges") or [])
+        else:
+            values = tuple(d.get("iranges") or []) or tuple(
+                d.get("sranges") or []
+            )
+    if numeric is not None:
+        value = d.get("int", 0) if numeric else d.get("str", "")
     elif "str" in d:
         value = d["str"]
     else:

@@ -687,6 +687,13 @@ class CrawlJob:
                     spark, "seen", max_bytes=64 << 20,
                     meta={"step": step + 1}, partition_by=["shard"],
                 )
+                # hosts appends one tiny snapshot per step — fold them on
+                # the same cadence or the per-step broadcast-join read
+                # fans over O(steps) dirs
+                self.io.compact_small(
+                    spark, "hosts", max_bytes=64 << 20,
+                    meta={"step": step + 1},
+                )
             mark("filter_write")
         else:
             self._put("frontier", new_frontier)

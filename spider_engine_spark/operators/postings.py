@@ -197,13 +197,19 @@ def merge_postings(*snapshots: DataFrame) -> DataFrame:
 TERM_BUCKETS = 64  # hive partitions of the at-rest postings table
 
 
+def term_bucket_expr(term: Column | str, n: int) -> Column:
+    """THE term-bucket hash: every writer and prober must use this one
+    expression — a mismatched hash or modulus silently prunes away the
+    true bucket."""
+    c = F.col(term) if isinstance(term, str) else term
+    return F.pmod(F.xxhash64(c), F.lit(n)).cast("int")
+
+
 def with_term_bucket(postings: DataFrame, n: int = TERM_BUCKETS) -> DataFrame:
-    """Add the at-rest partition column: pmod(xxhash64(term), n). Written
-    with partitionBy('term_bucket'), a term probe prunes to 1/n of the
+    """Add the at-rest partition column. Written with
+    partitionBy('term_bucket'), a term probe prunes to 1/n of the
     files — the parquet analogue of the reference's btree term lookup."""
-    return postings.withColumn(
-        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n)).cast("int")
-    )
+    return postings.withColumn("term_bucket", term_bucket_expr("term", n))
 
 
 def query_term(
@@ -225,8 +231,7 @@ def query_term(
     """
     if "term_bucket" in postings.columns:
         postings = postings.filter(
-            F.col("term_bucket")
-            == F.pmod(F.xxhash64(F.lit(term)), F.lit(term_buckets)).cast("int")
+            F.col("term_bucket") == term_bucket_expr(F.lit(term), term_buckets)
         )
     return (
         postings.filter((F.col("field") == field) & (F.col("term") == term))
@@ -257,6 +262,8 @@ def multi_term_or(
     """
     from spider_engine_spark.operators.search import tfidf_score
 
+    if not terms:
+        raise ValueError("multi_term_or needs at least one term")
     probes = None
     for t in terms:
         p = query_term(postings, field, t, term_buckets=term_buckets)
@@ -291,6 +298,8 @@ def multi_term_and(
     count(distinct term) = N — the shuffle does the intersection, and at
     scale each probe is a pruned partition read.
     """
+    if not terms:
+        raise ValueError("multi_term_and needs at least one term")
     probes = None
     for t in terms:
         p = query_term(postings, field, t).withColumn("term", F.lit(t))

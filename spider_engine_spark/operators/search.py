@@ -254,11 +254,13 @@ def search(
         and not filters
         and deleted is None
     ):
+        from spider_engine_spark.operators.postings import term_bucket_expr
+
         pruned = postings
         if term_buckets is not None and "term_bucket" in postings.columns:
             pruned = postings.filter(
                 F.col("term_bucket")
-                == F.pmod(F.xxhash64(F.lit(keyword)), F.lit(term_buckets)).cast("int")
+                == term_bucket_expr(F.lit(keyword), term_buckets)
             )
         stats = pruned.filter(
             (F.col("field") == fld) & (F.col("term") == keyword)

@@ -193,5 +193,12 @@ def test_filter_value_dispatch_by_field_type(api):
     # int filter with a stray empty 'str' key present: still numeric
     r = search([{"field": "n", "type": "=", "str": "", "int": 7}])
     assert [d["Key"] for d in r["data"]["docs"]] == ["2"]
+    # in/not-in range lists dispatch the same way: numeric fields read
+    # iranges, string fields read sranges (forwardindex.go:589-607),
+    # even when the other key is also present
+    r = search([{"field": "n", "type": "in", "iranges": [7], "sranges": ["x"]}])
+    assert [d["Key"] for d in r["data"]["docs"]] == ["2"]
+    r = search([{"field": "tag", "type": "in", "sranges": ["x"], "iranges": [7]}])
+    assert [d["Key"] for d in r["data"]["docs"]] == ["2"]
 
     assert api("DELETE", "/db2")["code"] == 0

@@ -293,3 +293,52 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
     for name in ("t_bucket_a", "t_bucket_b"):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_multi_term_or_scores_and_guards(user_df, user_postings):
+    """multi_term_or: per-doc score = sum of per-term TF-IDF over the
+    union of matched terms; empty term lists raise instead of building a
+    None plan (same guard on multi_term_and)."""
+    from spider_engine_spark.operators.postings import (
+        multi_term_and,
+        multi_term_or,
+    )
+    from spider_engine_spark.operators.search import tfidf_score
+
+    out = {
+        r["doc_id"]: (r["n_terms"], r["score"])
+        for r in multi_term_or(
+            user_postings, "user_desc", ["美食", "打仗"], max_doc=5
+        ).collect()
+    }
+    # 美食 in docs 0,1,3,4 (df=4); 打仗 only in doc 3 (df=1)
+    assert set(out) == {0, 1, 3, 4}
+    assert out[3][0] == 2 and out[0][0] == 1
+    # doc 3 accumulates both terms' scores; single-term docs score
+    # exactly the one-term law
+    w = {
+        (r["doc_id"], r["term"]): r["weight"]
+        for r in user_postings.filter(
+            F.col("term").isin(["美食", "打仗"])
+            & (F.col("field") == "user_desc")
+        )
+        .select("term", F.explode("postings").alias("p"))
+        .select("term", F.col("p.doc_id").alias("doc_id"), F.col("p.weight").alias("weight"))
+        .collect()
+    }
+    spark = user_df.sparkSession
+
+    def law(weight, df):
+        return (
+            spark.range(1)
+            .select(tfidf_score(F.lit(weight), 5, F.lit(df)).alias("s"))
+            .first()["s"]
+        )
+
+    assert out[0][1] == law(w[(0, "美食")], 4)
+    assert out[3][1] == law(w[(3, "美食")], 4) + law(w[(3, "打仗")], 1)
+
+    with pytest.raises(ValueError):
+        multi_term_or(user_postings, "user_desc", [], max_doc=5)
+    with pytest.raises(ValueError):
+        multi_term_and(user_postings, "user_desc", [])
