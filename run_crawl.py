@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--capacity", type=int, default=1 << 16,
                     help="cuckoo-filter capacity per shard")
     ap.add_argument("--no-index", action="store_true")
+    ap.add_argument("--host-cache", action="store_true",
+                    help="broadcast-join a persisted host-attr table in enrich (for externally-sourced attrs; the synthetic attrs are cheaper recomputed)")
     ap.add_argument("--hosts", type=int, default=None, help="web size (WebConfig.num_hosts)")
     ap.add_argument("--words", type=int, default=None, help="words per text span (WebConfig.words_per_span)")
     ap.add_argument("--vocab", type=int, default=None, help="vocabulary size (WebConfig.vocab_size)")
@@ -64,6 +66,7 @@ def main() -> None:
         capacity_per_shard=args.capacity,
         salts=args.salts,
         index=not args.no_index,
+        host_cache=args.host_cache,
         cfg=cfg,
         checkpoint_every=args.checkpoint_every,
     )

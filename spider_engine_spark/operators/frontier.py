@@ -83,9 +83,14 @@ def canonicalize_col(c) -> "F.Column":
     """100% JVM form of webmodel.canonicalize — bit-identical (the
     replay-equality tests compare against the scalar Python version):
     strip, cut fragment, strip; default scheme http; lowercase
-    scheme+netloc; drop :80; collapse empty path to '/'. Runs in
-    whole-stage codegen — the crawl's biggest phase (canonicalizing the
-    outlink stream) never enters Python at all."""
+    scheme+netloc; drop :80; collapse empty path to '/'.
+
+    Single-expression form, for ad-hoc column use. The crawl's hot path
+    (enrich_candidates) evaluates the SAME formula as a ladder of
+    narrow projections instead: Column expressions are trees, so this
+    one-expression form re-evaluates shared subterms per reference and,
+    combined into larger projections, can push generated methods past
+    the JVM 64 KB codegen limit."""
     # Python str.strip() strips UNICODE whitespace; (?U) makes Java's \s
     # match the same class
     ws = r"(?U)^\s+|\s+$"
@@ -145,29 +150,78 @@ def enrich_candidates(
     of truth shared with the replay simulator.
 
     host_attrs: optional (host, priority, budget) table of already-
-    computed attributes (CrawlJob persists one). Known hosts take their
-    attrs from a broadcast join — zero Python, no Arrow transfer of the
-    candidate stream — and only rows for never-seen hosts run the UDF.
-    The crawl's hot-domain skew means the hit rate approaches 1 after
-    the first steps."""
-    url = canonicalize_col(F.col("url_raw"))
-    base = raw.select(url.alias("url"), "depth")
-    # split at the FIRST '://' — mirroring canonicalize_col; a canonical
-    # URL whose path embeds '://' (http://h/redirect?to=b://c) must not
-    # have its host taken from the embedded scheme
-    scheme = F.substring_index(F.col("url"), "://", 1)
-    after = F.col("url").substr(
-        F.length(scheme) + 4, F.length(F.col("url"))
+    computed attributes. Known hosts take their attrs from a broadcast
+    join — zero Python, no Arrow transfer of the candidate stream — and
+    only rows for never-seen hosts run the UDF. Off by default
+    (CrawlJob(host_cache=True)): the synthetic attrs are pure functions
+    of the host string and recomputing them measures cheaper than the
+    join machinery; the hook exists for attrs sourced from external
+    state (fetched robots.txt rules).
+
+    Plan shape: the canonicalizer runs as a LADDER of narrow
+    projections (each intermediate — stripped input, scheme, rest,
+    netloc, path — is computed ONCE into a column and the next rung
+    references it as an attribute). Column expressions are trees, not
+    DAGs: inlining canonicalize_col plus a host/path re-split into one
+    projection duplicates the regexp chain dozens of times per row,
+    blowing the generated processNext() past the JVM's 64 KB method
+    limit (whole-stage codegen falls back to interpreted) and
+    re-evaluating each regexp per reference. Catalyst's CollapseProject
+    keeps the rungs separate (it refuses to inline non-cheap
+    expressions referenced more than once), so the whole ladder still
+    fuses into ONE whole-stage-codegen stage with each step evaluated
+    exactly once. The canonical host/path fall out of the ladder's own
+    netloc/path rungs — no re-split of the finished URL, so a path
+    embedding '://' can never confuse the host."""
+    ws = r"(?U)^\s+|\s+$"  # Java \s == Python str.strip under (?U)
+    stripped = F.regexp_replace(F.col("url_raw"), ws, "")
+    u = F.regexp_replace(F.substring_index(stripped, "#", 1), ws, "")
+    s1 = raw.select(u.alias("_u"), "depth")
+    s2 = s1.select(
+        "*",
+        F.col("_u").contains("://").alias("_has"),
+        F.substring_index("_u", "://", 1).alias("_first"),
     )
-    host = F.substring_index(after, "/", 1)
-    path = after.substr(F.length(host) + 1, F.length(after))
-    tagged = base.select(
-        "url",
-        host.alias("host"),
+    s3 = s2.select(
+        "depth",
+        F.when(F.col("_has"), F.lower(F.col("_first")))
+        .otherwise(F.lit("http"))
+        .alias("_scheme"),
+        F.when(
+            F.col("_has"),
+            F.col("_u").substr(
+                F.length("_first") + 4, F.length("_u")
+            ),
+        )
+        .otherwise(F.col("_u"))
+        .alias("_rest"),
+    )
+    s4 = s3.select("*", F.instr(F.col("_rest"), "/").alias("_slash"))
+    netloc = F.regexp_replace(
+        F.lower(
+            F.when(
+                F.col("_slash") > 0,
+                F.substring(F.col("_rest"), F.lit(1), F.col("_slash") - 1),
+            ).otherwise(F.col("_rest"))
+        ),
+        ":80$",
+        "",
+    )
+    path = F.when(
+        F.col("_slash") > 0,
+        F.col("_rest").substr(F.col("_slash"), F.length("_rest")),
+    ).otherwise(F.lit("/"))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    s5 = s4.select(
+        "depth", "_scheme", netloc.alias("_netloc"), path.alias("_path")
+    )
+    tagged = s5.select(
+        F.concat(F.col("_scheme"), F.lit("://"), F.col("_netloc"), F.col("_path")).alias("url"),
+        F.col("_netloc").alias("host"),
         "depth",
         # single source of truth: the same disallow prefix the pure-
         # Python robots_allowed (and the replay simulator) uses
-        (~path.startswith(wm.ROBOTS_DISALLOW_PREFIX)).alias("allowed"),
+        (~F.col("_path").startswith(wm.ROBOTS_DISALLOW_PREFIX)).alias("allowed"),
     )
 
     def _with_udf(df: DataFrame) -> DataFrame:
@@ -314,7 +368,9 @@ class CrawlJob:
         cfg: wm.WebConfig | None = None,
         compact_every: int = 4,
         checkpoint_every: int = 1,
+        host_cache: bool = False,
     ):
+        self.host_cache = host_cache
         self.compact_every = compact_every
         self.checkpoint_every = checkpoint_every
         self.spark = spark
@@ -431,14 +487,15 @@ class CrawlJob:
             "seen", cand.select("url", "hash", "shard"), meta={"step": 0},
             partition_by=["shard"],
         )
-        # host-attribute cache: deterministic (host, priority, budget)
-        # rows; later supersteps broadcast-join it so known hosts never
-        # re-enter Python (see enrich_candidates)
-        self.io.write(
-            "hosts",
-            cand.select("host", "priority", "budget").distinct(),
-            meta={"step": 0},
-        )
+        if self.host_cache:
+            # host-attribute cache: deterministic (host, priority,
+            # budget) rows; later supersteps broadcast-join it so known
+            # hosts never re-enter Python (see enrich_candidates)
+            self.io.write(
+                "hosts",
+                cand.select("host", "priority", "budget").distinct(),
+                meta={"step": 0},
+            )
         state = seenset.insert(
             cand, seenset.empty_state(self.spark), self.capacity
         )
@@ -530,8 +587,9 @@ class CrawlJob:
         raw_links = raw_links.repartition(
             spark.sparkContext.defaultParallelism
         )  # unlock full UDF parallelism (AQE coalesces by bytes)
-        have_hosts = "hosts" in self._mem or self.io.exists("hosts")
-        hosts_df = self._get("hosts") if have_hosts else None
+        hosts_df = None
+        if self.host_cache and ("hosts" in self._mem or self.io.exists("hosts")):
+            hosts_df = self._get("hosts")
         enriched = enrich_candidates(
             raw_links, self.cfg, host_attrs=hosts_df
         ).cache()
@@ -542,26 +600,31 @@ class CrawlJob:
             .agg(F.count("*").alias("cnt"))
             .collect()
         )
-        # grow the host-attr cache with this step's never-seen hosts
-        # (disjoint from the table by construction -> append keeps keys
-        # unique; a crash before the frontier commit is reverted by the
-        # orphan pass above)
-        if hosts_df is None:
-            new_hosts = enriched.select("host", "priority", "budget").distinct()
-        else:
-            new_hosts = (
-                enriched.join(
-                    F.broadcast(hosts_df.select("host")), "host", "left_anti"
+        if self.host_cache:
+            # grow the host-attr cache with this step's never-seen hosts
+            # (disjoint from the table by construction -> append keeps
+            # keys unique; a crash before the frontier commit is
+            # reverted by the orphan pass above)
+            if hosts_df is None:
+                new_hosts = enriched.select(
+                    "host", "priority", "budget"
+                ).distinct()
+            else:
+                new_hosts = (
+                    enriched.join(
+                        F.broadcast(hosts_df.select("host")),
+                        "host",
+                        "left_anti",
+                    )
+                    .select("host", "priority", "budget")
+                    .distinct()
                 )
-                .select("host", "priority", "budget")
-                .distinct()
-            )
-        if self.checkpoint_every == 1:
-            self.io.write(
-                "hosts", new_hosts, mode="append", meta={"step": step + 1}
-            )
-        else:
-            self._put("hosts", new_hosts, append=True)
+            if self.checkpoint_every == 1:
+                self.io.write(
+                    "hosts", new_hosts, mode="append", meta={"step": step + 1}
+                )
+            else:
+                self._put("hosts", new_hosts, append=True)
         mark("enrich")
         n_links = sum(allow_counts.values())
         n_robots_blocked = allow_counts.get(False, 0)
@@ -687,13 +750,14 @@ class CrawlJob:
                     spark, "seen", max_bytes=64 << 20,
                     meta={"step": step + 1}, partition_by=["shard"],
                 )
-                # hosts appends one tiny snapshot per step — fold them on
-                # the same cadence or the per-step broadcast-join read
-                # fans over O(steps) dirs
-                self.io.compact_small(
-                    spark, "hosts", max_bytes=64 << 20,
-                    meta={"step": step + 1},
-                )
+                if self.host_cache:
+                    # hosts appends one tiny snapshot per step — fold
+                    # them on the same cadence or the per-step
+                    # broadcast-join read fans over O(steps) dirs
+                    self.io.compact_small(
+                        spark, "hosts", max_bytes=64 << 20,
+                        meta={"step": step + 1},
+                    )
             mark("filter_write")
         else:
             self._put("frontier", new_frontier)
