@@ -103,13 +103,16 @@ def canonicalize_col(c) -> "F.Column":
     scheme = F.when(has, F.lower(first)).otherwise(F.lit("http"))
     rest = F.when(has, u.substr(F.length(first) + 4, F.length(u))).otherwise(u)
     slash = F.instr(rest, "/")
+    # \z = absolute end of input: '$' would also match before a final
+    # line terminator (LF, CRLF, U+0085, U+2028), diverging from
+    # Python's endswith(':80')
     netloc = F.regexp_replace(
         F.lower(
             F.when(
                 slash > 0, F.substring(rest, F.lit(1), slash - 1)
             ).otherwise(rest)
         ),
-        ":80$",
+        r":80\z",
         "",
     )
     path = F.when(slash > 0, rest.substr(slash, F.length(rest))).otherwise(
@@ -204,7 +207,7 @@ def enrich_candidates(
                 F.substring(F.col("_rest"), F.lit(1), F.col("_slash") - 1),
             ).otherwise(F.col("_rest"))
         ),
-        ":80$",
+        r":80\z",  # \z not '$': see canonicalize_col
         "",
     )
     path = F.when(

@@ -287,7 +287,10 @@ def multi_term_or(
 
 
 def multi_term_and(
-    postings: DataFrame, field: str, terms: list[str]
+    postings: DataFrame,
+    field: str,
+    terms: list[str],
+    term_buckets: int = TERM_BUCKETS,
 ) -> DataFrame:
     """Multi-term AND: docs containing ALL terms, with summed weights.
 
@@ -302,7 +305,9 @@ def multi_term_and(
         raise ValueError("multi_term_and needs at least one term")
     probes = None
     for t in terms:
-        p = query_term(postings, field, t).withColumn("term", F.lit(t))
+        p = query_term(
+            postings, field, t, term_buckets=term_buckets
+        ).withColumn("term", F.lit(t))
         probes = p if probes is None else probes.unionByName(p)
     return (
         probes.groupBy("doc_id")

@@ -118,6 +118,12 @@ def test_jvm_canonicalize_matches_python_reference(spark):
     # plus the synthetic web's own outlink noise
     for u in wm.seed_urls(20):
         cases.extend(wm.child_links(u))
+    # hostile terminators: Java '$' matches before a trailing line
+    # terminator, Python endswith(':80') does not — \z parity cases
+    cases += [
+        "http://a:80\n/x", "http://a:80\r\n/x", "http://a:80\x85/x",
+        "http://a:80 /x", "http://a:80",
+    ]
     expected = [wm.canonicalize(u) for u in cases]
     df = spark.createDataFrame([(u,) for u in cases], "u string")
     got = [
@@ -126,6 +132,20 @@ def test_jvm_canonicalize_matches_python_reference(spark):
         .collect()
     ]
     assert got == expected
+
+    # the enrich_candidates projection LADDER is a second hand-kept copy
+    # of the same formula — run the identical matrix through it (depth
+    # doubles as the row index since output order is not guaranteed)
+    raw = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(cases)], "url_raw string, depth int"
+    )
+    from spider_engine_spark.operators.frontier import enrich_candidates
+
+    ladder = {
+        r["depth"]: r["url"]
+        for r in enrich_candidates(raw).select("url", "depth").collect()
+    }
+    assert [ladder[i] for i in range(len(cases))] == expected
 
 
 def test_enrich_host_split_matches_python_reference(spark):
