@@ -148,6 +148,29 @@ def test_jvm_canonicalize_matches_python_reference(spark):
     assert [ladder[i] for i in range(len(cases))] == expected
 
 
+def test_enrich_stays_whole_stage_codegen(spark):
+    """Tripwire for the 64 KB codegen regression: the enrich plan must
+    compile into whole-stage codegen with small generated methods. The
+    pre-ladder fused expression blew past the JVM's 65536-byte method
+    limit and silently ran the crawl's hottest stage interpreted."""
+    import contextlib
+    import io
+    import re
+
+    from spider_engine_spark.operators.frontier import enrich_candidates
+
+    raw = spark.createDataFrame(
+        [(u, 0) for u in wm.seed_urls(5)], "url_raw string, depth int"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        enrich_candidates(raw).explain("codegen")
+    s = buf.getvalue()
+    sizes = [int(m) for m in re.findall(r"maxMethodCodeSize:(\d+)", s)]
+    assert sizes, "no whole-stage codegen subtree compiled at all"
+    assert max(sizes) < 16_000, f"generated methods ballooning: {sizes}"
+
+
 def test_enrich_host_split_matches_python_reference(spark):
     """enrich_candidates' host split must mirror webmodel.url_host /
     url_path / robots_allowed / host_priority / host_budget even when the
