@@ -1893,3 +1893,50 @@ def thumbnail_stats(spark, sf_dir):
             F.sum(F.length("thumb")).cast("long").alias("sum_thumb_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate registration order
+#
+# The correctness driver emits at most 50 rows and takes queries in
+# REGISTRATION order (dict insertion order = file order above).  Round 3
+# registered 53 queries, so the last three in file order
+# (bpe_token_count_by_lang, winnowing_fingerprints, thumbnail_stats) were
+# silently evicted from the gate even though all three exact-match their
+# oracles (judge-verified at sf0.01).
+#
+# Policy: every query that has NEVER had a driver correctness row must be
+# inside the first `_DRIVER_GATE_CAP` registrations.  When the registry
+# exceeds the cap, list queries to demote in `_GATE_OVERFLOW` — only
+# entries that (a) have passed the gate for >=2 consecutive rounds AND
+# (b) are result-redundant with a still-gated entry or are explicitly
+# labeled baselines.  Adding a NEW @query without updating this list
+# cannot evict a gated query: the overflow set is explicit, and
+# tests/test_gate_order.py pins the never-yet-gated names inside the cap.
+# ---------------------------------------------------------------------------
+
+_DRIVER_GATE_CAP = 50
+# Demoted (2-round-green, redundant):
+#   embedding_topk_pairs    — labeled quadratic oracle baseline; production
+#                             path embedding_near_dups_lsh stays gated.
+#   search_pagination       — same plan as search_tfidf at another slice.
+#   streaming_hourly_window — result-identical to events_hourly.
+_GATE_OVERFLOW = [
+    "embedding_topk_pairs",
+    "search_pagination",
+    "streaming_hourly_window",
+]
+
+
+def _reorder_for_gate() -> None:
+    keep = [n for n in QUERIES if n not in _GATE_OVERFLOW]
+    order = keep + [n for n in _GATE_OVERFLOW if n in QUERIES]
+    for registry in (QUERIES, ORACLES):
+        snapshot = dict(registry)
+        registry.clear()
+        for name in order:
+            if name in snapshot:
+                registry[name] = snapshot[name]
+
+
+_reorder_for_gate()

@@ -1,0 +1,55 @@
+"""Pin the driver-gate registration order (queries.py policy block).
+
+The correctness driver takes the first 50 registered queries; round 3
+proved an insert mid-file can silently evict a gated query.  These tests
+make that failure mode loud.
+"""
+
+from spider_engine_spark.queries import (
+    _DRIVER_GATE_CAP,
+    _GATE_OVERFLOW,
+    ORACLES,
+    QUERIES,
+)
+
+# Queries that had no driver correctness row before round 4 — they must
+# stay inside the cap until they have been gate-green for >=2 rounds.
+NEVER_YET_GATED = [
+    "bpe_token_count_by_lang",
+    "winnowing_fingerprints",
+    "thumbnail_stats",
+]
+
+
+def test_never_gated_queries_inside_cap():
+    order = list(QUERIES)
+    for name in NEVER_YET_GATED:
+        assert order.index(name) < _DRIVER_GATE_CAP, (
+            f"{name} is registered at position {order.index(name)} — "
+            f"outside the driver's {_DRIVER_GATE_CAP}-row gate"
+        )
+
+
+def test_overflow_entries_are_registered_and_last():
+    order = list(QUERIES)
+    for name in _GATE_OVERFLOW:
+        assert name in QUERIES
+    assert order[-len(_GATE_OVERFLOW):] == [
+        n for n in _GATE_OVERFLOW if n in QUERIES
+    ]
+
+
+def test_every_gated_query_has_an_oracle():
+    # the gate's value-hash check needs an oracle; anything inside the cap
+    # without one silently downgrades to rows-only
+    for name in list(QUERIES)[:_DRIVER_GATE_CAP]:
+        assert name in ORACLES, f"{name} gated but has no oracle"
+
+
+def test_registry_size_documented():
+    # if this grows past cap + len(overflow), a *new* query fell off the
+    # gate — extend _GATE_OVERFLOW deliberately instead
+    assert len(QUERIES) <= _DRIVER_GATE_CAP + len(_GATE_OVERFLOW), (
+        "registry outgrew the documented overflow — update _GATE_OVERFLOW "
+        "per the policy in queries.py"
+    )
