@@ -32,6 +32,7 @@ def stream_index_docs(
     checkpoint_dir: str,
     schema: str = "doc_id long, text string",
     compact_every: int = 4,
+    compact_max_bytes: int = 64 << 20,
 ):
     """Stream documents from parquet files into base + postings tables.
 
@@ -41,14 +42,18 @@ def stream_index_docs(
     io = TableIO(state_root)
     stream = spark.readStream.schema(schema).parquet(input_dir)
     return (
-        stream.writeStream.foreachBatch(make_batch_handler(io, compact_every))
+        stream.writeStream.foreachBatch(
+            make_batch_handler(io, compact_every, compact_max_bytes)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
 
 
-def make_batch_handler(io: TableIO, compact_every: int = 4):
+def make_batch_handler(
+    io: TableIO, compact_every: int = 4, compact_max_bytes: int = 64 << 20
+):
     """The foreachBatch body, exposed so crash-replay tests drive the
     REAL handler at every commit boundary.
 
@@ -56,10 +61,11 @@ def make_batch_handler(io: TableIO, compact_every: int = 4):
     Completion is tracked PER TABLE — if the process died after the base
     append but before the postings append (or before the periodic
     compaction commit), the replayed batch must still finish the
-    remaining writes or base and index silently diverge. The compaction
-    overwrite itself is idempotent: merge_postings of an already-merged
-    table is a fixpoint, so replaying it after a crash on either side of
-    the commit converges to the same snapshot."""
+    remaining writes or base and index silently diverge. Compaction is
+    incremental (TableIO.compact_small, like the crawl path) and replay
+    is convergent: merge_postings of already-merged dirs is a fixpoint
+    and an up-to-date 'compacted' meta (or a single remaining undersized
+    dir) makes the replayed compaction a no-op."""
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         def done(tbl: str) -> int:
@@ -78,11 +84,29 @@ def make_batch_handler(io: TableIO, compact_every: int = 4):
                 meta={"batch_id": batch_id},
             )
         if (batch_id + 1) % compact_every == 0:
-            io.write(
-                "postings",
-                merge_postings(io.read(batch_df.sparkSession, "postings")),
-                meta={"batch_id": batch_id, "compacted": True},
-            )
+            # Incremental, like the crawl path (frontier.py): fold only
+            # undersized postings dirs; dirs >= max_bytes are referenced
+            # untouched by the new manifest. The former whole-table
+            # merge_postings(read(...)) overwrite was O(table) every
+            # compact_every batches — cumulative O(n^2) write
+            # amplification on a long-running stream. Reads re-merge a
+            # term's rows across dirs lazily (probes sum df / union
+            # postings), so partial compaction preserves results.
+            # Replay-safe: on an already-compacted replay either the
+            # meta guard or the <=1-undersized-dir no-op applies; a
+            # re-merge of merged content is a fixpoint regardless.
+            m = io.meta("postings") if io.exists("postings") else {}
+            already = bool(m.get("compacted")) and int(
+                m.get("batch_id", -1)
+            ) >= batch_id
+            if not already:
+                io.compact_small(
+                    batch_df.sparkSession,
+                    "postings",
+                    max_bytes=compact_max_bytes,
+                    meta={"batch_id": batch_id, "compacted": True},
+                    transform=merge_postings,
+                )
 
     return handle_batch
 
