@@ -404,6 +404,19 @@ class CrawlJob:
             return self._mem[name]
         return self.io.read(self.spark, name)
 
+    def _filter_state(self) -> DataFrame:
+        """Current cuckoo state, one row per shard (STATE_SCHEMA).
+
+        Memory mode holds the resolved state directly; the durable table
+        is append-only dirty-shard rows tagged with `step`, resolved
+        latest-per-shard here."""
+        if "filter" in self._mem:
+            return self._mem["filter"]
+        df = self.io.read(self.spark, "filter")
+        if "step" in df.columns:
+            df = seenset.latest_state(df).drop("step")
+        return df
+
     def _put(
         self,
         name: str,
@@ -453,8 +466,12 @@ class CrawlJob:
                 "step": self.step_no
             }
             part = ["shard"] if name == "seen" else None
+            df = self._mem[name]
+            if name == "filter":
+                # durable filter rows carry the step tag (read resolver)
+                df = df.withColumn("step", F.lit(self.step_no))
             self.io.write(
-                name, self._mem[name], mode="overwrite", meta=meta,
+                name, df, mode="overwrite", meta=meta,
                 partition_by=part,
             )
         # re-point memory at the durable snapshots so lineage is cut
@@ -502,7 +519,11 @@ class CrawlJob:
         state = seenset.insert(
             cand, seenset.empty_state(self.spark), self.capacity
         )
-        self.io.write("filter", state, meta={"step": 0})
+        # durable filter rows carry a step tag; later supersteps append
+        # only dirty shards and readers resolve latest-per-shard
+        self.io.write(
+            "filter", state.withColumn("step", F.lit(0)), meta={"step": 0}
+        )
         self.step_no = 0
 
     # -- one superstep ------------------------------------------------
@@ -647,7 +668,7 @@ class CrawlJob:
         )
         self._retired_current.append(cand)
 
-        state = self._get("filter")
+        state = self._filter_state()
         # minimal-traffic probe: only (shard, hash) crosses into Python;
         # the maybe-set is tiny (true dups + cuckoo FPs) and AQE
         # broadcasts it in the splits below
@@ -740,9 +761,29 @@ class CrawlJob:
                 partition_by=["shard"],
             )
             mark("seen_write")
-            new_state = seenset.insert(admitted, state, self.capacity)
-            self.io.write("filter", new_state, meta={"step": step + 1})
+            # write ONLY dirty shards (those that admitted rows): the
+            # filter table is append-only with a step tag, resolved
+            # latest-per-shard at read time (seenset.latest_state). The
+            # former full-state rewrite round-tripped every shard's bytes
+            # through Arrow and onto disk each superstep (~32 GiB at the
+            # 10^10-URL sizing) even when one shard changed.
+            dirty = seenset.insert(
+                admitted, state, self.capacity, dirty_only=True
+            )
+            self.io.write(
+                "filter",
+                dirty.withColumn("step", F.lit(step + 1)),
+                mode="append",
+                meta={"step": step + 1},
+            )
             if (step + 1) % self.compact_every == 0:
+                # fold superseded filter rows so the latest-per-shard
+                # read stays O(shards); subset-safe (see latest_state)
+                self.io.compact_small(
+                    spark, "filter", max_bytes=64 << 20,
+                    meta={"step": step + 1},
+                    transform=seenset.latest_state,
+                )
                 # fold only the undersized seen snapshots (read-
                 # amplification control); admitted sets are disjoint by
                 # construction so a concat merge preserves distinctness,

@@ -72,6 +72,11 @@ def probe(candidates: DataFrame, state: DataFrame) -> DataFrame:
             left = left.copy()
             left["maybe_seen"] = False
             return left
+        if len(right) > 1:
+            raise ValueError(
+                "unresolved filter state: expected one row per shard — "
+                "resolve append-only state with latest_state() first"
+            )
         filt = CuckooFilter.from_bytes(bytes(right["data"].iloc[0]))
         left = left.copy()
         left["maybe_seen"] = filt.contains(
@@ -85,14 +90,27 @@ def probe(candidates: DataFrame, state: DataFrame) -> DataFrame:
 
 
 def insert(
-    admitted: DataFrame, state: DataFrame, capacity_per_shard: int
+    admitted: DataFrame,
+    state: DataFrame,
+    capacity_per_shard: int,
+    dirty_only: bool = False,
 ) -> DataFrame:
-    """Return the NEW full filter-state table with admitted hashes added.
+    """Return the filter-state table with admitted hashes added.
 
-    Shards with no admitted rows pass through unchanged (cogroup emits
-    them with an empty left side)."""
+    dirty_only=False: the full state — shards with no admitted rows pass
+    through unchanged (cogroup emits them with an empty left side). Used
+    by the in-memory path, where "write" is free.
+
+    dirty_only=True: ONLY shards that received admitted rows. The durable
+    path appends these (with a step column) instead of rewriting the full
+    state table — at the documented 10^10-URL sizing a full rewrite
+    round-trips ~32 GiB of filter bytes through Arrow and onto disk per
+    superstep even when one shard changed. Readers resolve
+    latest-row-per-shard via latest_state()."""
 
     def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if dirty_only and left.empty:
+            return pd.DataFrame(columns=["shard", "nbuckets", "count", "data"])
         if right.empty:
             if left.empty:
                 return pd.DataFrame(
@@ -102,6 +120,11 @@ def insert(
             shard = int(left["shard"].iloc[0])
             count = 0
         else:
+            if len(right) > 1:
+                raise ValueError(
+                    "unresolved filter state: expected one row per shard "
+                    "— resolve append-only state with latest_state() first"
+                )
             filt = CuckooFilter.from_bytes(bytes(right["data"].iloc[0]))
             shard = int(right["shard"].iloc[0])
             count = int(right["count"].iloc[0])
@@ -125,6 +148,32 @@ def insert(
     )
 
 
+def latest_state(df: DataFrame) -> DataFrame:
+    """Resolve a multi-version filter table (append-only rows tagged with
+    a `step` column) to the latest row per shard.
+
+    Safe on any SUBSET of snapshot dirs: the reduction only drops rows
+    superseded *within* the subset, so compact_small can fold undersized
+    filter dirs with this as the transform and the global
+    latest-per-shard over (compacted + newer dirs) is unchanged."""
+    picked = (
+        df.groupBy("shard")
+        .agg(
+            F.max_by(
+                F.struct("nbuckets", "count", "data", "step"), "step"
+            ).alias("s")
+        )
+        .select(
+            "shard",
+            F.col("s.nbuckets").alias("nbuckets"),
+            F.col("s.count").alias("count"),
+            F.col("s.data").alias("data"),
+            F.col("s.step").alias("step"),
+        )
+    )
+    return picked
+
+
 def probe_hashes(keys: DataFrame, state: DataFrame) -> DataFrame:
     """Minimal-traffic probe: keys(shard, hash) -> maybe-seen (shard, hash).
 
@@ -137,6 +186,11 @@ def probe_hashes(keys: DataFrame, state: DataFrame) -> DataFrame:
         if left.empty or right.empty:
             return pd.DataFrame({"shard": [], "hash": []}).astype(
                 {"shard": "int32", "hash": "int64"}
+            )
+        if len(right) > 1:
+            raise ValueError(
+                "unresolved filter state: expected one row per shard — "
+                "resolve append-only state with latest_state() first"
             )
         filt = CuckooFilter.from_bytes(bytes(right["data"].iloc[0]))
         hits = filt.contains(left["hash"].to_numpy().astype("uint64"))

@@ -95,7 +95,9 @@ def test_no_cuckoo_false_negatives(crawl):
 
     spark = job.spark
     seen = job.io.read(spark, "seen").select("url", "hash", "shard")
-    state = job.io.read(spark, "filter")
+    # the durable filter table is append-only dirty-shard rows; the
+    # supported read path resolves latest-per-shard
+    state = job._filter_state()
     probed = seenset.probe(seen, state)
     assert probed.filter(~F.col("maybe_seen")).count() == 0
 
@@ -195,3 +197,65 @@ def test_hot_host_skew(spark, tmp_path_factory):
     assert per_step_host0 and all(
         v <= budget0 for v in per_step_host0.values()
     )
+
+
+def test_filter_writes_only_dirty_shards(spark, tmp_path_factory):
+    """Round-3 advice #4: the per-step filter commit must be proportional
+    to TOUCHED shards, not the whole state. The durable filter table is
+    append-only dirty-shard rows (step-tagged); the resolver returns one
+    row per shard; compaction folds superseded rows."""
+    root = str(tmp_path_factory.mktemp("crawl_dirty"))
+    seeds = wm.seed_urls(6)
+    job = CrawlJob(
+        spark, root, seeds=seeds, num_shards=8, salts=2, index=False,
+        compact_every=100,  # keep every per-step dir visible
+    )
+    job.run(2)
+    io = job.io
+    manifest = io._load_manifest("filter")
+    versions = manifest["versions"]
+    # bootstrap + one append per non-empty step: appends, not overwrites
+    assert len(versions[-1]["dirs"]) >= 2
+    # each post-bootstrap dir holds only the shards its step touched
+    per_dir_rows = {
+        d: spark.read.parquet(d) for d in versions[-1]["dirs"]
+    }
+    admitted_shards = [
+        m.get("admitted_per_shard", {})
+        for m in [io.meta("frontier").get("metrics", {})]
+    ]
+    for d, df in list(per_dir_rows.items())[1:]:
+        rows = df.collect()
+        steps = {r["step"] for r in rows}
+        assert len(steps) == 1  # one step per appended dir
+        # dirty rows only: every shard in this dir admitted rows somewhere
+        assert len(rows) <= job.num_shards
+    # the resolver yields exactly one row per shard that ever admitted
+    state = job._filter_state()
+    per_shard = state.groupBy("shard").count().collect()
+    assert all(r["count"] == 1 for r in per_shard)
+    # and dedup still matches the simulator exactly
+    sim = ReplaySimulator(seeds)
+    sim.run(2)
+    assert seen_urls(job) == sim.seen
+
+    # compaction folds superseded rows but preserves the resolved state
+    before = {
+        (r["shard"], bytes(r["data"])) for r in state.collect()
+    }
+    v = io.compact_small(
+        spark, "filter", max_bytes=1 << 30,
+        transform=__import__(
+            "spider_engine_spark.operators.seenset", fromlist=["latest_state"]
+        ).latest_state,
+    )
+    assert v is not None
+    after_df = job._filter_state()
+    after = {(r["shard"], bytes(r["data"])) for r in after_df.collect()}
+    assert after == before
+    # post-compaction: at most one row per shard at rest
+    total_rows = sum(
+        spark.read.parquet(d).count()
+        for d in io._load_manifest("filter")["versions"][-1]["dirs"]
+    )
+    assert total_rows == len(before)
