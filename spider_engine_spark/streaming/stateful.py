@@ -8,10 +8,25 @@ streaming analogue of the frontier's admit step (and of the reference's
 PK-duplicate rejection, table.go:451-454), with state-store-backed
 exactly-once semantics across micro-batches.
 
-State layout: one group per shard (`pmod(xxhash64(url), n_shards)`), a
-packed uint64 hash array as state (numpy <-> list<long>). At scale the
-state would hold the cuckoo table bytes instead of exact hashes — the
-operator shape (keyed state + Arrow batches) is identical.
+Two forms:
+
+- `stateful_seen_flag` + `make_seen_batch_handler` — the AT-SCALE form
+  (the shipped default, mirroring the batch seenset): per-shard state is
+  the CONSTANT-SIZE cuckoo table bytes; the operator emits every
+  batch-first row with a `maybe_seen` flag and the foreachBatch handler
+  resolves flags exactly against the durable seen table (FP audit).
+  Exactness across batches relies on a structural cuckoo property: a
+  false positive is a fingerprint match in one of the probe's two legal
+  buckets, and the colliding entry's bucket pair {b, b ^ h(fp)} is THE
+  SAME pair (equal fingerprints pair identically), so evictions never
+  move it out of reach — a hash once flagged maybe stays maybe, and the
+  exact table settles it every time. No deletions, so the property holds
+  for the filter's lifetime.
+
+- `stateful_seen_dedup` — the single-operator exact form (state = packed
+  uint64 hash array). Self-contained and exact, but state grows with the
+  number of distinct keys; fine for bounded keyspaces, superseded by the
+  flag+audit pipeline at crawl scale.
 """
 
 from __future__ import annotations
@@ -24,6 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -38,6 +55,153 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 STATE_SCHEMA = StructType([StructField("hashes", ArrayType(LongType()), True)])
+
+FLAGGED_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("hash", LongType(), False),
+        StructField("shard", IntegerType(), False),
+        StructField("maybe_seen", BooleanType(), False),
+    ]
+)
+FILTER_STATE_SCHEMA = StructType(
+    [StructField("filter", BinaryType(), True)]
+)
+
+
+def _flag_fn_factory(capacity_per_shard: int):
+    """The applyInPandasWithState body for the constant-state form,
+    module-level so tests can drive it directly with a fake state handle
+    and assert the state size never grows."""
+    from spider_engine_spark.operators.cuckoo import CuckooFilter
+
+    def fn(
+        key, pdf_iter: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            filt = CuckooFilter.from_bytes(bytes(state.get[0]))
+        else:
+            filt = CuckooFilter(capacity_per_shard)
+        shard = int(key[0])
+        for pdf in pdf_iter:
+            pdf = pdf.drop_duplicates(subset=["hash"], keep="first")
+            hashes = pdf["hash"].to_numpy(dtype=np.int64).astype(np.uint64)
+            maybe = filt.contains(hashes)
+            if (~maybe).any():
+                # definitely-new hashes enter the filter; maybe-seen ones
+                # do NOT (the FP-persistence property keeps them maybe,
+                # and the exact table is the authority for them)
+                filt.insert(hashes[~maybe])
+            out = pdf[["url", "hash"]].copy()
+            out["shard"] = shard
+            out["maybe_seen"] = maybe
+            yield out
+        state.update((filt.to_bytes(),))
+
+    return fn
+
+
+def stateful_seen_flag(
+    stream: DataFrame,
+    url_col: str = "url",
+    n_shards: int = 8,
+    capacity_per_shard: int = 1 << 16,
+) -> DataFrame:
+    """Constant-state streaming seen-probe: emits every batch-first row
+    with a maybe_seen flag. Compose with make_seen_batch_handler for the
+    exact (FP-audited) first-seen stream — the streaming analogue of the
+    batch probe_hashes -> exact-check -> admit dataflow."""
+    keyed = stream.select(
+        F.col(url_col).alias("url"),
+        F.xxhash64(F.col(url_col)).alias("hash"),
+    ).withColumn(
+        "shard", F.pmod(F.col("hash"), F.lit(n_shards)).cast("int")
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _flag_fn_factory(capacity_per_shard),
+        outputStructType=FLAGGED_SCHEMA,
+        stateStructType=FILTER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def make_seen_batch_handler(io):
+    """foreachBatch FP-audit for stateful_seen_flag output: definitely-new
+    rows are admitted outright; maybe-seen rows anti-join the durable
+    seen table (shard-pruned read, like the batch frontier); admitted
+    rows append to it. Idempotent per batch_id across checkpoint replays."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if io.exists("seen") and int(
+            io.meta("seen").get("batch_id", -1)
+        ) >= batch_id:
+            return
+        spark = batch_df.sparkSession
+        batch_df = batch_df.cache()
+        fresh = batch_df.filter(~F.col("maybe_seen"))
+        maybe = batch_df.filter(F.col("maybe_seen"))
+        if io.exists("seen"):
+            # prune the seen read to the shards the maybe-set touches
+            # (bounded driver collect: <= n_shards values)
+            shards = [
+                r["shard"]
+                for r in maybe.select("shard").distinct().collect()
+            ]
+            if shards:
+                seen = io.read(spark, "seen").filter(
+                    F.col("shard").isin(shards)
+                )
+                survivors = maybe.join(
+                    seen.select("shard", "hash"),
+                    ["shard", "hash"],
+                    "left_anti",
+                )
+            else:
+                survivors = maybe
+        else:
+            survivors = maybe
+        admitted = fresh.unionByName(survivors).select(
+            "url", "hash", "shard"
+        )
+        io.write(
+            "seen",
+            admitted,
+            mode="append",
+            meta={"batch_id": batch_id},
+            partition_by=["shard"],
+        )
+        batch_df.unpersist()
+
+    return handle
+
+
+def stream_seen_dedup_scalable(
+    spark,
+    input_dir: str,
+    state_root: str,
+    checkpoint_dir: str,
+    schema: str = "url string",
+    n_shards: int = 8,
+    capacity_per_shard: int = 1 << 16,
+):
+    """End-to-end constant-state streaming dedup: flag operator + exact
+    FP-audit handler; the durable seen table holds exactly the first-seen
+    URLs. Returns the StreamingQuery (availableNow trigger)."""
+    from spider_engine_spark.sources.tableio import TableIO
+
+    io = TableIO(state_root)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    flagged = stateful_seen_flag(
+        stream, n_shards=n_shards, capacity_per_shard=capacity_per_shard
+    )
+    return (
+        flagged.writeStream.foreachBatch(make_seen_batch_handler(io))
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def _dedup_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
