@@ -187,13 +187,18 @@ class SpiderController:
     def search(self, p: dict) -> dict:
         t = self.catalog.table(p["database"], p["table"])
         filters = [_to_filter(f, t.fields) for f in p.get("filters") or []]
+        # value may be a single keyword (reference-exact) or a LIST of
+        # terms — the query-list request shape the reference's model
+        # declared (search.go:263-320); mode: 'or' (default) | 'and'
+        value = p.get("value", "")
         page = t.search(
-            p.get("value", ""),
+            list(value) if isinstance(value, (list, tuple)) else value,
             field=p.get("fieldName", ""),
             filters=filters,
             offset=int(p.get("offset", 0)),
             size=int(p.get("size", 0)),
             keep_total=True,
+            mode=p.get("mode", "or"),
         ).collect()
         docs = []
         total = 0

@@ -138,6 +138,12 @@ CJK_DICT = frozenset(
         # unambiguous text). Chosen to be disjoint from the fixture
         # sentences' token boundaries — the fixture-parity tests above
         # stay bit-exact (verified by tests/test_tokenizers.py).
+        # MAINTENANCE: greedy forward max-match can diverge from jieba's
+        # DAG path on ambiguous overlaps (a long entry spanning a natural
+        # boundary) — any NEW entry must be re-validated against the
+        # jieba fixture corpus (run tests/test_tokenizers.py) before
+        # landing, and must not create an overlap with existing entries
+        # across fixture-sentence boundaries.
         "我们", "你们", "他们", "她们", "大家", "自己",
         "中国", "人民", "国家", "世界", "城市", "政府", "社会",
         "时间", "今天", "明天", "昨天", "现在", "已经", "永远",

@@ -250,18 +250,21 @@ def multi_term_or(
     """Scored multi-term OR: docs containing ANY term, score = sum over
     matched terms of the per-term TF-IDF.
 
-    The reference's legacy multi-query loop
-    (/root/reference/engine/search/search.go:263-320) folds an
-    idf-scaled weight into the accumulator per query term via sorted-list
-    merges (InteractionWithStartAndDf, search.go:228-261). Spark-first:
-    one pruned partition probe per term, union, then a single
-    groupBy(doc_id) sum — the shuffle replaces the merge loops, and each
-    per-term score uses the same law as single-term search
-    (table.go:1116-1123) with df = the term's own posting-list length
-    (the df statistic the postings table already carries).
+    A Spark-native EXTENSION loosely inspired by — not equivalent to —
+    the reference's commented-out legacy multi-query loop
+    (/root/reference/engine/search/search.go:263-320): that loop is a
+    sorted-list INTERSECTION (AND semantics, InteractionWithStartAndDf,
+    search.go:228-261) whose accumulator applies a different weight law
+    (w += uint32(float64(w)*idf)). Here: one pruned partition probe per
+    term, union, then a single groupBy(doc_id) sum — the shuffle replaces
+    the merge loops, and each per-term score uses the same law as
+    single-term search (table.go:1116-1123) with df = the term's own
+    posting-list length. Duplicate query terms are deduplicated at entry
+    (a double-probed term would double both df and the summed score).
     """
     from spider_engine_spark.operators.search import tfidf_score
 
+    terms = list(dict.fromkeys(terms))
     if not terms:
         raise ValueError("multi_term_or needs at least one term")
     probes = None
@@ -299,8 +302,11 @@ def multi_term_and(
     (search/search.go:228-261, a two-pointer sort-merge semi-join).
     Spark-first: probe each term's postings and GROUP BY doc_id HAVING
     count(distinct term) = N — the shuffle does the intersection, and at
-    scale each probe is a pruned partition read.
+    scale each probe is a pruned partition read. Duplicate query terms
+    are deduplicated at entry (countDistinct could otherwise never reach
+    len(terms) and the result would silently be empty).
     """
+    terms = list(dict.fromkeys(terms))
     if not terms:
         raise ValueError("multi_term_and needs at least one term")
     probes = None

@@ -293,3 +293,121 @@ def search(
         # SearchDocs returns (docs, total), table.go:1021)
         return page.withColumnRenamed("df_", "_total").drop("rn_", "weight")
     return page.drop("df_", "rn_", "weight")
+
+
+def search_multi(
+    base: DataFrame,
+    postings: DataFrame,
+    terms: Sequence[str],
+    mode: str = "or",
+    search_field: str = "",
+    filters: Sequence[SearchFilter] = (),
+    offset: int = 0,
+    size: int = 0,
+    max_doc: int | None = None,
+    doc_id: str = "doc_id",
+    deleted: DataFrame | None = None,
+    numeric_fields: set[str] | None = None,
+    term_buckets: int | None = None,
+    keep_total: bool = False,
+) -> DataFrame:
+    """Multi-term search: hydrated ranked page for a LIST of query terms.
+
+    The reference's request model took a query list (the dead
+    SearchDocIds loop, search/search.go:263-320) but only single-term
+    search shipped; this surfaces the Spark-native multi-term operators
+    (operators/postings.py) through the same filter/pagination pipeline
+    as single-term search:
+
+    - mode='or': docs matching ANY term, score = sum of per-term TF-IDF
+      (multi_term_or's law).
+    - mode='and': docs matching ALL terms, score = summed raw weights
+      (multi_term_and; no idf term — an intersection has no meaningful
+      per-term df weighting once every doc matches every term).
+
+    Filters, delete anti-join, ranking (score desc, doc_id tiebreak) and
+    the reference's pagination clamp behave exactly as in search(); the
+    clamp total is the FILTERED candidate count (count semantics — the
+    per-term postings df statistic is not meaningful post-intersection).
+    A single-element list degrades to the mode's semantics over one term,
+    which for 'or' equals single-term search().
+    """
+    from spider_engine_spark.operators.postings import (
+        TERM_BUCKETS,
+        multi_term_and,
+        multi_term_or,
+    )
+
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("search_multi needs at least one term")
+    if mode not in ("or", "and"):
+        raise ValueError(f"unknown multi-term mode {mode!r}")
+    fld = search_field or GOD_FIELD
+    if numeric_fields is None:
+        numeric_fields = {
+            f.name
+            for f in base.schema.fields
+            if f.dataType.typeName()
+            in ("long", "integer", "short", "byte", "timestamp",
+                "timestamp_ntz", "date")
+        }
+    temporal_types = {
+        f.name: f.dataType.typeName()
+        for f in base.schema.fields
+        if f.dataType.typeName() in ("date", "timestamp", "timestamp_ntz")
+    }
+    if max_doc is None:
+        max_doc = base.count()
+    buckets = term_buckets if term_buckets is not None else TERM_BUCKETS
+
+    if mode == "or":
+        cand = multi_term_or(
+            postings, fld, terms, max_doc, term_buckets=buckets
+        ).select("doc_id", "score")
+    else:
+        cand = multi_term_and(
+            postings, fld, terms, term_buckets=buckets
+        ).select("doc_id", F.col("sum_weight").alias("score"))
+
+    if deleted is not None:
+        cand = cand.join(
+            F.broadcast(
+                deleted.select(F.col(doc_id).cast("long").alias("doc_id"))
+            ),
+            "doc_id",
+            "left_anti",
+        )
+    hydrated = cand.join(
+        base.withColumn("doc_id", F.col(doc_id).cast("long")), "doc_id"
+    )
+    cond = and_filters(hydrated, filters, numeric_fields, temporal_types)
+    if cond is not None:
+        hydrated = hydrated.filter(cond)
+
+    stats = hydrated.agg(F.count(F.lit(1)).alias("total_"))
+    with_total = hydrated.crossJoin(F.broadcast(stats))
+    top_k = (
+        max(offset + size, DEFAULT_PAGE)
+        if size > 0 and offset >= 0
+        else DEFAULT_PAGE
+    )
+    pre = with_total.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+    w_rank = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = pre.withColumn("rn_", F.row_number().over(w_rank))
+    total = F.col("total_")
+    bad = (
+        (F.lit(offset) < 0)
+        | (F.lit(size) <= 0)
+        | ((F.lit(offset) + F.lit(size)) > total)
+    )
+    lo = F.when(bad, F.lit(0)).otherwise(F.lit(offset))
+    hi = lo + F.when(bad, F.least(F.lit(DEFAULT_PAGE), total)).otherwise(
+        F.lit(size)
+    )
+    page = ranked.filter((F.col("rn_") > lo) & (F.col("rn_") <= hi))
+    if keep_total:
+        return page.withColumnRenamed("total_", "_total").drop("rn_")
+    return page.drop("total_", "rn_")

@@ -205,6 +205,19 @@ class Table:
         - duplicate PKs (within batch or vs table) are rejected;
         - rows with untypeable number/time values still consume a docId
           and are tombstoned (M3 burned-docId consistency).
+
+        INVARIANT (search df_source='postings' depends on it): every
+        doc_id referenced by a postings row exists in the base table, and
+        any path that removes/hides base rows goes through the
+        __deletes table. Both tables commit from the same accepted-rows
+        DataFrame in this method, deletes only ever append tombstones,
+        and compaction re-groups without dropping docs — so the per-term
+        postings df equals the unfiltered candidate count and search()
+        falls back to count-agg whenever filters or deletes apply. A
+        future write path that prunes base rows or drops postings WITHOUT
+        touching __deletes would silently skew df, score and the
+        pagination clamp (regression-pinned by
+        tests/test_postings_search.py::test_df_source_modes_identical).
         """
         for f in self.fields:
             if f not in raw.columns and f != AUTO_PK:
@@ -358,14 +371,21 @@ class Table:
 
     def search(
         self,
-        keyword: str,
+        keyword: str | list[str],
         field: str = "",
         filters: list[SearchFilter] | None = None,
         offset: int = 0,
         size: int = 0,
         keep_total: bool = False,
         df_source: str = "postings",
+        mode: str = "or",
     ) -> DataFrame:
+        """Single-term search (keyword: str, reference-exact), or
+        multi-term (keyword: list[str]) routed to the Spark-native
+        scored-OR / AND operators with the same filters + pagination —
+        the query-LIST surface the reference's request model declared but
+        never shipped (search/search.go:263-320). mode applies to the
+        list form only: 'or' (scored union) or 'and' (intersection)."""
         self.check_filters(list(filters or []))
         numeric = {
             f for f, t in self.fields.items() if t in ("number", "time")
@@ -375,6 +395,24 @@ class Table:
             if self.io.exists(f"{self.name}__deletes")
             else None
         )
+        if isinstance(keyword, (list, tuple)):
+            from spider_engine_spark.operators.search import search_multi
+
+            return search_multi(
+                self.base(include_deleted=True),
+                self.postings(),
+                keyword,
+                mode=mode,
+                search_field=field,
+                filters=filters or [],
+                offset=offset,
+                size=size,
+                max_doc=self.next_doc_id,
+                deleted=deleted,
+                numeric_fields=numeric,
+                term_buckets=self.term_buckets,
+                keep_total=keep_total,
+            )
         return search_op(
             self.base(include_deleted=True),
             self.postings(),

@@ -382,3 +382,71 @@ def test_instant_timestamp_filter_tz_independent(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
     assert got["UTC"] == got["Asia/Shanghai"] == 1704067200
+
+
+def test_df_source_modes_identical(cat):
+    """Round-3 advice: Table.search defaults to df_source='postings'
+    (index-statistic df); its correctness rests on the postings-⊆-base
+    invariant documented at add_docs_df. Pin that count-mode and
+    postings-mode produce identical scores and _total on an unfiltered
+    search — if a future write path breaks the invariant, this fails."""
+    t = cat.create_table("db1", "dfsrc", FIELDS)
+    t.add_docs(ROWS)
+
+    def page(df_source):
+        return sorted(
+            (r["user_id"], r["score"], r["_total"])
+            for r in t.search(
+                "美食", field="user_desc", keep_total=True,
+                df_source=df_source,
+            ).collect()
+        )
+
+    assert page("postings") == page("count")
+
+
+def test_multi_term_table_search(cat):
+    """Round-3 advice #6: Table.search accepts a term LIST routed to the
+    scored-OR / AND operators with filters + pagination applied."""
+    t = cat.create_table("db1", "multi", FIELDS)
+    t.add_docs(ROWS)
+
+    # OR: union of 美食|秋香 docs (秋香 appears in 10001 and 10005)
+    got = sorted(
+        r["user_id"]
+        for r in t.search(["美食", "秋香"], field="user_desc").collect()
+    )
+    assert got == ["10001", "10002", "10004", "10005"]
+
+    # AND: docs containing BOTH (only 10005 has 秋香)
+    got = sorted(
+        r["user_id"]
+        for r in t.search(
+            ["美食", "秋香"], field="user_desc", mode="and"
+        ).collect()
+    )
+    assert got == ["10005"]
+    # AND over a common term intersects correctly (喜欢 is in all five)
+    got = sorted(
+        r["user_id"]
+        for r in t.search(
+            ["美食", "喜欢"], field="user_desc", mode="and"
+        ).collect()
+    )
+    assert got == ["10001", "10002", "10004", "10005"]
+
+    # filters compose (>= quirk: > 50 admits age 50)
+    got = sorted(
+        r["user_id"]
+        for r in t.search(
+            ["美食", "秋香"], field="user_desc",
+            filters=[SearchFilter("user_age", ">", value=50)],
+        ).collect()
+    )
+    assert got == ["10004", "10005"]
+
+    # pagination clamp + _total on the list form
+    rows = t.search(
+        ["美食", "秋香"], field="user_desc", size=2, keep_total=True
+    ).collect()
+    assert len(rows) == 2 and rows[0]["_total"] == 4

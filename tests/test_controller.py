@@ -202,3 +202,93 @@ def test_filter_value_dispatch_by_field_type(api):
     assert [d["Key"] for d in r["data"]["docs"]] == ["2"]
 
     assert api("DELETE", "/db2")["code"] == 0
+
+
+def test_multi_term_search_via_rest(api):
+    """Round-3 advice #6: the reference's request model declared a query
+    LIST (search/search.go:263-320) but only single-term search shipped;
+    the facade now routes a list value + mode to the Spark-native
+    multi-term operators with filters/pagination applied."""
+    assert api("POST", "/mdb")["code"] == 0
+    assert (
+        api(
+            "POST",
+            "/mdb/doc",
+            [
+                {"name": "k", "type": "primary"},
+                {"name": "body", "type": "words"},
+                {"name": "n", "type": "number"},
+            ],
+        )["code"]
+        == 0
+    )
+    rows = [
+        ("1", "alpha beta gamma", 10),
+        ("2", "alpha beta", 20),
+        ("3", "alpha", 30),
+        ("4", "delta", 40),
+    ]
+    for k, body, n in rows:
+        assert (
+            api("POST", f"/mdb/doc/{k}", {"body": body, "n": n})["code"] == 0
+        )
+
+    # scored OR: union of alpha|gamma docs; doc 1 matches both terms so
+    # it accumulates two per-term scores
+    r = api(
+        "POST",
+        "/_search",
+        {
+            "database": "mdb",
+            "table": "doc",
+            "fieldName": "body",
+            "value": ["alpha", "gamma"],
+        },
+    )
+    assert r["code"] == 0
+    keys = {d["Key"] for d in r["data"]["docs"]}
+    assert keys == {"1", "2", "3"}
+    assert r["data"]["total"] == 3
+
+    # AND: intersection (docs containing BOTH alpha and beta)
+    r = api(
+        "POST",
+        "/_search",
+        {
+            "database": "mdb",
+            "table": "doc",
+            "fieldName": "body",
+            "value": ["alpha", "beta"],
+            "mode": "and",
+        },
+    )
+    assert {d["Key"] for d in r["data"]["docs"]} == {"1", "2"}
+
+    # filters + pagination compose with the list form (>'s >= quirk)
+    r = api(
+        "POST",
+        "/_search",
+        {
+            "database": "mdb",
+            "table": "doc",
+            "fieldName": "body",
+            "value": ["alpha", "gamma"],
+            "filters": [{"field": "n", "type": ">", "int": 20}],
+            "size": 1,
+        },
+    )
+    assert r["code"] == 0
+    assert len(r["data"]["docs"]) == 1
+    assert r["data"]["total"] == 2  # docs 2,3 (n >= 20) pre-pagination
+
+    # duplicate terms in the list are deduplicated, not double-scored:
+    # same result set as the single term
+    r_dup = api(
+        "POST",
+        "/_search",
+        {"database": "mdb", "table": "doc", "fieldName": "body",
+         "value": ["alpha", "alpha"], "mode": "and"},
+    )
+    assert {d["Key"] for d in r_dup["data"]["docs"]} == {"1", "2", "3"}
+    assert api("DELETE", "/mdb/doc")["code"] == 0
+    assert api("DELETE", "/mdb")["code"] == 0
