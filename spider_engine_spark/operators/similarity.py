@@ -228,3 +228,78 @@ def ivf_inertia(df: DataFrame, key: str, vec: str, cents: list[list[float]]) -> 
     ]
     best = assigned.select(F.greatest(*sims).alias("best"))
     return best.agg(F.avg("best")).collect()[0][0]
+
+
+def build_ivf_index(
+    io,
+    name: str,
+    df: DataFrame,
+    key: str,
+    vec: str,
+    k: int = 16,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Build a PERSISTED IVF index: k-means centroids + the assignment
+    table written once through TableIO, hive-partitioned by `ivf_list`.
+
+    Round-3 advice #7: the at-scale IVF shape is build-once/probe-many —
+    re-running k-means + assignment per query (as the stateless driver
+    entry must) re-scans the corpus each time; against an at-rest index a
+    probe reads ONLY the n_probe list partitions (partition pruning on
+    the hive `ivf_list` column, the same mechanism as the postings
+    term_bucket and seen-shard reads). Returns the centroids (k x dim —
+    driver-scalar by construction); they are also stored in the table
+    meta so probes need no side-channel.
+    """
+    cents = kmeans_centroids(df, key, vec, k, iters)
+    assigned = ivf_assign(
+        df.select(F.col(key), F.col(vec)), key, vec, cents
+    )
+    io.write(
+        name,
+        assigned,
+        mode="overwrite",
+        meta={"centroids": cents, "k": k, "key": key, "vec": vec},
+        partition_by=["ivf_list"],
+    )
+    return cents
+
+
+def ivf_probe_index(
+    spark,
+    io,
+    name: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Probe a persisted IVF index: rank the stored centroids against the
+    query on the driver (k x dim floats — tiny), then scan only the
+    n_probe nearest list partitions with exact cosine re-ranking.
+
+    The returned plan's FileScan carries
+    `PartitionFilters: [ivf_list IN (...)]` — the other k - n_probe
+    partitions are pruned before any IO (asserted in
+    tests/test_dedup_similarity.py)."""
+    meta = io.meta(name)
+    cents = meta["centroids"]
+    key, vec = meta["key"], meta["vec"]
+    q = np.asarray(query, dtype=np.float64)
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(np.dot(a, b) / (na * nb)) if na and nb else -1.0
+
+    order = sorted(
+        range(len(cents)),
+        key=lambda i: -cos(q, np.asarray(cents[i], dtype=np.float64)),
+    )
+    probe = order[:n_probe]
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        io.read(spark, name)
+        .filter(F.col("ivf_list").isin(probe))
+        .select(F.col(key), cosine_col(F.col(vec), qcol).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(key))
+        .limit(k)
+    )

@@ -306,3 +306,69 @@ def test_winnowing_shared_run_guarantees_shared_fingerprint(spark):
     assert fps[0] & fps[1]  # shared run -> shared fingerprint
     assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
     assert fps[3] == set()
+
+
+def test_ivf_persisted_index_probe_prunes_lists(spark, tmp_path_factory):
+    """Round-3 advice #7: build the IVF index ONCE at rest (centroids in
+    table meta, assignment hive-partitioned by ivf_list), probe twice
+    with different query vectors, and assert each probe scans ONLY the
+    probed list partitions (plan PartitionFilters + actual input files)."""
+    import contextlib
+    import io as _io
+    import re
+
+    from spider_engine_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_index,
+    )
+    from spider_engine_spark.sources.tableio import TableIO
+
+    tio = TableIO(str(tmp_path_factory.mktemp("ivf")))
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    cents = build_ivf_index(
+        tio, "emb__ivf", emb, "vec_id", "embedding", k=8, iters=2
+    )
+    assert len(cents) == 8
+    # centroids round-trip through the manifest meta exactly
+    assert tio.meta("emb__ivf")["centroids"] == cents
+
+    n_probe = 2
+    qvecs = [
+        list(emb.filter(F.col("vec_id") == i).collect()[0]["embedding"])
+        for i in (0, 7)
+    ]
+    for qvec in qvecs:
+        page = ivf_probe_index(
+            spark, tio, "emb__ivf", qvec, k=5, n_probe=n_probe
+        )
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            page.explain("formatted")
+        plan = buf.getvalue()
+        # the pruning reaches the scan as a partition filter...
+        assert re.search(r"PartitionFilters: \[ivf_list", plan), plan
+        rows = page.collect()
+        assert len(rows) == 5
+        # ...and the EXECUTED scan read files from only n_probe of the k
+        # list partitions (runtime metrics, not plan text)
+        metrics = {}
+        leaves = page._jdf.queryExecution().executedPlan().collectLeaves()
+        for i in range(leaves.size()):
+            it = leaves.apply(i).metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                metrics[kv._1()] = kv._2().value()
+        assert 0 < metrics["numPartitions"] <= n_probe, metrics
+        assert 0 < metrics["numFiles"] <= n_probe, metrics
+        # exact cosine within the probed lists: descending, tiebroken
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+    # the two probes ranked different centroid lists (different queries
+    # genuinely routed differently) or at minimum returned valid pages
+    p0 = {r["vec_id"] for r in ivf_probe_index(
+        spark, tio, "emb__ivf", qvecs[0], k=5, n_probe=n_probe
+    ).collect()}
+    assert 0 in p0  # a vector's own list always contains itself
