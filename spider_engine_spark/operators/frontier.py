@@ -777,10 +777,18 @@ class CrawlJob:
                 meta={"step": step + 1},
             )
             if (step + 1) % self.compact_every == 0:
-                # fold superseded filter rows so the latest-per-shard
-                # read stays O(shards); subset-safe (see latest_state)
+                # fold ALL filter dirs (max_bytes=∞), not just undersized
+                # ones: the filter's garbage is defined by SUPERSESSION
+                # (older rows for a re-dirtied shard), not by dir size —
+                # at the 10^10-URL sizing most shards are dirty every
+                # step, so per-step dirs are large and a size criterion
+                # would never fold them, growing the table O(steps).
+                # Cost: one full-state write every compact_every steps
+                # (amortized state/K per step — K× less write
+                # amplification than the old per-step full rewrite) and
+                # the latest-per-shard read fans over <= K dirs.
                 self.io.compact_small(
-                    spark, "filter", max_bytes=64 << 20,
+                    spark, "filter", max_bytes=1 << 60,
                     meta={"step": step + 1},
                     transform=seenset.latest_state,
                 )

@@ -162,6 +162,101 @@ def tfidf_score(weight: Column, max_doc: int, df_count: Column) -> Column:
     ).cast("long")
 
 
+def _schema_kinds(
+    base: DataFrame, numeric_fields: set[str] | None
+) -> tuple[set[str], dict[str, str]]:
+    """Numeric-field set (declared or schema-derived) + temporal column
+    kinds — temporal columns need an explicit numeric conversion (ANSI
+    forbids cast(DATE as long))."""
+    if numeric_fields is None:
+        numeric_fields = {
+            f.name
+            for f in base.schema.fields
+            if f.dataType.typeName()
+            in ("long", "integer", "short", "byte", "timestamp",
+                "timestamp_ntz", "date")
+        }
+    temporal_types = {
+        f.name: f.dataType.typeName()  # date | timestamp | timestamp_ntz
+        for f in base.schema.fields
+        if f.dataType.typeName() in ("date", "timestamp", "timestamp_ntz")
+    }
+    return numeric_fields, temporal_types
+
+
+def _hydrated_candidates(
+    cand: DataFrame,
+    base: DataFrame,
+    doc_id: str,
+    deleted: DataFrame | None,
+    filters: Sequence[SearchFilter],
+    numeric_fields: set[str],
+    temporal_types: dict[str, str],
+) -> DataFrame:
+    """Q4 delete anti-join + hydration + Q5 AND-filters — shared by the
+    single-term and multi-term pipelines."""
+    if deleted is not None:  # Q4, bitmap anti-join (partition.go:716-726)
+        cand = cand.join(
+            F.broadcast(
+                deleted.select(F.col(doc_id).cast("long").alias("doc_id"))
+            ),
+            "doc_id",
+            "left_anti",
+        )
+    # Q5: AND-filters evaluate over the forward index == the base table.
+    hydrated = cand.join(
+        base.withColumn("doc_id", F.col(doc_id).cast("long")), "doc_id"
+    )
+    cond = and_filters(hydrated, filters, numeric_fields, temporal_types)
+    if cond is not None:
+        hydrated = hydrated.filter(cond)
+    return hydrated
+
+
+def _rank_clamp_page(
+    scored: DataFrame,
+    total_col: str,
+    offset: int,
+    size: int,
+    keep_total: bool,
+    drop_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Q8/Q9 rank + the reference's pagination clamp (table.go:1029-1039),
+    shared by search() and search_multi(). The page can only ever need
+    the top max(offset+size, 100) rows (the clamp falls back to
+    (0, min(100, total))), so rank = distributed TakeOrdered to that
+    bound, then row_number over the tiny pre-ranked set — a hot term's
+    million-row posting list never funnels through one task."""
+    top_k = (
+        max(offset + size, DEFAULT_PAGE)
+        if size > 0 and offset >= 0
+        else DEFAULT_PAGE
+    )
+    pre = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+    w_rank = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = pre.withColumn("rn_", F.row_number().over(w_rank))
+    total = F.col(total_col)
+    bad = (
+        (F.lit(offset) < 0)
+        | (F.lit(size) <= 0)
+        | ((F.lit(offset) + F.lit(size)) > total)
+    )
+    lo = F.when(bad, F.lit(0)).otherwise(F.lit(offset))
+    hi = lo + F.when(bad, F.least(F.lit(DEFAULT_PAGE), total)).otherwise(
+        F.lit(size)
+    )
+    page = ranked.filter((F.col("rn_") > lo) & (F.col("rn_") <= hi))
+    if keep_total:
+        # expose the pre-pagination match count (the reference's
+        # SearchDocs returns (docs, total), table.go:1021)
+        return page.withColumnRenamed(total_col, "_total").drop(
+            "rn_", *drop_cols
+        )
+    return page.drop(total_col, "rn_", *drop_cols)
+
+
 def search(
     base: DataFrame,
     postings: DataFrame,
@@ -199,21 +294,7 @@ def search(
       statistic inapplicable.
     """
     fld = search_field or GOD_FIELD
-    if numeric_fields is None:
-        numeric_fields = {
-            f.name
-            for f in base.schema.fields
-            if f.dataType.typeName()
-            in ("long", "integer", "short", "byte", "timestamp",
-                "timestamp_ntz", "date")
-        }
-    # temporal columns need an explicit numeric conversion (ANSI forbids
-    # cast(DATE as long)) — detect them from the schema
-    temporal_types = {
-        f.name: f.dataType.typeName()  # date | timestamp | timestamp_ntz
-        for f in base.schema.fields
-        if f.dataType.typeName() in ("date", "timestamp", "timestamp_ntz")
-    }
+    numeric_fields, temporal_types = _schema_kinds(base, numeric_fields)
     if max_doc is None:
         max_doc = base.count()
 
@@ -227,27 +308,13 @@ def search(
     else:
         cand = query_term(postings, fld, keyword)
 
-    if deleted is not None:  # Q4, bitmap anti-join (partition.go:716-726)
-        cand = cand.join(
-            F.broadcast(deleted.select(F.col(doc_id).cast("long").alias("doc_id"))),
-            "doc_id",
-            "left_anti",
-        )
-
-    # Q5: AND-filters evaluate over the forward index == the base table.
-    hydrated = cand.join(
-        base.withColumn("doc_id", F.col(doc_id).cast("long")), "doc_id"
+    hydrated = _hydrated_candidates(
+        cand, base, doc_id, deleted, filters, numeric_fields, temporal_types
     )
-    cond = and_filters(hydrated, filters, numeric_fields, temporal_types)
-    if cond is not None:
-        hydrated = hydrated.filter(cond)
 
-    # Q7-Q9: df = |filtered candidate set| via a 1-row agg broadcast (NOT
-    # an unpartitioned window over every candidate row); the page can only
-    # ever need the top max(offset+size, 100) rows (the clamp below falls
-    # back to (0, min(100, total))), so rank = distributed TakeOrdered to
-    # that bound, then row_number over the tiny pre-ranked set. A hot
-    # term's million-row posting list never funnels through one task.
+    # Q7: df = |filtered candidate set| via a 1-row agg broadcast (NOT an
+    # unpartitioned window over every candidate row); ranking/clamping is
+    # the shared _rank_clamp_page.
     if (
         df_source == "postings"
         and keyword != ""
@@ -270,29 +337,9 @@ def search(
     scored = hydrated.crossJoin(F.broadcast(stats)).withColumn(
         "score", tfidf_score(F.col("weight"), max_doc, F.col("df_"))
     )
-    top_k = max(offset + size, DEFAULT_PAGE) if size > 0 and offset >= 0 else DEFAULT_PAGE
-    pre = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
-    w_rank = Window.partitionBy(F.lit(1)).orderBy(
-        F.desc("score"), F.asc("doc_id")
+    return _rank_clamp_page(
+        scored, "df_", offset, size, keep_total, drop_cols=("weight",)
     )
-    ranked = pre.withColumn("rn_", F.row_number().over(w_rank))
-    # pagination clamp (table.go:1029-1039)
-    total = F.col("df_")
-    bad = (
-        (F.lit(offset) < 0)
-        | (F.lit(size) <= 0)
-        | ((F.lit(offset) + F.lit(size)) > total)
-    )
-    lo = F.when(bad, F.lit(0)).otherwise(F.lit(offset))
-    hi = lo + F.when(bad, F.least(F.lit(DEFAULT_PAGE), total)).otherwise(
-        F.lit(size)
-    )
-    page = ranked.filter((F.col("rn_") > lo) & (F.col("rn_") <= hi))
-    if keep_total:
-        # expose the pre-pagination match count (the reference's
-        # SearchDocs returns (docs, total), table.go:1021)
-        return page.withColumnRenamed("df_", "_total").drop("rn_", "weight")
-    return page.drop("df_", "rn_", "weight")
 
 
 def search_multi(
@@ -344,19 +391,7 @@ def search_multi(
     if mode not in ("or", "and"):
         raise ValueError(f"unknown multi-term mode {mode!r}")
     fld = search_field or GOD_FIELD
-    if numeric_fields is None:
-        numeric_fields = {
-            f.name
-            for f in base.schema.fields
-            if f.dataType.typeName()
-            in ("long", "integer", "short", "byte", "timestamp",
-                "timestamp_ntz", "date")
-        }
-    temporal_types = {
-        f.name: f.dataType.typeName()
-        for f in base.schema.fields
-        if f.dataType.typeName() in ("date", "timestamp", "timestamp_ntz")
-    }
+    numeric_fields, temporal_types = _schema_kinds(base, numeric_fields)
     if max_doc is None:
         max_doc = base.count()
     buckets = term_buckets if term_buckets is not None else TERM_BUCKETS
@@ -370,44 +405,9 @@ def search_multi(
             postings, fld, terms, term_buckets=buckets
         ).select("doc_id", F.col("sum_weight").alias("score"))
 
-    if deleted is not None:
-        cand = cand.join(
-            F.broadcast(
-                deleted.select(F.col(doc_id).cast("long").alias("doc_id"))
-            ),
-            "doc_id",
-            "left_anti",
-        )
-    hydrated = cand.join(
-        base.withColumn("doc_id", F.col(doc_id).cast("long")), "doc_id"
+    hydrated = _hydrated_candidates(
+        cand, base, doc_id, deleted, filters, numeric_fields, temporal_types
     )
-    cond = and_filters(hydrated, filters, numeric_fields, temporal_types)
-    if cond is not None:
-        hydrated = hydrated.filter(cond)
-
     stats = hydrated.agg(F.count(F.lit(1)).alias("total_"))
     with_total = hydrated.crossJoin(F.broadcast(stats))
-    top_k = (
-        max(offset + size, DEFAULT_PAGE)
-        if size > 0 and offset >= 0
-        else DEFAULT_PAGE
-    )
-    pre = with_total.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
-    w_rank = Window.partitionBy(F.lit(1)).orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    ranked = pre.withColumn("rn_", F.row_number().over(w_rank))
-    total = F.col("total_")
-    bad = (
-        (F.lit(offset) < 0)
-        | (F.lit(size) <= 0)
-        | ((F.lit(offset) + F.lit(size)) > total)
-    )
-    lo = F.when(bad, F.lit(0)).otherwise(F.lit(offset))
-    hi = lo + F.when(bad, F.least(F.lit(DEFAULT_PAGE), total)).otherwise(
-        F.lit(size)
-    )
-    page = ranked.filter((F.col("rn_") > lo) & (F.col("rn_") <= hi))
-    if keep_total:
-        return page.withColumnRenamed("total_", "_total").drop("rn_")
-    return page.drop("total_", "rn_")
+    return _rank_clamp_page(with_total, "total_", offset, size, keep_total)

@@ -153,14 +153,20 @@ def latest_state(df: DataFrame) -> DataFrame:
     a `step` column) to the latest row per shard.
 
     Safe on any SUBSET of snapshot dirs: the reduction only drops rows
-    superseded *within* the subset, so compact_small can fold undersized
-    filter dirs with this as the transform and the global
-    latest-per-shard over (compacted + newer dirs) is unchanged."""
+    superseded *within* the subset, so compaction can fold filter dirs
+    with this as the transform and the global latest-per-shard over
+    (compacted + newer dirs) is unchanged.
+
+    Legacy rows from pre-step-column snapshots surface as step=null after
+    a union with allowMissingColumns; max_by IGNORES null order keys, so
+    the key is coalesced to -1 — a legacy row loses to any tagged row but
+    never resolves to an all-null state."""
     picked = (
         df.groupBy("shard")
         .agg(
             F.max_by(
-                F.struct("nbuckets", "count", "data", "step"), "step"
+                F.struct("nbuckets", "count", "data", "step"),
+                F.coalesce(F.col("step"), F.lit(-1)),
             ).alias("s")
         )
         .select(

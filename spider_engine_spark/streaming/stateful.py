@@ -83,9 +83,24 @@ def _flag_fn_factory(capacity_per_shard: int):
         else:
             filt = CuckooFilter(capacity_per_shard)
         shard = int(key[0])
+        # batch-first contract across ARROW CHUNKS too: a micro-batch
+        # larger than arrow.maxRecordsPerBatch arrives as several pdfs;
+        # a hash emitted from an earlier chunk must not re-emit from a
+        # later one (it would come back flagged maybe and the FP audit,
+        # which only sees the PREVIOUS batches' seen table, would admit
+        # it twice). Bounded by the micro-batch size, not history.
+        emitted = np.empty(0, dtype=np.int64)
         for pdf in pdf_iter:
             pdf = pdf.drop_duplicates(subset=["hash"], keep="first")
-            hashes = pdf["hash"].to_numpy(dtype=np.int64).astype(np.uint64)
+            if len(emitted):
+                pdf = pdf.loc[
+                    ~np.isin(pdf["hash"].to_numpy(dtype=np.int64), emitted)
+                ]
+            if pdf.empty:
+                continue
+            signed = pdf["hash"].to_numpy(dtype=np.int64)
+            emitted = np.concatenate([emitted, signed])
+            hashes = signed.astype(np.uint64)
             maybe = filt.contains(hashes)
             if (~maybe).any():
                 # definitely-new hashes enter the filter; maybe-seen ones
@@ -161,8 +176,12 @@ def make_seen_batch_handler(io):
                 survivors = maybe
         else:
             survivors = maybe
-        admitted = fresh.unionByName(survivors).select(
-            "url", "hash", "shard"
+        # belt over the operator's cross-chunk guard: the seen table must
+        # never hold a hash twice even if an upstream emits a duplicate
+        admitted = (
+            fresh.unionByName(survivors)
+            .select("url", "hash", "shard")
+            .dropDuplicates(["shard", "hash"])
         )
         io.write(
             "seen",

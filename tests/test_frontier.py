@@ -259,3 +259,32 @@ def test_filter_writes_only_dirty_shards(spark, tmp_path_factory):
         for d in io._load_manifest("filter")["versions"][-1]["dirs"]
     )
     assert total_rows == len(before)
+
+
+def test_latest_state_keeps_legacy_stepless_rows(spark):
+    """Resuming a crawl root written before the dirty-shard change: the
+    old filter snapshot has no step column; after the first new-format
+    append the union surfaces it as step=null. max_by ignores null order
+    keys, so latest_state coalesces — a legacy-only shard must resolve to
+    its real bytes, never an all-null row."""
+    from spider_engine_spark.operators import seenset
+    from spider_engine_spark.operators.cuckoo import CuckooFilter
+
+    legacy = CuckooFilter(1 << 8)
+    legacy.insert(__import__("numpy").array([7], dtype="uint64"))
+    newer = CuckooFilter(1 << 8)
+    rows = [
+        # shard 0: legacy row only (step=null after the union)
+        (0, legacy.nbuckets, 1, bytearray(legacy.to_bytes()), None),
+        # shard 1: legacy + a tagged newer row — newer must win
+        (1, legacy.nbuckets, 1, bytearray(legacy.to_bytes()), None),
+        (1, newer.nbuckets, 5, bytearray(newer.to_bytes()), 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "shard int, nbuckets int, count long, data binary, step int"
+    )
+    got = {r["shard"]: r for r in seenset.latest_state(df).collect()}
+    assert bytes(got[0]["data"]) == legacy.to_bytes()  # not null
+    assert got[0]["count"] == 1
+    assert bytes(got[1]["data"]) == newer.to_bytes()  # tagged wins
+    assert got[1]["count"] == 5

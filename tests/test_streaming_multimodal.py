@@ -344,3 +344,30 @@ def test_stream_seen_dedup_scalable_exact(spark, tmp_path):
     assert urls == sorted(
         ["http://a/1", "http://a/2", "http://b/9", "http://c/7"]
     )  # exactly the distinct set, each once
+
+
+def test_stateful_seen_flag_dedups_across_arrow_chunks(spark):
+    """A micro-batch larger than arrow.maxRecordsPerBatch arrives as
+    SEVERAL pandas chunks; a hash emitted from an earlier chunk must not
+    re-emit from a later one (it would come back maybe_seen and the FP
+    audit — which only sees previous batches — would admit it twice)."""
+    import pandas as pd
+
+    from spider_engine_spark.streaming.stateful import _flag_fn_factory
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, tup):
+            self.exists = True
+            self.get = tup
+
+    fn = _flag_fn_factory(capacity_per_shard=1 << 10)
+    chunk1 = pd.DataFrame({"url": ["http://a/1", "http://a/2"],
+                           "hash": [11, 22]})
+    chunk2 = pd.DataFrame({"url": ["http://a/1", "http://a/3"],
+                           "hash": [11, 33]})  # 11 repeats across chunks
+    out = pd.concat(list(fn((0,), iter([chunk1, chunk2]), FakeState())))
+    assert sorted(out["hash"]) == [11, 22, 33]  # 11 exactly once
+    assert not out["maybe_seen"].any()  # all first-seen in this batch
