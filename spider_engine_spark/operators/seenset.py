@@ -105,8 +105,11 @@ def insert(
     path appends these (with a step column) instead of rewriting the full
     state table — at the documented 10^10-URL sizing a full rewrite
     round-trips ~32 GiB of filter bytes through Arrow and onto disk per
-    superstep even when one shard changed. Readers resolve
-    latest-row-per-shard via latest_state()."""
+    superstep even when one shard changed. The state side is additionally
+    pre-pruned to the dirty shards with a broadcast semi-join, so
+    untouched shards' table bytes never enter the cogroup shuffle at all
+    (without it they would round-trip through Arrow just to emit
+    nothing). Readers resolve latest-row-per-shard via latest_state()."""
 
     def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if dirty_only and left.empty:
@@ -140,6 +143,12 @@ def insert(
             }
         )
 
+    if dirty_only:
+        state = state.join(
+            F.broadcast(admitted.select("shard").distinct()),
+            "shard",
+            "leftsemi",
+        )
     return (
         admitted.select("shard", "hash")
         .groupBy("shard")
