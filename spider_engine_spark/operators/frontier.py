@@ -122,21 +122,29 @@ def canonicalize_col(c) -> "F.Column":
     return F.concat(scheme, F.lit("://"), netloc, path)
 
 
-def host_attrs_udf(cfg: wm.WebConfig):
-    """Narrow Arrow UDF: host -> struct<priority, budget>. The blake2b
-    attribute hashes are computed once per UNIQUE host in the batch and
-    dict-mapped back — only the host column crosses the Arrow boundary
-    (minimal-traffic, no shuffle, no join)."""
-    from pyspark.sql.functions import pandas_udf
+def host_attr_cols(cfg: wm.WebConfig, host=None):
+    """JVM-native (priority, budget) columns for a host column.
 
-    @pandas_udf("struct<priority:int,budget:int>")
-    def _attrs(s: pd.Series) -> pd.DataFrame:
-        uniq = s.drop_duplicates()
-        prio = {h: wm.host_priority(h) for h in uniq}
-        budget = {h: wm.host_budget(h, cfg) for h in uniq}
-        return pd.DataFrame({"priority": s.map(prio), "budget": s.map(budget)})
+    Bit-identical to webmodel.host_priority / host_budget: the attribute
+    law is a 60-bit md5 truncation (webmodel.attr_h60) chosen precisely
+    so conv(substring(md5(...), 1, 15), 16, 10) reproduces it inside
+    whole-stage codegen — the outlink stream's host column never crosses
+    into Python (this replaced a pandas UDF that round-tripped every
+    candidate row's host through Arrow; parity is property-tested in
+    tests/test_properties.py)."""
+    host = F.col("host") if host is None else host
 
-    return _attrs
+    def h60(prefix: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), host)), 1, 15), 16, 10
+        ).cast("long")
+
+    delay = F.lit(1) + (h60("delay:") % 4)
+    budget = F.greatest(
+        F.lit(1), F.floor(F.lit(int(cfg.ticks_per_step)) / delay)
+    ).cast("int")
+    priority = (h60("prio:") % 3).cast("int")
+    return priority, budget
 
 
 def enrich_candidates(
@@ -146,11 +154,12 @@ def enrich_candidates(
 ) -> DataFrame:
     """raw(url_raw, depth) -> canonical candidates with host attributes.
 
-    Canonicalization, host/path split and the robots prefix test are
-    pure JVM expressions (whole-stage codegen over the multi-billion-row
-    outlink stream); Python is reduced to the per-unique-host attribute
-    UDF (host column in, two ints out). webmodel stays the single source
-    of truth shared with the replay simulator.
+    Canonicalization, host/path split, the robots prefix test AND the
+    host attribute laws are pure JVM expressions (whole-stage codegen
+    over the multi-billion-row outlink stream) — enrich contains ZERO
+    Python. webmodel stays the single source of truth shared with the
+    replay simulator (the md5-based attr law is bit-identical on both
+    sides, see host_attr_cols).
 
     host_attrs: optional (host, priority, budget) table of already-
     computed attributes. Known hosts take their attrs from a broadcast
@@ -227,19 +236,19 @@ def enrich_candidates(
         (~F.col("_path").startswith(wm.ROBOTS_DISALLOW_PREFIX)).alias("allowed"),
     )
 
-    def _with_udf(df: DataFrame) -> DataFrame:
-        attrs = host_attrs_udf(cfg)(F.col("host"))
+    def _with_attrs(df: DataFrame) -> DataFrame:
+        priority, budget = host_attr_cols(cfg)
         return df.select(
             "url",
             "host",
             "depth",
-            attrs["priority"].alias("priority"),
-            attrs["budget"].alias("budget"),
+            priority.alias("priority"),
+            budget.alias("budget"),
             "allowed",
         )
 
     if host_attrs is None:
-        return _with_udf(tagged)
+        return _with_attrs(tagged)
     known = F.broadcast(
         host_attrs.select("host", "priority", "budget")
     )
@@ -247,7 +256,7 @@ def enrich_candidates(
         "url", "host", "depth", "priority", "budget", "allowed"
     )
     miss = tagged.join(known, "host", "left_anti")
-    return hit.unionByName(_with_udf(miss))
+    return hit.unionByName(_with_attrs(miss))
 
 
 def fetch_docs(batch: DataFrame, step: int, cfg: wm.WebConfig = wm.DEFAULT) -> DataFrame:
@@ -598,6 +607,11 @@ class CrawlJob:
         parent_depth = batch.select(
             F.col("url").alias("doc_id"), F.col("depth").alias("pdepth")
         )
+        # explode-then-project, NOT transform-before-explode: Catalyst's
+        # nested-column aliasing already prunes the generator to the
+        # media_ref field, and a transform+filter pre-pass measured WORSE
+        # (extra per-row array materialization; A/B at local[32]:
+        # 65.2s vs 78.2s enrich back-to-back)
         raw_links = (
             docs.join(F.broadcast(parent_depth), "doc_id")
             .select(F.explode("spans").alias("s"), F.col("pdepth"))
@@ -610,7 +624,17 @@ class CrawlJob:
 
         raw_links = raw_links.repartition(
             spark.sparkContext.defaultParallelism
-        )  # unlock full UDF parallelism (AQE coalesces by bytes)
+        )
+        # The repartition above is LOAD-BEARING even now that enrich is
+        # 100% JVM (it predates that, for Arrow-UDF parallelism): it
+        # round-robins the outlink stream so per-partition LINK counts
+        # are even (fetch partitions are budget-skewed), and it decouples
+        # the heavy span-explode scan from the enrich/cache/groupBy
+        # stages, which then read the narrow (url_raw, depth) shuffle
+        # data instead of re-walking the span payload. Measured A/B at
+        # local[32], 1.16M pages back-to-back: WITH 72.0k urls/s
+        # (enrich 65.2s, probe 3.6s) / WITHOUT 44.1k (enrich 100.9s,
+        # probe 11.3s). See BENCH/BASELINE.md §4.
         hosts_df = None
         if self.host_cache and ("hosts" in self._mem or self.io.exists("hosts")):
             hosts_df = self._get("hosts")

@@ -59,10 +59,23 @@ def host_name(hid: int) -> str:
     return f"host{hid}.example.com"
 
 
+def attr_h60(s: str) -> int:
+    """60-bit md5 truncation for the politeness/priority attribute laws.
+
+    Deliberately md5 (not blake2b like h64): the scheduler computes these
+    attributes as whole-stage-codegen JVM expressions over the outlink
+    stream — conv(substring(md5(s), 1, 15), 16, 10) — bit-identical to
+    this Python form (15 hex chars = 60 bits, fits BIGINT on both sides),
+    so the multi-billion-row candidate stream never enters Python at all
+    (operators/frontier.host_attr_cols; parity property-tested). The
+    simulator keeps using this pure-Python form."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def crawl_delay(host: str) -> int:
     """Politeness: ticks between fetches for this host (robots crawl-delay).
     1..4 ticks -> per-superstep budget ticks_per_step // delay."""
-    return 1 + h64("delay:" + host) % 4
+    return 1 + attr_h60("delay:" + host) % 4
 
 
 def host_budget(host: str, cfg: WebConfig = DEFAULT) -> int:
@@ -71,7 +84,7 @@ def host_budget(host: str, cfg: WebConfig = DEFAULT) -> int:
 
 def host_priority(host: str) -> int:
     """0 (high) .. 2 (low); part of the priority-queue bucket key."""
-    return h64("prio:" + host) % 3
+    return attr_h60("prio:" + host) % 3
 
 
 ROBOTS_DISALLOW_PREFIX = "/private/"  # shared with the JVM robots test

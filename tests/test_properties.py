@@ -214,3 +214,36 @@ def test_enrich_host_split_matches_python_reference(spark):
         for r in enrich_candidates(raw, host_attrs=attrs).collect()
     }
     assert with_table == rows
+
+
+def test_jvm_host_attrs_match_python_reference(spark):
+    """The whole-stage-codegen host attribute laws (host_attr_cols:
+    conv(substring(md5(...),1,15),16,10) = webmodel.attr_h60) must be
+    bit-identical to host_priority/host_budget across synthetic-web
+    hosts and hostile strings — the scheduler uses the JVM form over the
+    outlink stream, the replay simulator uses the Python form."""
+    from pyspark.sql import functions as F
+
+    from spider_engine_spark.operators.frontier import host_attr_cols
+
+    hosts = (
+        [wm.host_name(i) for i in range(500)]
+        + [
+            "",
+            "a",
+            "ünï©ødé.example",
+            "host" + "x" * 500 + ".com",
+            "UPPER.CASE.COM",
+            "host0.example.com:8080",
+            " leading-space.example",
+            "emoji-🕸.example",
+        ]
+    )
+    cfg = wm.WebConfig(ticks_per_step=7)  # non-default ticks exercise //
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    prio, budget = host_attr_cols(cfg)
+    rows = df.select("host", prio.alias("p"), budget.alias("b")).collect()
+    assert len(rows) == len(hosts)
+    for r in rows:
+        assert r["p"] == wm.host_priority(r["host"]), r["host"]
+        assert r["b"] == wm.host_budget(r["host"], cfg), r["host"]
