@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from spider_engine_spark.functions.hashes import md5_h60_col
+
 STOPWORDS = {
     "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
@@ -115,10 +117,7 @@ def winnowing_fingerprints(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    hashes = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
-    )
+    hashes = F.transform(grams, md5_h60_col)
     wins = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(hashes) - (w - 1)),

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spider_engine_spark.functions.hashes import md5_h60_col
+
 TOKEN_SPLIT = r"\s+"
 
 
@@ -234,10 +236,7 @@ def simhash_signatures(df: DataFrame, key: str, content: str) -> DataFrame:
         F.col(key), F.explode(tokens_col(content)).alias("term")
     )
     tc = toks.groupBy(key, "term").agg(F.count(F.lit(1)).alias("cnt"))
-    th = tc.withColumn(
-        "h",
-        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
-    )
+    th = tc.withColumn("h", md5_h60_col("term"))
     bit_aggs = [
         F.sum(
             F.when(

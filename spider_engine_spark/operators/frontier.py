@@ -5,7 +5,7 @@ Superstep dataflow (north_rule; all state through snapshot-commit TableIO):
   frontier ──salted two-phase per-host top-k──> fetch batch
      batch ──mapInPandas(make_doc)──> interleaved docs (spans)
      docs  ──explode media spans──> raw outlinks
-     links ──canonicalize+enrich (Arrow UDF)──> candidates
+     links ──canonicalize+enrich (pure JVM expressions)──> candidates
      candidates ──robots filter──> allowed
      allowed ──xxhash64 shard──> cuckoo probe (minimal-traffic: only
               (shard,hash) crosses the Arrow boundary; the tiny
@@ -49,6 +49,7 @@ from pyspark.sql.types import (
 )
 
 from spider_engine_spark import webmodel as wm
+from spider_engine_spark.functions.hashes import md5_h60_col
 from spider_engine_spark.functions.tokenizers import tokenize_cols_udf
 from spider_engine_spark.operators import seenset
 from spider_engine_spark.operators.postings import aggregate_postings, merge_postings
@@ -135,9 +136,7 @@ def host_attr_cols(cfg: wm.WebConfig, host=None):
     host = F.col("host") if host is None else host
 
     def h60(prefix: str):
-        return F.conv(
-            F.substring(F.md5(F.concat(F.lit(prefix), host)), 1, 15), 16, 10
-        ).cast("long")
+        return md5_h60_col(F.concat(F.lit(prefix), host))
 
     delay = F.lit(1) + (h60("delay:") % 4)
     budget = F.greatest(
@@ -163,12 +162,11 @@ def enrich_candidates(
 
     host_attrs: optional (host, priority, budget) table of already-
     computed attributes. Known hosts take their attrs from a broadcast
-    join — zero Python, no Arrow transfer of the candidate stream — and
-    only rows for never-seen hosts run the UDF. Off by default
-    (CrawlJob(host_cache=True)): the synthetic attrs are pure functions
-    of the host string and recomputing them measures cheaper than the
-    join machinery; the hook exists for attrs sourced from external
-    state (fetched robots.txt rules).
+    join and only never-seen hosts evaluate the attr expressions. Off by
+    default (CrawlJob(host_cache=True)): the synthetic attrs are pure
+    JVM functions of the host string and recomputing them measures
+    cheaper than the join machinery; the hook exists for attrs sourced
+    from external state (fetched robots.txt rules).
 
     Plan shape: the canonicalizer runs as a LADDER of narrow
     projections (each intermediate — stripped input, scheme, rest,
@@ -401,6 +399,8 @@ class CrawlJob:
             # resume with the same web physics the crawl started with
             stored = meta.get("web_config")
             self.cfg = wm.WebConfig(**stored) if stored else (cfg or wm.DEFAULT)
+            if meta.get("attr_law") != wm.ATTR_LAW:
+                self._migrate_attr_law(meta)
         elif seeds is not None:
             self.cfg = cfg or wm.DEFAULT
             self._bootstrap(seeds)
@@ -495,6 +495,39 @@ class CrawlJob:
                 df.unpersist()
             self._postings_pieces.clear()
 
+    def _migrate_attr_law(self, frontier_meta: dict) -> None:
+        """Re-derive persisted priority/budget after an attribute-law
+        change (webmodel.ATTR_LAW differs from the root's stored tag).
+
+        Frontier rows and the hosts cache STORE derived attrs; without
+        this, a resumed pre-change root would mix two laws for the same
+        host — inconsistent per-host budget cutoffs in select_fetch_batch
+        and divergence from the (all-current-law) replay simulator. Attrs
+        are pure functions of the host string, so migration is one
+        projection per table. Hosts first, frontier LAST: the frontier's
+        attr_law meta is the migration commit point, and re-deriving is a
+        fixpoint, so a crash between the two writes just re-runs both."""
+        prio, budget = host_attr_cols(self.cfg)
+        if self.io.exists("hosts"):
+            hmeta = dict(self.io.meta("hosts"))
+            hosts = (
+                self.io.read(self.spark, "hosts")
+                .select("host", prio.alias("priority"), budget.alias("budget"))
+                .distinct()
+            )
+            self.io.write("hosts", hosts, meta=hmeta)
+        fr = self.io.read(self.spark, "frontier").select(
+            "url",
+            "host",
+            "depth",
+            prio.alias("priority"),
+            budget.alias("budget"),
+            "discovered_step",
+        )
+        self.io.write(
+            "frontier", fr, meta={**frontier_meta, "attr_law": wm.ATTR_LAW}
+        )
+
     # -- bootstrap ----------------------------------------------------
     def _bootstrap(self, seeds: list[str]) -> None:
         raw = self.spark.createDataFrame(
@@ -510,7 +543,8 @@ class CrawlJob:
         self.io.write(
             "frontier",
             frontier,
-            meta={"step": 0, "metrics": {}, "web_config": self.cfg.__dict__},
+            meta={"step": 0, "metrics": {}, "web_config": self.cfg.__dict__,
+                  "attr_law": wm.ATTR_LAW},
         )
         self.io.write(
             "seen", cand.select("url", "hash", "shard"), meta={"step": 0},
@@ -578,6 +612,7 @@ class CrawlJob:
                 "step": step + 1,
                 "metrics": metrics,
                 "web_config": self.cfg.__dict__,
+                "attr_law": wm.ATTR_LAW,
             }
             if self.checkpoint_every == 1:
                 self.io.write("frontier", frontier, meta=self._frontier_meta)
@@ -768,6 +803,7 @@ class CrawlJob:
             "step": step + 1,
             "metrics": metrics,
             "web_config": self.cfg.__dict__,
+            "attr_law": wm.ATTR_LAW,
         }
 
         # frontier' = frontier - batch + admitted

@@ -88,18 +88,19 @@ def _flag_fn_factory(capacity_per_shard: int):
         # a hash emitted from an earlier chunk must not re-emit from a
         # later one (it would come back flagged maybe and the FP audit,
         # which only sees the PREVIOUS batches' seen table, would admit
-        # it twice). Bounded by the micro-batch size, not history.
-        emitted = np.empty(0, dtype=np.int64)
+        # it twice). A hash-set with pandas' C-level isin keeps this
+        # O(batch) total — an array rebuilt+re-sorted per chunk would be
+        # O(chunks x batch log batch). Bounded by the micro-batch size,
+        # not history.
+        emitted: set = set()
         for pdf in pdf_iter:
             pdf = pdf.drop_duplicates(subset=["hash"], keep="first")
-            if len(emitted):
-                pdf = pdf.loc[
-                    ~np.isin(pdf["hash"].to_numpy(dtype=np.int64), emitted)
-                ]
+            if emitted:
+                pdf = pdf.loc[~pdf["hash"].isin(emitted)]
             if pdf.empty:
                 continue
             signed = pdf["hash"].to_numpy(dtype=np.int64)
-            emitted = np.concatenate([emitted, signed])
+            emitted.update(signed.tolist())
             hashes = signed.astype(np.uint64)
             maybe = filt.contains(hashes)
             if (~maybe).any():

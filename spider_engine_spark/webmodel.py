@@ -59,6 +59,16 @@ def host_name(hid: int) -> str:
     return f"host{hid}.example.com"
 
 
+# Version tag of the politeness/priority attribute law, persisted in the
+# frontier snapshot meta. Frontier rows and the hosts cache STORE derived
+# priority/budget values; if the law changes, a resumed root would mix
+# two laws for the same host (inconsistent per-host budget cutoffs,
+# replay divergence). CrawlJob re-derives persisted attrs on resume when
+# the stored tag differs (pure functions of host — a one-projection
+# migration).
+ATTR_LAW = "md5h60"
+
+
 def attr_h60(s: str) -> int:
     """60-bit md5 truncation for the politeness/priority attribute laws.
 

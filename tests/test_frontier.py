@@ -288,3 +288,56 @@ def test_latest_state_keeps_legacy_stepless_rows(spark):
     assert got[0]["count"] == 1
     assert bytes(got[1]["data"]) == newer.to_bytes()  # tagged wins
     assert got[1]["count"] == 5
+
+
+def test_attr_law_migration_on_resume(spark, tmp_path_factory):
+    """A crawl root persisted under an older attribute law must not mix
+    laws on resume: CrawlJob re-derives frontier (and hosts) priority/
+    budget when the stored attr_law tag differs, and the continued crawl
+    matches the all-current-law simulator."""
+    seeds = wm.seed_urls(8)
+    root = str(tmp_path_factory.mktemp("lawmig"))
+    job = CrawlJob(
+        spark, root, seeds=seeds, num_shards=2, salts=2, index=False,
+        host_cache=True,
+    )
+    job.run(1)
+
+    # simulate a pre-change root: corrupt the derived attrs and strip the
+    # law tag (as if written under the old blake2b law)
+    io = job.io
+    fmeta = dict(io.meta("frontier"))
+    fmeta.pop("attr_law")
+    wrong = io.read(spark, "frontier").select(
+        "url", "host", "depth",
+        (F.col("priority") + 1).alias("priority"),
+        (F.col("budget") + 7).alias("budget"),
+        "discovered_step",
+    )
+    io.write("frontier", wrong, meta=fmeta)
+    hmeta = dict(io.meta("hosts"))
+    wrong_hosts = io.read(spark, "hosts").select(
+        "host",
+        (F.col("priority") + 1).alias("priority"),
+        (F.col("budget") + 7).alias("budget"),
+    )
+    io.write("hosts", wrong_hosts, meta=hmeta)
+
+    # resume: migration must re-derive every stored attr from the host
+    job2 = CrawlJob(
+        spark, root, num_shards=2, salts=2, index=False, host_cache=True
+    )
+    assert io.meta("frontier").get("attr_law") == wm.ATTR_LAW
+    for r in io.read(spark, "frontier").collect():
+        assert r["priority"] == wm.host_priority(r["host"])
+        assert r["budget"] == wm.host_budget(r["host"], job2.cfg)
+    for r in io.read(spark, "hosts").collect():
+        assert r["priority"] == wm.host_priority(r["host"])
+        assert r["budget"] == wm.host_budget(r["host"], job2.cfg)
+
+    # and the continued crawl replays exactly against the simulator
+    job2.run(2)
+    sim = ReplaySimulator(seeds)
+    sim.run(3)
+    assert fetched_urls_by_step(job2) == sim.fetched_by_step
+    assert seen_urls(job2) == sim.seen
