@@ -23,10 +23,14 @@ def main() -> None:
     ap.add_argument("--root", required=True, help="crawl state dir (TableIO root)")
     ap.add_argument("--seeds", type=int, default=100)
     ap.add_argument("--steps", type=int, default=5)
-    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--shards", type=int, default=None,
+                    help="seen-set shard count (default 8 on bootstrap; on "
+                    "resume the value stored in the crawl root is restored "
+                    "— passing a conflicting value is an error)")
     ap.add_argument("--salts", type=int, default=4)
-    ap.add_argument("--capacity", type=int, default=1 << 16,
-                    help="cuckoo-filter capacity per shard")
+    ap.add_argument("--capacity", type=int, default=None,
+                    help="cuckoo-filter capacity per shard (default 2^16 on "
+                    "bootstrap; restored from the crawl root on resume)")
     ap.add_argument("--no-index", action="store_true")
     ap.add_argument("--host-cache", action="store_true",
                     help="broadcast-join a persisted host-attr table in enrich (for externally-sourced attrs; the synthetic attrs are cheaper recomputed)")

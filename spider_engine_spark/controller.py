@@ -191,6 +191,17 @@ class SpiderController:
         # terms — the query-list request shape the reference's model
         # declared (search.go:263-320); mode: 'or' (default) | 'and'
         value = p.get("value", "")
+        mode = p.get("mode", "or")
+        # validate the list request shape up front so a malformed call
+        # gets a reference-style validation envelope, not the generic
+        # handler-exception one (search_multi would raise ValueError)
+        if isinstance(value, (list, tuple)):
+            if not value:
+                return error("search value list must not be empty")
+            if not all(isinstance(v, str) for v in value):
+                return error("search value list items must be strings")
+        if mode not in ("or", "and"):
+            return error(f"unknown search mode {mode!r} (use 'or' or 'and')")
         page = t.search(
             list(value) if isinstance(value, (list, tuple)) else value,
             field=p.get("fieldName", ""),

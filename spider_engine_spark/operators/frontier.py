@@ -371,8 +371,8 @@ class CrawlJob:
         spark: SparkSession,
         root: str,
         seeds: list[str] | None = None,
-        num_shards: int = 8,
-        capacity_per_shard: int = 1 << 16,
+        num_shards: int | None = None,
+        capacity_per_shard: int | None = None,
         salts: int = 4,
         index: bool = True,
         cfg: wm.WebConfig | None = None,
@@ -385,8 +385,6 @@ class CrawlJob:
         self.checkpoint_every = checkpoint_every
         self.spark = spark
         self.io = TableIO(root)
-        self.num_shards = num_shards
-        self.capacity = capacity_per_shard
         self.salts = salts
         self.index = index
         self._mem: dict[str, DataFrame] = {}
@@ -396,16 +394,89 @@ class CrawlJob:
         if self.io.exists("frontier"):
             meta = self.io.meta("frontier")
             self.step_no = int(meta.get("step", 0))
-            # resume with the same web physics the crawl started with
+            # resume with the same web physics AND the same seen-set
+            # layout the crawl was bootstrapped with — the reference
+            # reloads all layout state from meta on boot
+            # (core/table/table.go:163-210). The sharding parameters are
+            # layout, not tuning: the persisted filter/seen tables are
+            # partitioned mod num_shards, so resuming with a different
+            # value would probe the WRONG filter shard — cuckoo false
+            # negatives, the one property the design forbids. A
+            # conflicting explicit value therefore raises (a true
+            # re-shard needs a migration job); omitted args restore the
+            # stored layout.
             stored = meta.get("web_config")
             self.cfg = wm.WebConfig(**stored) if stored else (cfg or wm.DEFAULT)
+            self.num_shards = self._restore_layout(
+                meta, "num_shards", num_shards, 8
+            )
+            self.capacity = self._restore_layout(
+                meta, "capacity_per_shard", capacity_per_shard, 1 << 16
+            )
+            # orphan writes from a crashed superstep must be reverted
+            # BEFORE the attr-law migration: _migrate_attr_law rewrites
+            # hosts reusing the latest hosts meta — if that meta belongs
+            # to an orphan append (step > frontier step), run_step's
+            # revert pass would later roll hosts back BEHIND the
+            # migration while the frontier meta already carries the new
+            # law tag, permanently mixing old- and new-law attrs.
+            self._revert_orphans()
             if meta.get("attr_law") != wm.ATTR_LAW:
                 self._migrate_attr_law(meta)
         elif seeds is not None:
             self.cfg = cfg or wm.DEFAULT
+            self.num_shards = 8 if num_shards is None else int(num_shards)
+            self.capacity = (
+                1 << 16 if capacity_per_shard is None else int(capacity_per_shard)
+            )
             self._bootstrap(seeds)
         else:
             raise ValueError("new crawl root requires seeds")
+
+    @staticmethod
+    def _restore_layout(meta: dict, key: str, given: int | None, default: int) -> int:
+        stored = meta.get(key)
+        if stored is None:
+            # pre-layout-stamp root: trust the caller (legacy behavior)
+            return default if given is None else int(given)
+        if given is not None and int(given) != int(stored):
+            raise ValueError(
+                f"crawl root was bootstrapped with {key}={int(stored)}; "
+                f"resuming with {key}={int(given)} would mis-shard the "
+                "persisted seen-set (re-sharding requires a migration "
+                "job) — omit the argument to resume with the stored layout"
+            )
+        return int(stored)
+
+    def _layout_meta(self) -> dict:
+        """Meta fields every frontier commit carries, so ANY resume point
+        (bootstrap or mid-crawl) restores the full layout + physics."""
+        return {
+            "web_config": self.cfg.__dict__,
+            "attr_law": wm.ATTR_LAW,
+            "num_shards": self.num_shards,
+            "capacity_per_shard": self.capacity,
+        }
+
+    def _revert_orphans(self) -> None:
+        """Crash recovery (both modes): the frontier commit is the commit
+        point (written last, durable per-step or at checkpoint time); any
+        table already carrying meta step > the frontier's step is an
+        orphan write from a crashed attempt — snapshot-revert it before
+        re-running idempotently. In memory mode durable state only moves
+        at checkpoints, so this no-ops between them."""
+        step = self.step_no
+        for tbl in ("docs", "seen", "filter", "postings", "admitted", "hosts"):
+            if self.io.exists(tbl):
+                if int(self.io.meta(tbl).get("step", 0)) > step:
+                    v = self.io.latest_version_at_step(tbl, step)
+                    if v is not None:
+                        self.io.revert(tbl, v)
+                    else:
+                        # no version at-or-before the committed step: the
+                        # table didn't exist at the commit point (crash
+                        # during the FIRST checkpoint) — drop the orphan
+                        self.io.drop(tbl)
 
     # -- state layer ---------------------------------------------------
     def _get(self, name: str) -> DataFrame:
@@ -525,7 +596,7 @@ class CrawlJob:
             "discovered_step",
         )
         self.io.write(
-            "frontier", fr, meta={**frontier_meta, "attr_law": wm.ATTR_LAW}
+            "frontier", fr, meta={**frontier_meta, **self._layout_meta()}
         )
 
     # -- bootstrap ----------------------------------------------------
@@ -543,8 +614,7 @@ class CrawlJob:
         self.io.write(
             "frontier",
             frontier,
-            meta={"step": 0, "metrics": {}, "web_config": self.cfg.__dict__,
-                  "attr_law": wm.ATTR_LAW},
+            meta={"step": 0, "metrics": {}, **self._layout_meta()},
         )
         self.io.write(
             "seen", cand.select("url", "hash", "shard"), meta={"step": 0},
@@ -582,25 +652,8 @@ class CrawlJob:
 
         spark = self.spark
         step = self.step_no
-        # crash recovery (both modes): the frontier commit is the commit
-        # point (written last, durable per-step or at checkpoint time);
-        # any table already carrying meta step > the frontier's step is an
-        # orphan write from a crashed attempt — snapshot-revert it before
-        # re-running idempotently. In memory mode durable state only moves
-        # at checkpoints, so this no-ops between them.
         if not self._mem:
-            for tbl in ("docs", "seen", "filter", "postings", "admitted", "hosts"):
-                if self.io.exists(tbl):
-                    if int(self.io.meta(tbl).get("step", 0)) > step:
-                        v = self.io.latest_version_at_step(tbl, step)
-                        if v is not None:
-                            self.io.revert(tbl, v)
-                        else:
-                            # no version at-or-before the committed step:
-                            # the table didn't exist at the commit point
-                            # (crash during the FIRST checkpoint) — drop
-                            # the orphan entirely
-                            self.io.drop(tbl)
+            self._revert_orphans()
         frontier = self._get("frontier")
 
         batch = select_fetch_batch(frontier, self.salts).cache()
@@ -611,8 +664,7 @@ class CrawlJob:
             self._frontier_meta = {
                 "step": step + 1,
                 "metrics": metrics,
-                "web_config": self.cfg.__dict__,
-                "attr_law": wm.ATTR_LAW,
+                **self._layout_meta(),
             }
             if self.checkpoint_every == 1:
                 self.io.write("frontier", frontier, meta=self._frontier_meta)
@@ -802,8 +854,7 @@ class CrawlJob:
         self._frontier_meta = {
             "step": step + 1,
             "metrics": metrics,
-            "web_config": self.cfg.__dict__,
-            "attr_law": wm.ATTR_LAW,
+            **self._layout_meta(),
         }
 
         # frontier' = frontier - batch + admitted

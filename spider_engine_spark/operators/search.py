@@ -377,7 +377,12 @@ def search_multi(
     clamp total is the FILTERED candidate count (count semantics — the
     per-term postings df statistic is not meaningful post-intersection).
     A single-element list degrades to the mode's semantics over one term,
-    which for 'or' equals single-term search().
+    which for 'or' equals single-term search() when no filters/deletes
+    apply. With filters or deletes the returned SCORE values can differ:
+    multi_term_or scores with df = the term's unfiltered posting-list
+    length, while search() recomputes df over the filtered candidate set
+    — ranking order is unaffected for a single term (a common positive
+    idf factor), only the absolute score scale.
     """
     from spider_engine_spark.operators.postings import (
         TERM_BUCKETS,

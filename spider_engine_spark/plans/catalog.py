@@ -234,8 +234,23 @@ class Table:
                 )
             else:
                 raw = raw.withColumn(AUTO_PK, F.expr("uuid()"))
-        # duplicate-PK rejection (table.go:451-454): vs table and in-batch
-        raw = raw.dropDuplicates([self.pk])
+        # duplicate-PK rejection (table.go:451-454): vs table and in-batch.
+        # In-batch resolution is DETERMINISTIC: the reference's serialized
+        # writer keeps the first-arrived row, but "first" is undefined
+        # distributively (dropDuplicates keeps an arbitrary row) — keep
+        # the row with the smallest JSON encoding instead (a total order
+        # over full row content), so re-running the same batch always
+        # survives the same row.
+        _cols = raw.columns
+        raw = (
+            raw.groupBy(self.pk)
+            .agg(
+                F.min_by(
+                    F.struct(*_cols), F.to_json(F.struct(*_cols))
+                ).alias("_r")
+            )
+            .select("_r.*")
+        )
         if self.io.exists(f"{self.name}__base"):
             # duplicate check is vs LIVE rows: a tombstoned PK may be
             # re-inserted — that IS the update path (table.go:636-654)

@@ -83,7 +83,10 @@ def make_batch_handler(
                 "postings", postings, mode="append",
                 meta={"batch_id": batch_id},
             )
-        if (batch_id + 1) % compact_every == 0:
+        # never-written postings (every batch so far empty, e.g. an empty
+        # availableNow stream with an explicit schema) have nothing to
+        # compact — compact_small would raise from _entry
+        if (batch_id + 1) % compact_every == 0 and io.exists("postings"):
             # Incremental, like the crawl path (frontier.py): fold only
             # undersized postings dirs; dirs >= max_bytes are referenced
             # untouched by the new manifest. The former whole-table
@@ -95,7 +98,7 @@ def make_batch_handler(
             # Replay-safe: on an already-compacted replay either the
             # meta guard or the <=1-undersized-dir no-op applies; a
             # re-merge of merged content is a fixpoint regardless.
-            m = io.meta("postings") if io.exists("postings") else {}
+            m = io.meta("postings")
             already = bool(m.get("compacted")) and int(
                 m.get("batch_id", -1)
             ) >= batch_id

@@ -450,3 +450,29 @@ def test_multi_term_table_search(cat):
         ["美食", "秋香"], field="user_desc", size=2, keep_total=True
     ).collect()
     assert len(rows) == 2 and rows[0]["_total"] == 4
+
+
+def test_in_batch_duplicate_pk_deterministic(cat):
+    """Round-4 verdict #6: when one batch carries the same PK twice with
+    DIFFERENT content, the surviving row must be deterministic (the
+    reference's serialized writer keeps first-arrived; 'first' is
+    undefined distributively, so the rule here is smallest JSON encoding
+    of the full row). Two identical runs must keep identical rows."""
+    survivors = []
+    for i in range(2):
+        t = cat.create_table("db1", f"dupdet{i}", FIELDS)
+        rows = [
+            {"user_id": "1", "user_name": "zzz", "user_age": 9, "user_desc": "b"},
+            {"user_id": "1", "user_name": "aaa", "user_age": 1, "user_desc": "a"},
+            {"user_id": "1", "user_name": "mmm", "user_age": 5, "user_desc": "m"},
+            {"user_id": "2", "user_name": "solo", "user_age": 2, "user_desc": "s"},
+        ]
+        accepted, burned = t.add_docs(rows)
+        assert (accepted, burned) == (2, 0)
+        survivors.append(
+            {r["user_id"]: (r["user_name"], r["user_age"])
+             for r in t.base().collect()}
+        )
+        cat.drop_table("db1", f"dupdet{i}")
+    assert survivors[0] == survivors[1]
+    assert set(survivors[0]) == {"1", "2"}

@@ -341,3 +341,124 @@ def test_attr_law_migration_on_resume(spark, tmp_path_factory):
     sim.run(3)
     assert fetched_urls_by_step(job2) == sim.fetched_by_step
     assert seen_urls(job2) == sim.seen
+
+
+def test_resume_restores_sharding_layout(spark, tmp_path_factory):
+    """Round-4 verdict #1: the sharding parameters are LAYOUT — persisted
+    filter/seen state is partitioned mod num_shards — so a resume must
+    restore them from the frontier meta, not trust constructor defaults.
+    Pre-fix, `CrawlJob(spark, root)` after a num_shards=4 bootstrap would
+    probe `pmod(hash, 8)` against mod-4 state: cuckoo false negatives,
+    re-admitted duplicates, replay divergence."""
+    seeds = wm.seed_urls(8)
+    root = str(tmp_path_factory.mktemp("layout"))
+    job = CrawlJob(
+        spark, root, seeds=seeds, num_shards=4,
+        capacity_per_shard=1 << 12, salts=2, index=False,
+    )
+    job.run(2)
+    del job
+
+    # resume with NO layout args (run_crawl.py's default path)
+    job2 = CrawlJob(spark, root, salts=2, index=False)
+    assert job2.num_shards == 4
+    assert job2.capacity == 1 << 12
+    job2.run(1)
+
+    # no re-admitted duplicates: seen URLs are unique
+    seen = job2.io.read(spark, "seen")
+    assert seen.count() == seen.select("url").distinct().count()
+    # and the continued crawl matches the simulator exactly
+    sim = ReplaySimulator(seeds)
+    sim.run(3)
+    assert seen_urls(job2) == sim.seen
+    assert fetched_urls_by_step(job2) == sim.fetched_by_step
+
+
+def test_resume_rejects_conflicting_layout(spark, tmp_path_factory):
+    """A conflicting explicit num_shards/capacity_per_shard on resume is
+    an error (re-sharding persisted state needs a migration job); the
+    SAME explicit values round-trip harmlessly."""
+    seeds = wm.seed_urls(4)
+    root = str(tmp_path_factory.mktemp("layoutrej"))
+    CrawlJob(
+        spark, root, seeds=seeds, num_shards=4,
+        capacity_per_shard=1 << 12, salts=2, index=False,
+    ).run(1)
+
+    with pytest.raises(ValueError, match="num_shards"):
+        CrawlJob(spark, root, num_shards=8, salts=2, index=False)
+    with pytest.raises(ValueError, match="capacity_per_shard"):
+        CrawlJob(
+            spark, root, capacity_per_shard=1 << 13, salts=2, index=False
+        )
+    # matching explicit values are fine (the pre-fix test idiom)
+    job = CrawlJob(
+        spark, root, num_shards=4, capacity_per_shard=1 << 12,
+        salts=2, index=False,
+    )
+    assert job.num_shards == 4 and job.capacity == 1 << 12
+
+
+def test_orphan_hosts_revert_precedes_attr_law_migration(spark, tmp_path_factory):
+    """ADVICE r4 (medium): a pre-law-change root that crashed mid-superstep
+    leaving an ORPHAN hosts append (meta step > frontier step) must not
+    let the revert pass step BEHIND the migration. CrawlJob now reverts
+    orphans in __init__ before _migrate_attr_law, so the migrated hosts
+    snapshot is the authoritative one and no old-law attrs survive."""
+    seeds = wm.seed_urls(8)
+    root = str(tmp_path_factory.mktemp("orphanlaw"))
+    job = CrawlJob(
+        spark, root, seeds=seeds, num_shards=2, salts=2, index=False,
+        host_cache=True,
+    )
+    job.run(1)
+    io = job.io
+
+    # simulate an old-law root: corrupt the derived attrs everywhere and
+    # strip the law tag from the frontier commit
+    fmeta = dict(io.meta("frontier"))
+    fmeta.pop("attr_law")
+    wrong_frontier = io.read(spark, "frontier").select(
+        "url", "host", "depth",
+        (F.col("priority") + 1).alias("priority"),
+        (F.col("budget") + 7).alias("budget"),
+        "discovered_step",
+    )
+    io.write("frontier", wrong_frontier, meta=fmeta)
+    corrupt_hosts = io.read(spark, "hosts").select(
+        "host",
+        (F.col("priority") + 1).alias("priority"),
+        (F.col("budget") + 7).alias("budget"),
+    )
+    io.write("hosts", corrupt_hosts, meta=dict(io.meta("hosts")))
+    # ...and a crash mid-step-2: an orphan hosts append whose meta step
+    # (2) is ahead of the committed frontier step (1)
+    io.write(
+        "hosts",
+        corrupt_hosts.limit(1),
+        mode="append",
+        meta={"step": 2},
+    )
+
+    job2 = CrawlJob(
+        spark, root, num_shards=2, salts=2, index=False, host_cache=True
+    )
+    # the orphan was reverted BEFORE migration: hosts meta is back at the
+    # committed step and carries only current-law attrs
+    assert int(io.meta("hosts").get("step", 0)) <= 1
+    assert io.meta("frontier").get("attr_law") == wm.ATTR_LAW
+    for r in io.read(spark, "hosts").collect():
+        assert r["priority"] == wm.host_priority(r["host"])
+        assert r["budget"] == wm.host_budget(r["host"], job2.cfg)
+
+    # the continued crawl (which re-runs step 2 idempotently) replays
+    # exactly — no old-law attrs leaked through the broadcast-join path
+    job2.run(2)
+    sim = ReplaySimulator(seeds)
+    sim.run(3)
+    assert fetched_urls_by_step(job2) == sim.fetched_by_step
+    assert seen_urls(job2) == sim.seen
+    for r in io.read(spark, "frontier").collect():
+        assert r["priority"] == wm.host_priority(r["host"])
+        assert r["budget"] == wm.host_budget(r["host"], job2.cfg)
