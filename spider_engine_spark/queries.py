@@ -1907,25 +1907,39 @@ def thumbnail_stats(spark, sf_dir):
 #
 # Policy: every query that has NEVER had a driver correctness row must be
 # inside the first `_DRIVER_GATE_CAP` registrations.  When the registry
-# exceeds the cap, list queries to demote in `_GATE_OVERFLOW` — only
+# exceeds the cap, queries to demote come from `_GATE_ROTATION` — only
 # entries that (a) have passed the gate for >=2 consecutive rounds AND
 # (b) are result-redundant with a still-gated entry or are explicitly
-# labeled baselines.  Adding a NEW @query without updating this list
-# cannot evict a gated query: the overflow set is explicit, and
-# tests/test_gate_order.py pins the never-yet-gated names inside the cap.
+# labeled baselines.  The demotion set ROTATES each round (round-4 judge
+# item #2): a row that exists only in old rounds ages, so no entry may
+# sit out two consecutive rounds.  Each rotation slot holds one member
+# of a redundancy pair; bumping `_GATE_ROUND` every round alternates
+# which member of each pair sits out, so every query has a hard-signal
+# row at most one round old.  Adding a NEW @query without updating this
+# block cannot evict a gated query: the overflow set is explicit, and
+# tests/test_gate_order.py pins the never-yet-gated names inside the cap
+# and the rotation's disjointness invariant.
 # ---------------------------------------------------------------------------
 
 _DRIVER_GATE_CAP = 50
-# Demoted (2-round-green, redundant):
-#   embedding_topk_pairs    — labeled quadratic oracle baseline; production
-#                             path embedding_near_dups_lsh stays gated.
-#   search_pagination       — same plan as search_tfidf at another slice.
-#   streaming_hourly_window — result-identical to events_hourly.
-_GATE_OVERFLOW = [
-    "embedding_topk_pairs",
-    "search_pagination",
-    "streaming_hourly_window",
+# Redundancy pairs feeding the rotation (each member exercises the same
+# plan family / result as its partner, so one gated member per round
+# keeps the family under a current-round hard signal):
+#   embedding_topk_pairs    <-> knn_brute       (labeled brute baselines;
+#                               production ANN paths ann_lsh / ann_ivf /
+#                               embedding_near_dups_lsh are never demoted)
+#   search_pagination       <-> search_tfidf    (same ranking plan,
+#                               pagination adds the clamp slice)
+#   streaming_hourly_window <-> events_hourly   (result-identical window
+#                               agg, streaming vs batch surface)
+_GATE_ROTATION = [
+    # even rounds (r4, r6, ...)
+    ["embedding_topk_pairs", "search_pagination", "streaming_hourly_window"],
+    # odd rounds (r5, r7, ...)
+    ["knn_brute", "search_tfidf", "events_hourly"],
 ]
+_GATE_ROUND = 5  # bump each round — parity picks the rotation slot
+_GATE_OVERFLOW = _GATE_ROTATION[_GATE_ROUND % 2]
 
 
 def _reorder_for_gate() -> None:

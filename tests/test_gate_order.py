@@ -8,6 +8,8 @@ make that failure mode loud.
 from spider_engine_spark.queries import (
     _DRIVER_GATE_CAP,
     _GATE_OVERFLOW,
+    _GATE_ROTATION,
+    _GATE_ROUND,
     ORACLES,
     QUERIES,
 )
@@ -44,6 +46,39 @@ def test_every_gated_query_has_an_oracle():
     # without one silently downgrades to rows-only
     for name in list(QUERIES)[:_DRIVER_GATE_CAP]:
         assert name in ORACLES, f"{name} gated but has no oracle"
+
+
+def test_rotation_slots_are_disjoint():
+    """No query may sit out two consecutive rounds: consecutive rotation
+    slots (which alternate by round parity) must share no entries, so
+    every demoted query regains a hard-signal driver row next round."""
+    for i in range(len(_GATE_ROTATION)):
+        a = set(_GATE_ROTATION[i])
+        b = set(_GATE_ROTATION[(i + 1) % len(_GATE_ROTATION)])
+        assert not (a & b), f"rotation slots {i} and {i+1} overlap: {a & b}"
+    assert _GATE_OVERFLOW == _GATE_ROTATION[_GATE_ROUND % len(_GATE_ROTATION)]
+
+
+def test_demoted_entries_have_a_gated_partner():
+    """Every demoted query's redundancy partner must be INSIDE the gate
+    this round, so the shared plan family always has a current row."""
+    partners = {
+        "embedding_topk_pairs": "knn_brute",
+        "knn_brute": "embedding_topk_pairs",
+        "search_pagination": "search_tfidf",
+        "search_tfidf": "search_pagination",
+        "streaming_hourly_window": "events_hourly",
+        "events_hourly": "streaming_hourly_window",
+    }
+    order = list(QUERIES)
+    for name in _GATE_OVERFLOW:
+        partner = partners[name]
+        assert order.index(partner) < _DRIVER_GATE_CAP, (
+            f"{name} is demoted but partner {partner} is outside the gate"
+        )
+    # never-yet-2-round-green queries cannot appear in any rotation slot
+    for slot in _GATE_ROTATION:
+        assert not (set(slot) & set(NEVER_YET_GATED))
 
 
 def test_registry_size_documented():
