@@ -41,6 +41,25 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _group_ranks(keys: np.ndarray) -> np.ndarray:
+    """Rank of each element within its equal-key group, counting in array
+    order (stable).  [5, 3, 5, 5, 3] -> [0, 0, 1, 2, 1]."""
+    n = len(keys)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    is_new = np.empty(n, dtype=bool)
+    is_new[0] = True
+    is_new[1:] = sk[1:] != sk[:-1]
+    group_start = np.maximum.accumulate(
+        np.where(is_new, np.arange(n), 0)
+    )
+    ranks = np.empty(n, dtype=np.int64)
+    ranks[order] = np.arange(n) - group_start
+    return ranks
+
+
 class CuckooFilter:
     """Vectorized cuckoo filter over uint64 hashes (numpy table)."""
 
@@ -84,17 +103,57 @@ class CuckooFilter:
         return hit1 | hit2
 
     def insert(self, hashes: np.ndarray) -> int:
-        """Insert hashes (per-item with eviction); returns #inserted.
-        Raises if the table is over-full — callers size capacity up front."""
+        """Insert hashes; returns #inserted.  Raises if the table is
+        over-full — callers size capacity up front.
+
+        Two-pass vectorized bulk placement (round-4 verdict #3): the
+        collision-free majority is placed with numpy scatters (one pass
+        for each candidate bucket, respecting per-bucket empty-slot
+        capacity and first-empty-slot order); only the residue whose both
+        buckets fill up — <10% even at the 0.84 design load — pays the
+        per-item eviction walk.  Deterministic: placement depends only on
+        (table state, input array order); the eviction walk keeps the
+        original fixed-seed LCG chain over the residue in array order."""
         if len(hashes) == 0:
             return 0
         fp_all, i1_all, i2_all = self._fp_idx(np.asarray(hashes))
         t = self.table
+        occupied = t != 0
+        # empty slots per bucket, and the column index of the k-th empty
+        # slot per bucket (stable argsort puts False=empty columns first,
+        # preserving left-to-right order = the sequential first-empty rule)
+        empties = (SLOTS - occupied.sum(axis=1)).astype(np.int64)
+        slot_of_rank = np.argsort(occupied, axis=1, kind="stable")
+
+        # pass 1: bucket i1 — item j wins a slot iff its in-order rank
+        # among items targeting the same bucket fits the bucket's empties
+        r1 = _group_ranks(i1_all)
+        placed1 = r1 < empties[i1_all]
+        b1 = i1_all[placed1]
+        t[b1, slot_of_rank[b1, r1[placed1]]] = fp_all[placed1]
+        consumed = np.bincount(b1, minlength=self.nbuckets)
+
+        # pass 2: bucket i2 for the rest, offset by pass-1 consumption
+        rest = ~placed1
+        i2r = i2_all[rest]
+        fill2 = consumed[i2r] + _group_ranks(i2r)
+        placed2 = fill2 < empties[i2r]
+        b2 = i2r[placed2]
+        t[b2, slot_of_rank[b2, fill2[placed2]]] = fp_all[rest][placed2]
+
+        n = int(placed1.sum()) + int(placed2.sum())
+        residue = np.flatnonzero(rest)[~placed2]
+        if len(residue) == 0:
+            return n
+
+        # residue: per-item eviction walk (deterministic LCG)
         rng_state = 0x9E3779B97F4A7C15
-        n = 0
-        for fp, i1, i2 in zip(fp_all, i1_all, i2_all):
+        mask = self.nbuckets - 1
+        for j in residue:
+            i1 = int(i1_all[j])
+            fp = int(fp_all[j])
             placed = False
-            for idx in (i1, i2):
+            for idx in (i1, int(i2_all[j])):
                 row = t[idx]
                 empty = np.where(row == 0)[0]
                 if len(empty):
@@ -104,18 +163,15 @@ class CuckooFilter:
             if placed:
                 n += 1
                 continue
-            # evict: deterministic pseudo-random walk
-            idx = int(i1)
-            cur = np.uint16(fp)
-            for kick in range(MAX_KICKS):
-                rng_state = (rng_state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            idx = i1
+            cur = fp
+            for _kick in range(MAX_KICKS):
+                rng_state = (
+                    rng_state * 6364136223846793005 + 1442695040888963407
+                ) % (1 << 64)
                 slot = rng_state % SLOTS
-                cur, t[idx, slot] = t[idx, slot], cur
-                alt = (
-                    np.uint64(idx)
-                    ^ ((np.uint64(cur) * np.uint64(0x5BD1E995)) & np.uint64(self.nbuckets - 1))
-                ) & np.uint64(self.nbuckets - 1)
-                idx = int(alt)
+                cur, t[idx, slot] = int(t[idx, slot]), cur
+                idx = idx ^ ((cur * 0x5BD1E995) & mask)
                 row = t[idx]
                 empty = np.where(row == 0)[0]
                 if len(empty):

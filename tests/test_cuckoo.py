@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from spider_engine_spark.operators.cuckoo import CuckooFilter
+from spider_engine_spark.operators.cuckoo import SLOTS, CuckooFilter
 
 
 def test_insert_contains_no_false_negatives():
@@ -36,6 +36,41 @@ def test_serde_roundtrip():
     assert g.nbuckets == f.nbuckets
     assert g.contains(keys).all()
     assert (g.table == f.table).all()
+
+
+def test_high_load_insert_deterministic_and_complete():
+    """At the 0.84 design load the two-pass bulk insert must still place
+    every key (eviction residue path), keep the no-false-negative
+    property, and be a deterministic function of (table, input order):
+    two identical runs produce byte-identical tables."""
+    rng = np.random.default_rng(11)
+    nb = 1 << 12  # 4096 buckets * 4 slots = 16384 slots
+    keys = rng.integers(0, 2**63, size=int(nb * SLOTS * 0.84),
+                        dtype=np.int64).astype(np.uint64)
+    tables = []
+    for _ in range(2):
+        f = CuckooFilter(0, table=np.zeros((nb, SLOTS), dtype=np.uint16))
+        assert f.insert(keys) == len(keys)
+        assert f.contains(keys).all()
+        tables.append(f.to_bytes())
+    assert tables[0] == tables[1]
+    # incremental inserts over a non-empty table behave the same way
+    half = len(keys) // 2
+    g = CuckooFilter(0, table=np.zeros((nb, SLOTS), dtype=np.uint16))
+    g.insert(keys[:half])
+    g.insert(keys[half:])
+    assert g.contains(keys).all()
+
+
+def test_insert_duplicate_hashes_keep_copies():
+    """Duplicate hashes occupy separate slots (cuckoo multiset insert) —
+    the two copies share the SAME bucket pair, which is what makes
+    fingerprint persistence (and the streaming FP-audit) sound."""
+    f = CuckooFilter(capacity=64)
+    keys = np.array([12345, 12345, 12345], dtype=np.uint64)
+    assert f.insert(keys) == 3
+    assert f.count_nonzero == 3
+    assert f.contains(keys).all()
 
 
 def test_empty_probe():
