@@ -545,7 +545,7 @@ class CrawlJob:
             meta = self._frontier_meta if name == "frontier" else {
                 "step": self.step_no
             }
-            part = ["shard"] if name == "seen" else None
+            part = {"seen": ["shard"], "docs": ["fetch_step"]}.get(name)
             df = self._mem[name]
             if name == "filter":
                 # durable filter rows carry the step tag (read resolver)
@@ -674,9 +674,14 @@ class CrawlJob:
         # fetch: make_doc runs exactly once — durable mode commits the
         # snapshot then re-reads the parquet; memory mode caches
         if self.checkpoint_every == 1:
+            # hive-partitioned by fetch_step: the per-superstep read below
+            # (and any step-sliced replay read) prunes to ONE partition
+            # dir instead of filtering a scan of the whole append chain —
+            # same mechanism as `seen`'s shard pruning. Without it the
+            # file listing + footer reads grow O(steps).
             self.io.write(
                 "docs", fetch_docs(batch, step, self.cfg), mode="append",
-                meta={"step": step + 1},
+                meta={"step": step + 1}, partition_by=["fetch_step"],
             )
             docs = self.io.read(spark, "docs").filter(
                 F.col("fetch_step") == step

@@ -462,3 +462,57 @@ def test_orphan_hosts_revert_precedes_attr_law_migration(spark, tmp_path_factory
     for r in io.read(spark, "frontier").collect():
         assert r["priority"] == wm.host_priority(r["host"])
         assert r["budget"] == wm.host_budget(r["host"], job2.cfg)
+
+
+def _scan_metric_sums(df) -> dict:
+    """Sum executed-scan runtime metrics (numFiles/numPartitions) across
+    all scan leaves — the union-of-dirs read has one leaf per snapshot
+    dir. Metrics are populated by a prior action on df."""
+    sums: dict[str, int] = {}
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    for i in range(leaves.size()):
+        it = leaves.apply(i).metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() in ("numFiles", "numPartitions"):
+                sums[kv._1()] = sums.get(kv._1(), 0) + kv._2().value()
+    return sums
+
+
+def test_docs_read_prunes_to_one_fetch_step(spark, tmp_path_factory):
+    """Round-4 verdict #4: the durable docs table is hive-partitioned by
+    fetch_step, so a superstep's docs read scans ONLY that step's files
+    (EXECUTED metrics, not plan text) instead of filtering a scan of the
+    whole append chain."""
+    seeds = wm.seed_urls(8)
+    root = str(tmp_path_factory.mktemp("docpart"))
+    job = CrawlJob(
+        spark, root, seeds=seeds, num_shards=2, salts=2, index=False,
+        checkpoint_every=1,
+    )
+    job.run(3)
+    io = job.io
+
+    full = io.read(spark, "docs").select("doc_id", "fetch_step")
+    assert len(full.collect()) > 0
+    full_m = _scan_metric_sums(full)
+
+    one = (
+        io.read(spark, "docs")
+        .filter(F.col("fetch_step") == 1)
+        .select("doc_id", "fetch_step")
+    )
+    assert len(one.collect()) > 0
+    one_m = _scan_metric_sums(one)
+
+    # 3 steps committed -> 3 partition dirs total; the sliced read
+    # touched exactly one of them, and strictly fewer files
+    assert full_m["numPartitions"] == 3, (full_m, one_m)
+    assert one_m["numPartitions"] == 1, (full_m, one_m)
+    assert 0 < one_m["numFiles"] < full_m["numFiles"], (full_m, one_m)
+
+    # the partitioned layout keeps replay equality (column round-trips
+    # through the hive dir)
+    sim = ReplaySimulator(seeds)
+    sim.run(3)
+    assert fetched_urls_by_step(job) == sim.fetched_by_step
