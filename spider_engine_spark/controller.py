@@ -209,7 +209,7 @@ class SpiderController:
             offset=int(p.get("offset", 0)),
             size=int(p.get("size", 0)),
             keep_total=True,
-            mode=p.get("mode", "or"),
+            mode=mode,
         ).collect()
         docs = []
         total = 0

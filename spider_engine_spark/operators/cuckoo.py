@@ -118,28 +118,37 @@ class CuckooFilter:
             return 0
         fp_all, i1_all, i2_all = self._fp_idx(np.asarray(hashes))
         t = self.table
-        occupied = t != 0
-        # empty slots per bucket, and the column index of the k-th empty
-        # slot per bucket (stable argsort puts False=empty columns first,
+        # occupancy bookkeeping over the TARGET buckets only — O(batch
+        # log batch), never O(table): a trickle insert (few admits into a
+        # large shard) must not pay a full-table argsort per call.
+        # tb = sorted unique target buckets; pN = each item's compact
+        # index into tb (searchsorted on a sorted unique array is exact).
+        tb = np.unique(np.concatenate((i1_all, i2_all)))
+        sub_occ = t[tb] != 0
+        # empty slots per target bucket, and the column index of the k-th
+        # empty slot (stable argsort puts False=empty columns first,
         # preserving left-to-right order = the sequential first-empty rule)
-        empties = (SLOTS - occupied.sum(axis=1)).astype(np.int64)
-        slot_of_rank = np.argsort(occupied, axis=1, kind="stable")
+        empties = (SLOTS - sub_occ.sum(axis=1)).astype(np.int64)
+        slot_of_rank = np.argsort(sub_occ, axis=1, kind="stable")
 
         # pass 1: bucket i1 — item j wins a slot iff its in-order rank
         # among items targeting the same bucket fits the bucket's empties
-        r1 = _group_ranks(i1_all)
-        placed1 = r1 < empties[i1_all]
-        b1 = i1_all[placed1]
-        t[b1, slot_of_rank[b1, r1[placed1]]] = fp_all[placed1]
-        consumed = np.bincount(b1, minlength=self.nbuckets)
+        p1 = np.searchsorted(tb, i1_all)
+        r1 = _group_ranks(p1)
+        placed1 = r1 < empties[p1]
+        c1 = p1[placed1]
+        t[i1_all[placed1], slot_of_rank[c1, r1[placed1]]] = fp_all[placed1]
+        consumed = np.bincount(c1, minlength=len(tb))
 
         # pass 2: bucket i2 for the rest, offset by pass-1 consumption
         rest = ~placed1
-        i2r = i2_all[rest]
-        fill2 = consumed[i2r] + _group_ranks(i2r)
-        placed2 = fill2 < empties[i2r]
-        b2 = i2r[placed2]
-        t[b2, slot_of_rank[b2, fill2[placed2]]] = fp_all[rest][placed2]
+        p2 = np.searchsorted(tb, i2_all[rest])
+        fill2 = consumed[p2] + _group_ranks(p2)
+        placed2 = fill2 < empties[p2]
+        c2 = p2[placed2]
+        t[i2_all[rest][placed2], slot_of_rank[c2, fill2[placed2]]] = (
+            fp_all[rest][placed2]
+        )
 
         n = int(placed1.sum()) + int(placed2.sum())
         residue = np.flatnonzero(rest)[~placed2]

@@ -407,12 +407,18 @@ class CrawlJob:
             # stored layout.
             stored = meta.get("web_config")
             self.cfg = wm.WebConfig(**stored) if stored else (cfg or wm.DEFAULT)
-            self.num_shards = self._restore_layout(
+            self.num_shards, ns_known = self._restore_layout(
                 meta, "num_shards", num_shards, 8
             )
-            self.capacity = self._restore_layout(
+            self.capacity, cap_known = self._restore_layout(
                 meta, "capacity_per_shard", capacity_per_shard, 1 << 16
             )
+            # stamp the layout into future commits only when it came from
+            # the meta or an explicit argument — a guessed default on a
+            # pre-layout-stamp root must not get blessed as the bootstrap
+            # truth (it would make the later, historically-CORRECT
+            # explicit resume raise the conflict error)
+            self._stamp_layout = ns_known and cap_known
             # orphan writes from a crashed superstep must be reverted
             # BEFORE the attr-law migration: _migrate_attr_law rewrites
             # hosts reusing the latest hosts meta — if that meta belongs
@@ -425,20 +431,33 @@ class CrawlJob:
                 self._migrate_attr_law(meta)
         elif seeds is not None:
             self.cfg = cfg or wm.DEFAULT
+            # at bootstrap the chosen values (explicit or default) DEFINE
+            # the layout — always stamped
             self.num_shards = 8 if num_shards is None else int(num_shards)
             self.capacity = (
                 1 << 16 if capacity_per_shard is None else int(capacity_per_shard)
             )
+            self._stamp_layout = True
             self._bootstrap(seeds)
         else:
             raise ValueError("new crawl root requires seeds")
 
     @staticmethod
-    def _restore_layout(meta: dict, key: str, given: int | None, default: int) -> int:
+    def _restore_layout(
+        meta: dict, key: str, given: int | None, default: int
+    ) -> tuple[int, bool]:
+        """Resolve one layout parameter on resume.
+
+        Returns (value, known): known=True when the value came from the
+        stored meta or an explicit caller argument; False when it is the
+        constructor default guessed for a pre-layout-stamp root (such a
+        guess must never be stamped into the meta as bootstrap truth)."""
         stored = meta.get(key)
         if stored is None:
             # pre-layout-stamp root: trust the caller (legacy behavior)
-            return default if given is None else int(given)
+            if given is None:
+                return default, False
+            return int(given), True
         if given is not None and int(given) != int(stored):
             raise ValueError(
                 f"crawl root was bootstrapped with {key}={int(stored)}; "
@@ -446,17 +465,23 @@ class CrawlJob:
                 "persisted seen-set (re-sharding requires a migration "
                 "job) — omit the argument to resume with the stored layout"
             )
-        return int(stored)
+        return int(stored), True
 
     def _layout_meta(self) -> dict:
         """Meta fields every frontier commit carries, so ANY resume point
-        (bootstrap or mid-crawl) restores the full layout + physics."""
-        return {
+        (bootstrap or mid-crawl) restores the full layout + physics.
+
+        Layout keys are included only when they are KNOWN (bootstrap
+        choice, stored meta, or explicit resume argument) — a guessed
+        default on a legacy root is not blessed."""
+        out = {
             "web_config": self.cfg.__dict__,
             "attr_law": wm.ATTR_LAW,
-            "num_shards": self.num_shards,
-            "capacity_per_shard": self.capacity,
         }
+        if self._stamp_layout:
+            out["num_shards"] = self.num_shards
+            out["capacity_per_shard"] = self.capacity
+        return out
 
     def _revert_orphans(self) -> None:
         """Crash recovery (both modes): the frontier commit is the commit

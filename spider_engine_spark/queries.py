@@ -1938,8 +1938,8 @@ _GATE_ROTATION = [
     # odd rounds (r5, r7, ...)
     ["knn_brute", "search_tfidf", "events_hourly"],
 ]
-_GATE_ROUND = 5  # bump each round — parity picks the rotation slot
-_GATE_OVERFLOW = _GATE_ROTATION[_GATE_ROUND % 2]
+_GATE_ROUND = 5  # bump each round — picks the rotation slot
+_GATE_OVERFLOW = _GATE_ROTATION[_GATE_ROUND % len(_GATE_ROTATION)]
 
 
 def _reorder_for_gate() -> None:

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from spider_engine_spark import webmodel as wm
 from spider_engine_spark.operators.frontier import CrawlJob
 from spider_engine_spark.simulator import ReplaySimulator
+from spider_engine_spark.sources.tableio import TableIO
 
 from conftest import fetched_urls_by_step, seen_urls
 
@@ -516,3 +517,47 @@ def test_docs_read_prunes_to_one_fetch_step(spark, tmp_path_factory):
     sim = ReplaySimulator(seeds)
     sim.run(3)
     assert fetched_urls_by_step(job) == sim.fetched_by_step
+
+
+def test_legacy_root_default_resume_does_not_stamp_layout(spark, tmp_path_factory):
+    """Round-5 review: resuming a PRE-layout-stamp root with no layout
+    args adopts the constructor defaults (documented legacy gap) but must
+    NOT stamp those guessed values into the frontier meta as if they were
+    the bootstrap truth — otherwise a later resume with the historically
+    CORRECT values is rejected while the wrong ones were blessed. A
+    later resume that passes explicit values IS authoritative and does
+    stamp."""
+    seeds = wm.seed_urls(8)
+    root = str(tmp_path_factory.mktemp("legacylayout"))
+    CrawlJob(
+        spark, root, seeds=seeds, num_shards=4,
+        capacity_per_shard=1 << 12, salts=2, index=False,
+    ).run(1)
+    io = TableIO(root)
+
+    # simulate a pre-upgrade root: strip the layout keys from the meta
+    legacy_meta = {
+        k: v
+        for k, v in io.meta("frontier").items()
+        if k not in ("num_shards", "capacity_per_shard")
+    }
+    io.write("frontier", io.read(spark, "frontier"), meta=legacy_meta)
+
+    # resume with defaults: adopts them, but the next commit must not
+    # bless the guess
+    job = CrawlJob(spark, root, salts=2, index=False)
+    assert job.num_shards == 8  # the documented legacy-gap default
+    job.run(1)
+    assert "num_shards" not in io.meta("frontier")
+    assert "capacity_per_shard" not in io.meta("frontier")
+
+    # the historically-correct explicit resume is still accepted and NOW
+    # becomes the stamped layout truth
+    job2 = CrawlJob(
+        spark, root, num_shards=4, capacity_per_shard=1 << 12,
+        salts=2, index=False,
+    )
+    assert job2.num_shards == 4
+    job2.run(1)
+    assert int(io.meta("frontier")["num_shards"]) == 4
+    assert int(io.meta("frontier")["capacity_per_shard"]) == 1 << 12

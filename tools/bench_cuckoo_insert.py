@@ -106,9 +106,13 @@ def bench_one(n_keys: int, capacity: int, repeats: int = 5) -> dict:
 
 
 def main() -> None:
-    cap = 1 << 16  # the scaling harness / run_crawl default shard capacity
+    cap = 1 << 16  # run_crawl default shard capacity
     slots_total = CuckooFilter(cap).nbuckets * SLOTS
     rows = [
+        # trickle regime: a handful of admits into a DESIGN-SIZE shard
+        # (2^18 buckets = the scaling harness capacity config) — guards
+        # against O(table) per-call preprocessing (round-5 review #1)
+        bench_one(500, 1 << 19, repeats=20),
         bench_one(5_000, cap),      # light superstep admit batch
         bench_one(55_000, cap),     # heavy batch
         bench_one(int(slots_total * 0.84), cap),  # 0.84 design load
