@@ -32,6 +32,13 @@ def main() -> None:
                     help="cuckoo-filter capacity per shard (default 2^16 on "
                     "bootstrap; restored from the crawl root on resume)")
     ap.add_argument("--no-index", action="store_true")
+    ap.add_argument("--migrate-shards", type=int, default=None,
+                    help="re-shard an existing crawl root to this shard "
+                    "count (standalone migration job; rebuilds the "
+                    "seen/filter layout, then exits)")
+    ap.add_argument("--migrate-capacity", type=int, default=None,
+                    help="with/instead of --migrate-shards: rebuild with "
+                    "this cuckoo capacity per shard")
     ap.add_argument("--host-cache", action="store_true",
                     help="broadcast-join a persisted host-attr table in enrich (for externally-sourced attrs; the synthetic attrs are cheaper recomputed)")
     ap.add_argument("--hosts", type=int, default=None, help="web size (WebConfig.num_hosts)")
@@ -61,6 +68,28 @@ def main() -> None:
     if args.vocab:
         cfg_kw["vocab_size"] = args.vocab
     cfg = wm.WebConfig(**cfg_kw) if cfg_kw else wm.DEFAULT
+    if args.migrate_shards is not None or args.migrate_capacity is not None:
+        t0 = time.monotonic()
+        job = CrawlJob.migrate_layout(
+            spark,
+            args.root,
+            num_shards=args.migrate_shards,
+            capacity_per_shard=args.migrate_capacity,
+        )
+        print(
+            json.dumps(
+                {
+                    "migrated": True,
+                    "num_shards": job.num_shards,
+                    "capacity_per_shard": job.capacity,
+                    "layout_epoch": job.layout_epoch,
+                    "wall_sec": round(time.monotonic() - t0, 3),
+                }
+            ),
+            flush=True,
+        )
+        spark.stop()
+        return
     t0 = time.monotonic()
     job = CrawlJob(
         spark,

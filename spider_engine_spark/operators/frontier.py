@@ -419,6 +419,10 @@ class CrawlJob:
             # truth (it would make the later, historically-CORRECT
             # explicit resume raise the conflict error)
             self._stamp_layout = ns_known and cap_known
+            # layout epoch: bumped by migrate_layout; tables written with
+            # a HIGHER epoch than the committed frontier's are orphans of
+            # a migration that never reached its commit point
+            self.layout_epoch = int(meta.get("layout_epoch", 0))
             # orphan writes from a crashed superstep must be reverted
             # BEFORE the attr-law migration: _migrate_attr_law rewrites
             # hosts reusing the latest hosts meta — if that meta belongs
@@ -438,6 +442,7 @@ class CrawlJob:
                 1 << 16 if capacity_per_shard is None else int(capacity_per_shard)
             )
             self._stamp_layout = True
+            self.layout_epoch = 0
             self._bootstrap(seeds)
         else:
             raise ValueError("new crawl root requires seeds")
@@ -477,11 +482,116 @@ class CrawlJob:
         out = {
             "web_config": self.cfg.__dict__,
             "attr_law": wm.ATTR_LAW,
+            "layout_epoch": self.layout_epoch,
         }
         if self._stamp_layout:
             out["num_shards"] = self.num_shards
             out["capacity_per_shard"] = self.capacity
         return out
+
+    @classmethod
+    def migrate_layout(
+        cls,
+        spark: SparkSession,
+        root: str,
+        num_shards: int | None = None,
+        capacity_per_shard: int | None = None,
+    ) -> "CrawlJob":
+        """Re-shard a persisted crawl root to a new seen-set layout.
+
+        This is the migration job the resume-conflict error refers to: a
+        crawl's filter/seen tables are partitioned mod num_shards, so
+        changing the layout means rebuilding both from the exact seen
+        table (the authoritative URL set) — re-deriving shard =
+        pmod(xxhash64, P') and re-inserting every hash into fresh
+        per-shard cuckoo filters. One shuffle over seen for the
+        re-partition + one cogroup for the rebuild; no driver-side data.
+        The reference's analogue is its offline partition merge/rewrite
+        (core/table/table.go:874-971) — layout changes happen as a
+        standalone rewrite job, never in the serving path.
+
+        Commit protocol (crash-safe, reusing the orphan-revert machinery):
+        the rebuilt seen + filter snapshots are written with
+        layout_epoch = E+1 while the committed frontier still carries E;
+        the frontier's metadata-only commit stamping the new layout and
+        epoch is the single commit point. A crash before it leaves
+        higher-epoch orphans that _revert_orphans rolls back on the next
+        resume, so the stored layout and the table sharding can never
+        disagree. The rebuild sorts each shard's hashes
+        (sort_within_shard), making the migrated filter bytes a
+        deterministic function of the URL set.
+
+        Omitted parameters keep their current values. Returns a resumed
+        CrawlJob on the new layout. Raises if any re-sharded shard would
+        exceed the new design capacity."""
+        io = TableIO(root)
+        if not io.exists("frontier"):
+            raise FileNotFoundError(f"no crawl root at {root}")
+        # resume first: runs orphan-revert + attr-law migration, and
+        # resolves (or rejects) the stored layout
+        job = cls(spark, root, index=False)
+        new_shards = job.num_shards if num_shards is None else int(num_shards)
+        new_cap = (
+            job.capacity
+            if capacity_per_shard is None
+            else int(capacity_per_shard)
+        )
+        if (
+            job._stamp_layout
+            and (new_shards, new_cap) == (job.num_shards, job.capacity)
+        ):
+            return job  # layout already known and unchanged — no-op
+        # a pre-layout-stamp legacy root ALWAYS rebuilds: the resumed
+        # values are a guess, and the rebuild only needs (url, hash) —
+        # migration is also the repair path that makes the layout known
+        reshard = (
+            job.io.read(spark, "seen")
+            .select("url", "hash")
+            .withColumn(
+                "shard",
+                F.pmod(F.col("hash"), F.lit(new_shards)).cast("int"),
+            )
+        )
+        worst = (
+            reshard.groupBy("shard")
+            .agg(F.count("*").alias("n"))
+            .agg(F.max_by("shard", "n").alias("shard"), F.max("n").alias("n"))
+            .first()
+        )
+        if worst["n"] is not None and int(worst["n"]) > new_cap:
+            raise ValueError(
+                f"cannot migrate to num_shards={new_shards}, "
+                f"capacity_per_shard={new_cap}: shard {worst['shard']} "
+                f"would hold {worst['n']} URLs (> capacity) — raise the "
+                "capacity or the shard count"
+            )
+        state = seenset.insert(
+            reshard,
+            seenset.empty_state(spark),
+            new_cap,
+            sort_within_shard=True,
+        )
+        step = job.step_no
+        epoch = job.layout_epoch + 1
+        mig_meta = {"step": step, "layout_epoch": epoch}
+        job.io.write(
+            "seen", reshard, meta=mig_meta, partition_by=["shard"]
+        )
+        job.io.write(
+            "filter", state.withColumn("step", F.lit(step)), meta=mig_meta
+        )
+        # COMMIT POINT: metadata-only frontier commit carrying the new
+        # layout + epoch (frontier DATA is layout-independent)
+        job.io.commit_meta(
+            "frontier",
+            {
+                **job.io.meta("frontier"),
+                "num_shards": new_shards,
+                "capacity_per_shard": new_cap,
+                "layout_epoch": epoch,
+            },
+        )
+        return cls(spark, root)
 
     def _revert_orphans(self) -> None:
         """Crash recovery (both modes): the frontier commit is the commit
@@ -489,12 +599,25 @@ class CrawlJob:
         table already carrying meta step > the frontier's step is an
         orphan write from a crashed attempt — snapshot-revert it before
         re-running idempotently. In memory mode durable state only moves
-        at checkpoints, so this no-ops between them."""
+        at checkpoints, so this no-ops between them.
+
+        A table whose meta layout_epoch is AHEAD of the frontier's is
+        likewise an orphan: a migrate_layout run that crashed before its
+        frontier commit point left a re-sharded seen/filter snapshot the
+        committed layout cannot probe — roll back to the newest version
+        at both the committed step AND the committed epoch."""
         step = self.step_no
+        epoch = self.layout_epoch
         for tbl in ("docs", "seen", "filter", "postings", "admitted", "hosts"):
             if self.io.exists(tbl):
-                if int(self.io.meta(tbl).get("step", 0)) > step:
-                    v = self.io.latest_version_at_step(tbl, step)
+                m = self.io.meta(tbl)
+                if (
+                    int(m.get("step", 0)) > step
+                    or int(m.get("layout_epoch", 0)) > epoch
+                ):
+                    v = self.io.latest_version_at_step(
+                        tbl, step, max_epoch=epoch
+                    )
                     if v is not None:
                         self.io.revert(tbl, v)
                     else:
@@ -570,6 +693,8 @@ class CrawlJob:
             meta = self._frontier_meta if name == "frontier" else {
                 "step": self.step_no
             }
+            if name in ("seen", "filter"):
+                meta = {**meta, "layout_epoch": self.layout_epoch}
             part = {"seen": ["shard"], "docs": ["fetch_step"]}.get(name)
             df = self._mem[name]
             if name == "filter":
@@ -642,7 +767,8 @@ class CrawlJob:
             meta={"step": 0, "metrics": {}, **self._layout_meta()},
         )
         self.io.write(
-            "seen", cand.select("url", "hash", "shard"), meta={"step": 0},
+            "seen", cand.select("url", "hash", "shard"),
+            meta={"step": 0, "layout_epoch": 0},
             partition_by=["shard"],
         )
         if self.host_cache:
@@ -660,7 +786,8 @@ class CrawlJob:
         # durable filter rows carry a step tag; later supersteps append
         # only dirty shards and readers resolve latest-per-shard
         self.io.write(
-            "filter", state.withColumn("step", F.lit(0)), meta={"step": 0}
+            "filter", state.withColumn("step", F.lit(0)),
+            meta={"step": 0, "layout_epoch": 0},
         )
         self.step_no = 0
 
@@ -896,9 +1023,13 @@ class CrawlJob:
         ).repartition(self.num_shards, "host")
 
         if self.checkpoint_every == 1:
+            # layout-dependent tables carry the current layout_epoch in
+            # every version meta (truthful epoch bookkeeping for the
+            # migration crash-recovery scan)
+            lmeta = {"step": step + 1, "layout_epoch": self.layout_epoch}
             self.io.write(
                 "seen", admitted.select("url", "hash", "shard"),
-                mode="append", meta={"step": step + 1},
+                mode="append", meta=lmeta,
                 partition_by=["shard"],
             )
             mark("seen_write")
@@ -915,7 +1046,7 @@ class CrawlJob:
                 "filter",
                 dirty.withColumn("step", F.lit(step + 1)),
                 mode="append",
-                meta={"step": step + 1},
+                meta=lmeta,
             )
             if (step + 1) % self.compact_every == 0:
                 # fold ALL filter dirs (max_bytes=∞), not just undersized
@@ -930,7 +1061,7 @@ class CrawlJob:
                 # the latest-per-shard read fans over <= K dirs.
                 self.io.compact_small(
                     spark, "filter", max_bytes=1 << 60,
-                    meta={"step": step + 1},
+                    meta=lmeta,
                     transform=seenset.latest_state,
                 )
                 # fold only the undersized seen snapshots (read-
@@ -941,7 +1072,7 @@ class CrawlJob:
                 # table.go:874-971)
                 self.io.compact_small(
                     spark, "seen", max_bytes=64 << 20,
-                    meta={"step": step + 1}, partition_by=["shard"],
+                    meta=lmeta, partition_by=["shard"],
                 )
                 if self.host_cache:
                     # hosts appends one tiny snapshot per step — fold

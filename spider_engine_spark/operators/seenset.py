@@ -94,6 +94,7 @@ def insert(
     state: DataFrame,
     capacity_per_shard: int,
     dirty_only: bool = False,
+    sort_within_shard: bool = False,
 ) -> DataFrame:
     """Return the filter-state table with admitted hashes added.
 
@@ -109,9 +110,18 @@ def insert(
     pre-pruned to the dirty shards with a broadcast semi-join, so
     untouched shards' table bytes never enter the cogroup shuffle at all
     (without it they would round-trip through Arrow just to emit
-    nothing). Readers resolve latest-row-per-shard via latest_state()."""
+    nothing). Readers resolve latest-row-per-shard via latest_state().
+
+    sort_within_shard=True sorts each shard's hashes before insertion so
+    the filter BYTES are a deterministic function of the hash SET (the
+    superstep path leaves it off: there the insertion order is the
+    admitted DataFrame's order and correctness only needs membership;
+    the re-shard migration turns it on so a rebuilt layout is
+    byte-reproducible)."""
 
     def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if sort_within_shard and not left.empty:
+            left = left.sort_values("hash", kind="stable")
         if dirty_only and left.empty:
             return pd.DataFrame(columns=["shard", "nbuckets", "count", "data"])
         if right.empty:

@@ -224,6 +224,29 @@ class TableIO:
         self._commit_manifest(name, manifest)
         return new_version
 
+    def commit_meta(self, name: str, meta: dict) -> int:
+        """Metadata-only commit: a new version referencing the latest
+        version's data dirs unchanged, with new meta (Iceberg's
+        set-table-properties commit). Used as a cheap commit point when
+        the data is already durable — e.g. the frontier commit of a
+        re-shard migration, where rewriting the (at design scale, huge)
+        frontier table just to advance its meta would be pure write
+        amplification."""
+        entry = self._entry(name)
+        manifest = self._load_manifest(name)
+        vs = manifest["versions"]
+        new_version = vs[-1]["version"] + 1
+        vs.append(
+            {
+                "version": new_version,
+                "dirs": list(entry["dirs"]),
+                "schema": entry["schema"],
+                "meta": meta,
+            }
+        )
+        self._commit_manifest(name, manifest)
+        return new_version
+
     def revert(self, name: str, version: int) -> int:
         """Snapshot rollback: commit a NEW version pointing at an old
         version's data dirs (no data rewrite — Iceberg-style rollback).
@@ -244,9 +267,19 @@ class TableIO:
         self._commit_manifest(name, manifest)
         return new_version
 
-    def latest_version_at_step(self, name: str, max_step: int) -> int | None:
-        """Newest version whose meta step <= max_step (missing step = 0)."""
+    def latest_version_at_step(
+        self, name: str, max_step: int, max_epoch: int | None = None
+    ) -> int | None:
+        """Newest version whose meta step <= max_step (missing step = 0).
+
+        max_epoch additionally bounds the meta's layout_epoch (missing =
+        0) — used by crash recovery to skip versions written by a
+        re-shard migration that never reached its frontier commit point."""
         for v in reversed(self._load_manifest(name)["versions"]):
-            if int(v.get("meta", {}).get("step", 0)) <= max_step:
-                return v["version"]
+            m = v.get("meta", {})
+            if int(m.get("step", 0)) > max_step:
+                continue
+            if max_epoch is not None and int(m.get("layout_epoch", 0)) > max_epoch:
+                continue
+            return v["version"]
         return None

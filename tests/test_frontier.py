@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from spider_engine_spark import webmodel as wm
+from spider_engine_spark.operators import seenset
 from spider_engine_spark.operators.frontier import CrawlJob
 from spider_engine_spark.simulator import ReplaySimulator
 from spider_engine_spark.sources.tableio import TableIO
@@ -561,3 +562,134 @@ def test_legacy_root_default_resume_does_not_stamp_layout(spark, tmp_path_factor
     job2.run(1)
     assert int(io.meta("frontier")["num_shards"]) == 4
     assert int(io.meta("frontier")["capacity_per_shard"]) == 1 << 12
+
+
+def test_migrate_layout_reshards_and_resumes(spark, tmp_path_factory):
+    """Round-5: the migration job the resume-conflict error promises.
+    Re-shard 3 -> 8 shards (and grow capacity): the rebuilt seen/filter
+    layout must restore on a no-args resume, reject the OLD explicit
+    layout, keep the no-false-negatives invariant, and the continued
+    crawl must still replay the simulator exactly."""
+    seeds = wm.seed_urls(8)
+    root = str(tmp_path_factory.mktemp("migrate"))
+    CrawlJob(
+        spark, root, seeds=seeds, num_shards=3,
+        capacity_per_shard=1 << 12, salts=2, index=False,
+    ).run(2)
+
+    job = CrawlJob.migrate_layout(
+        spark, root, num_shards=8, capacity_per_shard=1 << 13
+    )
+    assert (job.num_shards, job.capacity) == (8, 1 << 13)
+    assert job.layout_epoch == 1
+
+    # a second migrate call with the same (now-stored) layout is a no-op
+    again = CrawlJob.migrate_layout(spark, root)
+    assert again.layout_epoch == 1
+
+    # no-args resume restores the NEW layout; the old one now conflicts
+    job2 = CrawlJob(spark, root, salts=2, index=False)
+    assert (job2.num_shards, job2.capacity) == (8, 1 << 13)
+    with pytest.raises(ValueError, match="num_shards"):
+        CrawlJob(spark, root, num_shards=3, salts=2, index=False)
+
+    # tables really re-sharded mod 8, URL set intact and unique
+    seen = job2.io.read(spark, "seen")
+    assert (
+        seen.filter(
+            F.col("shard") != F.pmod(F.col("hash"), F.lit(8)).cast("int")
+        ).count()
+        == 0
+    )
+    assert seen.count() == seen.select("url").distinct().count()
+    # rebuilt filters keep the no-false-negatives invariant
+    probed = seenset.probe(seen, job2._filter_state())
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+    # the continued crawl replays the simulator exactly across the
+    # migration boundary
+    job2.run(1)
+    sim = ReplaySimulator(seeds)
+    sim.run(3)
+    assert seen_urls(job2) == sim.seen
+    assert fetched_urls_by_step(job2) == sim.fetched_by_step
+
+
+def test_migrate_layout_crash_rolls_back(spark, tmp_path_factory, monkeypatch):
+    """A migration that crashes BEFORE its frontier commit point leaves
+    higher-layout-epoch seen/filter snapshots; the next resume must
+    revert them (epoch-orphan rule) and continue on the OLD layout with
+    exact replay; a retried migration then succeeds."""
+    seeds = wm.seed_urls(8)
+    root = str(tmp_path_factory.mktemp("migcrash"))
+    CrawlJob(
+        spark, root, seeds=seeds, num_shards=3,
+        capacity_per_shard=1 << 12, salts=2, index=False,
+    ).run(2)
+
+    def boom(self, name, meta):
+        raise RuntimeError("crash before frontier commit")
+
+    monkeypatch.setattr(TableIO, "commit_meta", boom)
+    with pytest.raises(RuntimeError, match="crash before frontier"):
+        CrawlJob.migrate_layout(spark, root, num_shards=8)
+    monkeypatch.undo()
+
+    # the re-sharded snapshots are epoch-orphans: resume reverts them
+    job = CrawlJob(spark, root, salts=2, index=False)
+    assert job.num_shards == 3 and job.layout_epoch == 0
+    seen = job.io.read(spark, "seen")
+    assert (
+        seen.filter(
+            F.col("shard") != F.pmod(F.col("hash"), F.lit(3)).cast("int")
+        ).count()
+        == 0
+    )
+    job.run(1)
+    sim = ReplaySimulator(seeds)
+    sim.run(3)
+    assert seen_urls(job) == sim.seen
+    assert fetched_urls_by_step(job) == sim.fetched_by_step
+
+    # retry succeeds and the crawl continues on the new layout
+    job2 = CrawlJob.migrate_layout(spark, root, num_shards=8)
+    assert job2.num_shards == 8 and job2.layout_epoch == 1
+    job3 = CrawlJob(spark, root, salts=2, index=False)
+    job3.run(1)
+    sim.run(1)
+    assert seen_urls(job3) == sim.seen
+    assert fetched_urls_by_step(job3) == sim.fetched_by_step
+
+
+def test_migrate_layout_rejects_overfull_shard(spark, tmp_path_factory):
+    """Migrating to a layout whose worst shard would exceed the design
+    capacity is rejected up front with a sizing message (not a mid-UDF
+    cuckoo overflow)."""
+    seeds = wm.seed_urls(8)
+    root = str(tmp_path_factory.mktemp("migfull"))
+    CrawlJob(
+        spark, root, seeds=seeds, num_shards=3,
+        capacity_per_shard=1 << 12, salts=2, index=False,
+    ).run(2)
+    with pytest.raises(ValueError, match="capacity"):
+        CrawlJob.migrate_layout(
+            spark, root, num_shards=1, capacity_per_shard=8
+        )
+
+
+def test_seenset_insert_sorted_is_order_independent(spark):
+    """sort_within_shard=True makes the filter bytes a function of the
+    hash SET, not the DataFrame row order — the property the re-shard
+    migration's byte-reproducibility rests on."""
+    rows = [(i % 4, (i * 0x9E3779B97F4A7C15) % (1 << 63)) for i in range(500)]
+    df = spark.createDataFrame(rows, "shard int, hash long")
+
+    def state_bytes(d):
+        out = seenset.insert(
+            d, seenset.empty_state(spark), 1 << 10, sort_within_shard=True
+        )
+        return {r["shard"]: bytes(r["data"]) for r in out.collect()}
+
+    a = state_bytes(df.orderBy(F.col("hash").asc()).repartition(7))
+    b = state_bytes(df.orderBy(F.col("hash").desc()).coalesce(1))
+    assert a == b
