@@ -69,6 +69,27 @@ def main() -> None:
         cfg_kw["vocab_size"] = args.vocab
     cfg = wm.WebConfig(**cfg_kw) if cfg_kw else wm.DEFAULT
     if args.migrate_shards is not None or args.migrate_capacity is not None:
+        # the migration job takes ONLY the --migrate-* values; reject
+        # flags it would silently ignore (--capacity is an easy typo for
+        # --migrate-capacity — pretending it took effect is worse than
+        # an error)
+        ignored = [
+            flag
+            for flag, val in (
+                ("--shards", args.shards),
+                ("--capacity", args.capacity),
+                ("--hosts", args.hosts),
+                ("--words", args.words),
+                ("--vocab", args.vocab),
+            )
+            if val is not None
+        ]
+        if ignored:
+            ap.error(
+                f"not valid on a migration run: {', '.join(ignored)} "
+                "— use --migrate-shards/--migrate-capacity (web physics "
+                "are restored from the crawl root)"
+            )
         t0 = time.monotonic()
         job = CrawlJob.migrate_layout(
             spark,

@@ -522,14 +522,16 @@ class CrawlJob:
         deterministic function of the URL set.
 
         Omitted parameters keep their current values. Returns a resumed
-        CrawlJob on the new layout. Raises if any re-sharded shard would
-        exceed the new design capacity."""
+        CrawlJob on the new layout (a plain default-flags resume — pass
+        your own flags to a fresh CrawlJob if you need e.g. index=False).
+        Raises if any re-sharded shard would exceed the new design
+        capacity."""
         io = TableIO(root)
         if not io.exists("frontier"):
             raise FileNotFoundError(f"no crawl root at {root}")
         # resume first: runs orphan-revert + attr-law migration, and
         # resolves (or rejects) the stored layout
-        job = cls(spark, root, index=False)
+        job = cls(spark, root)
         new_shards = job.num_shards if num_shards is None else int(num_shards)
         new_cap = (
             job.capacity
@@ -543,54 +545,75 @@ class CrawlJob:
             return job  # layout already known and unchanged — no-op
         # a pre-layout-stamp legacy root ALWAYS rebuilds: the resumed
         # values are a guess, and the rebuild only needs (url, hash) —
-        # migration is also the repair path that makes the layout known
-        reshard = (
-            job.io.read(spark, "seen")
-            .select("url", "hash")
-            .withColumn(
-                "shard",
-                F.pmod(F.col("hash"), F.lit(new_shards)).cast("int"),
+        # migration is also the repair path that makes the layout known.
+        # A capacity-only change on a stamped root keeps the stored shard
+        # column and skips the seen rewrite entirely (only the filters
+        # need rebuilding — rewriting 10^10 byte-identical seen rows
+        # would be pure write amplification).
+        reshard_seen = (not job._stamp_layout) or new_shards != job.num_shards
+        if reshard_seen:
+            reshard = (
+                job.io.read(spark, "seen")
+                .select("url", "hash")
+                .withColumn(
+                    "shard",
+                    F.pmod(F.col("hash"), F.lit(new_shards)).cast("int"),
+                )
             )
-        )
-        worst = (
-            reshard.groupBy("shard")
-            .agg(F.count("*").alias("n"))
-            .agg(F.max_by("shard", "n").alias("shard"), F.max("n").alias("n"))
-            .first()
-        )
-        if worst["n"] is not None and int(worst["n"]) > new_cap:
-            raise ValueError(
-                f"cannot migrate to num_shards={new_shards}, "
-                f"capacity_per_shard={new_cap}: shard {worst['shard']} "
-                f"would hold {worst['n']} URLs (> capacity) — raise the "
-                "capacity or the shard count"
+        else:
+            reshard = job.io.read(spark, "seen")
+        # the re-shard is consumed by up to three passes (validation agg,
+        # seen rewrite, filter-rebuild cogroup): persist so the seen scan
+        # + re-hash runs once, not per consumer
+        reshard = reshard.persist()
+        try:
+            worst = (
+                reshard.groupBy("shard")
+                .agg(F.count("*").alias("n"))
+                .agg(
+                    F.max_by("shard", "n").alias("shard"),
+                    F.max("n").alias("n"),
+                )
+                .first()
             )
-        state = seenset.insert(
-            reshard,
-            seenset.empty_state(spark),
-            new_cap,
-            sort_within_shard=True,
-        )
-        step = job.step_no
-        epoch = job.layout_epoch + 1
-        mig_meta = {"step": step, "layout_epoch": epoch}
-        job.io.write(
-            "seen", reshard, meta=mig_meta, partition_by=["shard"]
-        )
-        job.io.write(
-            "filter", state.withColumn("step", F.lit(step)), meta=mig_meta
-        )
-        # COMMIT POINT: metadata-only frontier commit carrying the new
-        # layout + epoch (frontier DATA is layout-independent)
-        job.io.commit_meta(
-            "frontier",
-            {
-                **job.io.meta("frontier"),
-                "num_shards": new_shards,
-                "capacity_per_shard": new_cap,
-                "layout_epoch": epoch,
-            },
-        )
+            if worst["n"] is not None and int(worst["n"]) > new_cap:
+                raise ValueError(
+                    f"cannot migrate to num_shards={new_shards}, "
+                    f"capacity_per_shard={new_cap}: shard {worst['shard']} "
+                    f"would hold {worst['n']} URLs (> capacity) — raise "
+                    "the capacity or the shard count"
+                )
+            step = job.step_no
+            epoch = job.layout_epoch + 1
+            mig_meta = {"step": step, "layout_epoch": epoch}
+            if reshard_seen:
+                job.io.write(
+                    "seen", reshard, meta=mig_meta, partition_by=["shard"]
+                )
+            state = seenset.insert(
+                reshard.select("shard", "hash"),
+                seenset.empty_state(spark),
+                new_cap,
+                sort_within_shard=True,
+            )
+            job.io.write(
+                "filter",
+                state.withColumn("step", F.lit(step)),
+                meta=mig_meta,
+            )
+            # COMMIT POINT: metadata-only frontier commit carrying the new
+            # layout + epoch (frontier DATA is layout-independent)
+            job.io.commit_meta(
+                "frontier",
+                {
+                    **job.io.meta("frontier"),
+                    "num_shards": new_shards,
+                    "capacity_per_shard": new_cap,
+                    "layout_epoch": epoch,
+                },
+            )
+        finally:
+            reshard.unpersist()
         return cls(spark, root)
 
     def _revert_orphans(self) -> None:

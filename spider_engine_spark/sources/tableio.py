@@ -224,17 +224,13 @@ class TableIO:
         self._commit_manifest(name, manifest)
         return new_version
 
-    def commit_meta(self, name: str, meta: dict) -> int:
-        """Metadata-only commit: a new version referencing the latest
-        version's data dirs unchanged, with new meta (Iceberg's
-        set-table-properties commit). Used as a cheap commit point when
-        the data is already durable — e.g. the frontier commit of a
-        re-shard migration, where rewriting the (at design scale, huge)
-        frontier table just to advance its meta would be pure write
-        amplification."""
-        entry = self._entry(name)
+    def _append_version_of(self, name: str, entry: dict, meta: dict) -> int:
+        """Commit a new version referencing an existing entry's data dirs
+        (no data rewrite); shared by revert() and commit_meta()."""
         manifest = self._load_manifest(name)
         vs = manifest["versions"]
+        if not vs:
+            raise FileNotFoundError(f"table {name} has no versions")
         new_version = vs[-1]["version"] + 1
         vs.append(
             {
@@ -247,25 +243,23 @@ class TableIO:
         self._commit_manifest(name, manifest)
         return new_version
 
+    def commit_meta(self, name: str, meta: dict) -> int:
+        """Metadata-only commit: a new version referencing the latest
+        version's data dirs unchanged, with new meta (Iceberg's
+        set-table-properties commit). Used as a cheap commit point when
+        the data is already durable — e.g. the frontier commit of a
+        re-shard migration, where rewriting the (at design scale, huge)
+        frontier table just to advance its meta would be pure write
+        amplification."""
+        return self._append_version_of(name, self._entry(name), meta)
+
     def revert(self, name: str, version: int) -> int:
         """Snapshot rollback: commit a NEW version pointing at an old
         version's data dirs (no data rewrite — Iceberg-style rollback).
         Used by crash recovery to drop orphan appends from a superstep
         that never reached its commit point."""
         old = self._entry(name, version)
-        manifest = self._load_manifest(name)
-        vs = manifest["versions"]
-        new_version = vs[-1]["version"] + 1
-        vs.append(
-            {
-                "version": new_version,
-                "dirs": list(old["dirs"]),
-                "schema": old["schema"],
-                "meta": dict(old.get("meta", {})),
-            }
-        )
-        self._commit_manifest(name, manifest)
-        return new_version
+        return self._append_version_of(name, old, dict(old.get("meta", {})))
 
     def latest_version_at_step(
         self, name: str, max_step: int, max_epoch: int | None = None

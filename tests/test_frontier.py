@@ -693,3 +693,39 @@ def test_seenset_insert_sorted_is_order_independent(spark):
     a = state_bytes(df.orderBy(F.col("hash").asc()).repartition(7))
     b = state_bytes(df.orderBy(F.col("hash").desc()).coalesce(1))
     assert a == b
+
+
+def test_migrate_layout_capacity_only_skips_seen_rewrite(spark, tmp_path_factory):
+    """A capacity-only migration on a stamped root rebuilds ONLY the
+    filters: the seen table (whose shard column is unchanged) must not
+    be rewritten — at design scale that would be ~10^10 rows of pure
+    write amplification."""
+    seeds = wm.seed_urls(8)
+    root = str(tmp_path_factory.mktemp("migcap"))
+    CrawlJob(
+        spark, root, seeds=seeds, num_shards=3,
+        capacity_per_shard=1 << 12, salts=2, index=False,
+    ).run(2)
+    io = TableIO(root)
+    seen_versions_before = io.versions("seen")
+
+    job = CrawlJob.migrate_layout(spark, root, capacity_per_shard=1 << 13)
+    assert (job.num_shards, job.capacity) == (3, 1 << 13)
+    assert job.layout_epoch == 1
+    assert io.versions("seen") == seen_versions_before  # untouched
+    # filters really rebuilt at the new capacity (bigger tables)
+    nb = {
+        r["nbuckets"]
+        for r in io.read(spark, "filter").select("nbuckets").collect()
+    }
+    from spider_engine_spark.operators.cuckoo import CuckooFilter
+    assert nb == {CuckooFilter(1 << 13).nbuckets}
+    # no false negatives against the untouched seen table
+    probed = seenset.probe(io.read(spark, "seen"), job._filter_state())
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    # crawl continues exactly
+    job.index = False
+    job.run(1)
+    sim = ReplaySimulator(seeds)
+    sim.run(3)
+    assert seen_urls(job) == sim.seen
