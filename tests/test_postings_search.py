@@ -342,3 +342,63 @@ def test_multi_term_or_scores_and_guards(user_df, user_postings):
         multi_term_or(user_postings, "user_desc", [], max_doc=5)
     with pytest.raises(ValueError):
         multi_term_and(user_postings, "user_desc", [])
+
+
+def test_hybrid_words_tokens_match_python(spark):
+    """The round-5 JVM fast path for printable-ASCII 'words' content must
+    be bit-equal (terms AND float32 TF weights) to the Python T4
+    splitter; non-ASCII / oversize rows route to the pandas UDF, so the
+    hybrid output equals the pure-Python oracle on EVERY doc."""
+    import random
+
+    from spider_engine_spark.functions.tokenizers import split_true_words
+    from spider_engine_spark.operators.postings import field_tokens
+
+    rng = random.Random(7)
+    alphabet = list("abz019_ .,;:?!\"()-~#$%&`^+=[]{}@'/<>|*\\") + [
+        "。", "天", "安", "门", "美", "食", "é", "🙂",
+    ]
+    corpus = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(300)
+    ]
+    corpus += [
+        "", " ", "a b a c", "w1 w2 w1", "x" * 5000, "y " * 3000,
+        "天安门 美食", "mixed 美食 ascii", "。。a。b。", "a" * 4096,
+        "~!@#$%^&*()", "_under_scores_ __ x",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(corpus)], "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in field_tokens(df, "doc_id", "text", "words").collect():
+        got.setdefault(r["doc_id"], set()).add((r["term"], r["weight"]))
+    want = {
+        i: set(split_true_words(s))
+        for i, s in enumerate(corpus)
+        if split_true_words(s)
+    }
+    assert got == want
+
+
+def test_native_whole_semicolon_match_python(spark):
+    """whole/semicolon now run fully native — parity vs the Python
+    splitters on edge inputs (empty strings, dup semicolon fields,
+    nulls, unicode)."""
+    from spider_engine_spark.functions.tokenizers import tokenize
+    from spider_engine_spark.operators.postings import field_tokens
+
+    corpus = ["", "a;b;;a", "x", "天;天;门", None, "  spaces  ", ";", "a;"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(corpus)], "doc_id long, text string"
+    )
+    for mode in ("whole", "semicolon"):
+        got: dict[int, set] = {}
+        for r in field_tokens(df, "doc_id", "text", mode).collect():
+            got.setdefault(r["doc_id"], set()).add((r["term"], r["weight"]))
+        want = {
+            i: set(tokenize(s, mode))
+            for i, s in enumerate(corpus)
+            if s is not None and tokenize(s, mode)
+        }
+        assert got == want
