@@ -257,7 +257,11 @@ def build_ivf_index(
     )
     io.write(
         name,
-        assigned,
+        # co-locate each list before the hive write: without it every
+        # task writes one file per list it holds (tasks × k files); the
+        # per-list files this produces are large at scale but parquet
+        # row-groups keep them splittable on read
+        assigned.repartition("ivf_list"),
         mode="overwrite",
         meta={"centroids": cents, "k": k, "key": key, "vec": vec},
         partition_by=["ivf_list"],

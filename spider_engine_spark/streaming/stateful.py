@@ -186,7 +186,10 @@ def make_seen_batch_handler(io):
         )
         io.write(
             "seen",
-            admitted,
+            # dropDuplicates shuffles on (shard, hash), spreading every
+            # shard across all tasks — re-co-locate by shard so the hive
+            # write emits one file per shard, not tasks × shards
+            admitted.repartition("shard"),
             mode="append",
             meta={"batch_id": batch_id},
             partition_by=["shard"],
