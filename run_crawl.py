@@ -18,6 +18,34 @@ import json
 import time
 
 
+def migration_ignored_flags(args: argparse.Namespace) -> list[str]:
+    """Flags a --migrate-* run would silently ignore (the migration job
+    takes ONLY the --migrate-* values; its final resume is a
+    default-flags CrawlJob). --capacity is an easy typo for
+    --migrate-capacity — pretending it took effect is worse than an
+    error. Pure function of the parsed namespace so the guard is
+    unit-testable without a Spark session."""
+    return [
+        flag
+        for flag, val in (
+            ("--shards", args.shards),
+            ("--capacity", args.capacity),
+            ("--hosts", args.hosts),
+            ("--words", args.words),
+            ("--vocab", args.vocab),
+            ("--host-cache", args.host_cache or None),
+            ("--no-flush", args.no_flush or None),
+            ("--no-index", args.no_index or None),
+            ("--steps", args.steps if args.steps != 5 else None),
+            (
+                "--checkpoint-every",
+                args.checkpoint_every if args.checkpoint_every != 1 else None,
+            ),
+        )
+        if val is not None
+    ]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True, help="crawl state dir (TableIO root)")
@@ -51,6 +79,20 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
 
+    migrating = (
+        args.migrate_shards is not None or args.migrate_capacity is not None
+    )
+    if migrating:
+        # validate before get_spark: an argparse error must not cost a
+        # JVM launch
+        ignored = migration_ignored_flags(args)
+        if ignored:
+            ap.error(
+                f"not valid on a migration run: {', '.join(ignored)} "
+                "— use --migrate-shards/--migrate-capacity (web physics "
+                "are restored from the crawl root)"
+            )
+
     from spider_engine_spark import webmodel as wm
     from spider_engine_spark.operators.frontier import CrawlJob
     from spider_engine_spark.session import get_spark
@@ -68,28 +110,7 @@ def main() -> None:
     if args.vocab:
         cfg_kw["vocab_size"] = args.vocab
     cfg = wm.WebConfig(**cfg_kw) if cfg_kw else wm.DEFAULT
-    if args.migrate_shards is not None or args.migrate_capacity is not None:
-        # the migration job takes ONLY the --migrate-* values; reject
-        # flags it would silently ignore (--capacity is an easy typo for
-        # --migrate-capacity — pretending it took effect is worse than
-        # an error)
-        ignored = [
-            flag
-            for flag, val in (
-                ("--shards", args.shards),
-                ("--capacity", args.capacity),
-                ("--hosts", args.hosts),
-                ("--words", args.words),
-                ("--vocab", args.vocab),
-            )
-            if val is not None
-        ]
-        if ignored:
-            ap.error(
-                f"not valid on a migration run: {', '.join(ignored)} "
-                "— use --migrate-shards/--migrate-capacity (web physics "
-                "are restored from the crawl root)"
-            )
+    if migrating:
         t0 = time.monotonic()
         job = CrawlJob.migrate_layout(
             spark,

@@ -60,6 +60,24 @@ _NATIVE_WORDS_MAX_CHARS = 4096
 _TOK_RE = "([A-Za-z0-9_]+|[^A-Za-z0-9_])"
 
 
+def tf_weight_expr(cnt: Column, total: Column) -> Column:
+    """THE native TF law: uint32(float32(cnt)/float32(total) * 10000)
+    (common.go:149), single definition for every JVM path.
+
+    Spark's Divide only operates on Double/Decimal, so a bare
+    float/float division silently promotes to double and diverges from
+    the float32 law (e.g. cnt=39,total=50: double gives 7800, float32
+    gives 7799 — 188 divergent (cnt,total) pairs exist with total<=600).
+    Emulating float32 per step is exact: double division of two
+    float32-valued operands rounded back to float equals float32
+    division (53 >= 2*24+2), and the product q*10000 is exact in double
+    (24+14 significant bits), so its float cast equals the float32
+    multiply. tf_weight (Python) and the DuckDB ::FLOAT oracle law both
+    compute true float32; property-tested bit-equal across all three."""
+    q = (cnt.cast("float") / total.cast("float")).cast("float")
+    return (q * F.lit(10000.0)).cast("float").cast("int")
+
+
 def _punct_array() -> Column:
     # built lazily: Column literals need an active SparkContext
     return F.array(*[F.lit(p) for p in sorted(PUNCTUATION)])
@@ -93,18 +111,13 @@ def _native_words_tw(df: DataFrame, doc_id: str, field: str) -> DataFrame:
         F.col(doc_id).cast("long").alias("doc_id"), toks.alias("_toks")
     )
     d = d.select("doc_id", "_toks", F.array_distinct("_toks").alias("_uniq"))
-    # uint32(float32(cnt)/float32(total) * 10000) — common.go:149; the
-    # identical float32 law as build_postings_native. total > 0 whenever
-    # _uniq is non-empty, so the division never sees 0/0.
+    # tf_weight_expr — the shared float32 law; total > 0 whenever _uniq
+    # is non-empty, so the division never sees 0/0.
     weights = F.transform(
         "_uniq",
-        lambda t: (
-            (
-                F.size(F.filter("_toks", lambda x: x == t)).cast("float")
-                / F.size("_toks").cast("float")
-            )
-            * F.lit(10000.0).cast("float")
-        ).cast("int"),
+        lambda t: tf_weight_expr(
+            F.size(F.filter("_toks", lambda x: x == t)), F.size("_toks")
+        ),
     )
     return d.select(
         "doc_id",
@@ -285,13 +298,8 @@ def build_postings_native(
         F.lit(field).alias("field"),
         "term",
         "doc_id",
-        # uint32(float32(cnt)/float32(total) * 10000) — common.go:149
-        (
-            (F.col("cnt").cast("float") / F.col("total").cast("float"))
-            * F.lit(10000.0).cast("float")
-        )
-        .cast("int")
-        .alias("weight"),
+        # tf_weight_expr — the shared float32 law (common.go:149)
+        tf_weight_expr(F.col("cnt"), F.col("total")).alias("weight"),
     )
     return aggregate_postings(weighted)
 

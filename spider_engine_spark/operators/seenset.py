@@ -50,10 +50,19 @@ def empty_state(spark) -> DataFrame:
     return spark.createDataFrame([], STATE_SCHEMA)
 
 
+def shard_expr(hash_col, num_shards: int):
+    """THE shard law: pmod(hash, P) as int. Single definition — the
+    persisted seen/filter layout and every probe path (batch, streaming,
+    migration) must agree bit-for-bit, or a drifted copy probes the
+    wrong filter shard and produces cuckoo false negatives (the same
+    single-source rule as postings.term_bucket_expr)."""
+    return F.pmod(hash_col, F.lit(num_shards)).cast("int")
+
+
 def with_shard(df: DataFrame, url_col: str, num_shards: int) -> DataFrame:
     """Native hash+shard: xxhash64 on the canonical URL (JVM-side)."""
     return df.withColumn("hash", F.xxhash64(F.col(url_col))).withColumn(
-        "shard", F.pmod(F.col("hash"), F.lit(num_shards)).cast("int")
+        "shard", shard_expr(F.col("hash"), num_shards)
     )
 
 

@@ -48,6 +48,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from spider_engine_spark.operators.seenset import shard_expr
+
 OUTPUT_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
@@ -131,7 +133,7 @@ def stateful_seen_flag(
         F.col(url_col).alias("url"),
         F.xxhash64(F.col(url_col)).alias("hash"),
     ).withColumn(
-        "shard", F.pmod(F.col("hash"), F.lit(n_shards)).cast("int")
+        "shard", shard_expr(F.col("hash"), n_shards)
     )
     return keyed.groupBy("shard").applyInPandasWithState(
         _flag_fn_factory(capacity_per_shard),
@@ -259,7 +261,7 @@ def stateful_seen_dedup(
         F.col(url_col).alias("url"),
         F.xxhash64(F.col(url_col)).alias("hash"),
     ).withColumn(
-        "shard", F.pmod(F.col("hash"), F.lit(n_shards)).cast("int")
+        "shard", shard_expr(F.col("hash"), n_shards)
     )
     return keyed.groupBy("shard").applyInPandasWithState(
         _dedup_fn,
@@ -317,7 +319,7 @@ def stateful_seen_dedup_tws(
         F.col(url_col).alias("url"),
         F.xxhash64(F.col(url_col)).alias("hash"),
     ).withColumn(
-        "shard", F.pmod(F.col("hash"), F.lit(n_shards)).cast("int")
+        "shard", shard_expr(F.col("hash"), n_shards)
     )
     return keyed.groupBy("shard").transformWithStateInPandas(
         statefulProcessor=SeenDedup(),

@@ -729,3 +729,34 @@ def test_migrate_layout_capacity_only_skips_seen_rewrite(spark, tmp_path_factory
     sim = ReplaySimulator(seeds)
     sim.run(3)
     assert seen_urls(job) == sim.seen
+
+
+def test_run_crawl_migration_flag_guard():
+    """The CLI migration guard rejects every flag a --migrate-* run
+    would silently ignore — including store_true and non-default-valued
+    flags (round-5 review: --checkpoint-every/--no-index/--host-cache/
+    --no-flush slipped through while --capacity errored)."""
+    import argparse
+
+    from run_crawl import migration_ignored_flags
+
+    def ns(**kw):
+        base = dict(
+            shards=None, capacity=None, hosts=None, words=None, vocab=None,
+            host_cache=False, no_flush=False, no_index=False, steps=5,
+            checkpoint_every=1,
+        )
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    assert migration_ignored_flags(ns()) == []
+    assert migration_ignored_flags(ns(capacity=1 << 12)) == ["--capacity"]
+    assert migration_ignored_flags(ns(host_cache=True)) == ["--host-cache"]
+    assert migration_ignored_flags(ns(no_flush=True)) == ["--no-flush"]
+    assert migration_ignored_flags(ns(no_index=True)) == ["--no-index"]
+    assert migration_ignored_flags(ns(steps=3)) == ["--steps"]
+    assert migration_ignored_flags(ns(checkpoint_every=4)) == [
+        "--checkpoint-every"
+    ]
+    got = migration_ignored_flags(ns(shards=16, vocab=100, no_index=True))
+    assert got == ["--shards", "--vocab", "--no-index"]

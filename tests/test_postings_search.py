@@ -252,6 +252,67 @@ def test_native_postings_matches_python(spark):
     assert a["a"] == [(0, 5000), (2, 3333)]
 
 
+def test_native_tf_law_is_float32_on_adversarial_pairs(spark):
+    """The float32 TF law diverges from naive double arithmetic on 188
+    (cnt,total) pairs with total<=600 — e.g. (39,50): float32 gives
+    7799, double gives 7800. Both JVM paths (build_postings_native and
+    the field_tokens words gate) must hit the float32 value bit-for-bit;
+    a double-promoted Divide would pass every uniform-random corpus test
+    yet break oracle exactness on real corpora."""
+    import numpy as np
+
+    from spider_engine_spark.functions.tokenizers import tf_weight
+    from spider_engine_spark.operators.postings import field_tokens
+
+    # find divergent pairs instead of hard-coding them
+    pairs = []
+    for total in range(2, 301):
+        cnt = np.arange(1, total)
+        f32 = (
+            (cnt.astype(np.float32) / np.float32(total)).astype(np.float32)
+            * np.float32(10000)
+        ).astype(np.int64)
+        dbl = ((cnt / total) * 10000.0).astype(np.int64)
+        for b in np.nonzero(f32 != dbl)[0][:1]:
+            pairs.append((int(cnt[b]), total))
+    assert pairs, "no divergent pairs below 300 — law scan is broken"
+    pairs = pairs[:8]
+
+    rows = []
+    for i, (c, t) in enumerate(pairs):
+        fillers = " ".join(f"w{j}" for j in range(t - c))
+        rows.append((i, ("aa " * c + fillers).strip()))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for path, got in (
+        (
+            "build_postings_native",
+            {
+                p.doc_id: p.weight
+                for r in build_postings_native(
+                    df, "doc_id", "text"
+                ).collect()
+                if r.term == "aa"
+                for p in r.postings
+            },
+        ),
+        (
+            "field_tokens",
+            {
+                r["doc_id"]: r["weight"]
+                for r in field_tokens(df, "doc_id", "text", "words").collect()
+                if r["term"] == "aa"
+            },
+        ),
+    ):
+        for i, (c, t) in enumerate(pairs):
+            want = tf_weight(c, t)
+            assert got[i] == want, (
+                f"{path}: pair (cnt={c}, total={t}) gave {got[i]}, "
+                f"float32 law says {want}"
+            )
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Co-located join pattern for repeated large⋈large joins at scale:
     both sides written with bucketBy on the join key join WITHOUT any
