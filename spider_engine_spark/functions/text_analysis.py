@@ -8,6 +8,8 @@ SQL equivalent for the DuckDB oracles.
 - language-ID: stopword-list hit counts per language, argmax with a
   deterministic tiebreak.
 - fingerprint: md5-based document fingerprint (content-defined id).
+- Gopher repetition filters (Rae et al. 2021): top_ngram_char_fraction,
+  dup_ngram_char_fraction — per-row array exprs, no shuffle.
 """
 
 from __future__ import annotations
@@ -79,6 +81,177 @@ def lang_guess(c: Column) -> Column:
 def fingerprint(c: Column, length: int = 16) -> Column:
     """Content fingerprint: md5 prefix of the normalized token stream."""
     return F.substring(F.md5(F.concat_ws(" ", tokens(F.lower(c)))), 1, length)
+
+
+def _pos_ngrams(toks: Column, n: int) -> Column:
+    """Positional (overlapping) token n-grams, space-joined; empty array
+    when the doc has < n tokens. The sequence() is guarded by the
+    when(): sequence(1, size-(n-1)) would count DOWN for short docs."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _token_chars(toks: Column) -> Column:
+    return F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def _top_run_struct(sorted_grams: Column, n: int) -> Column:
+    """Single-pass run-length scan over a SORTED gram array: returns
+    struct(bestcnt, bestcover) where bestcnt = the max occurrence count
+    of any gram and bestcover = cnt * token-chars of the winning gram
+    (count ties break to the larger cover — deterministic). One
+    aggregate = the sorted array is evaluated once per row; a
+    count-by-distinct transform would re-evaluate the captured gram
+    array per element (Column exprs are trees, not DAGs — the round-3
+    codegen lesson, which made the naive form ~100x slower)."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("bestcnt"),
+        F.lit(0).cast("long").alias("bestcover"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        cover = run * (F.length(x).cast("long") - F.lit(n - 1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["bestcnt"], run).alias("bestcnt"),
+            F.when(run > acc["bestcnt"], cover)
+            .when(run == acc["bestcnt"], F.greatest(acc["bestcover"], cover))
+            .otherwise(acc["bestcover"])
+            .alias("bestcover"),
+        )
+
+    return F.aggregate(sorted_grams, zero, merge)
+
+
+def top_ngram_char_fraction(c: Column, n: int = 2) -> Column:
+    """Gopher repetition rule (Rae et al. 2021, A1.1): fraction of the
+    document's characters contained in occurrences of the most frequent
+    token n-gram. Characters = token characters (separator whitespace
+    excluded on both sides of the ratio); overlapping occurrences
+    double-count in the numerator, so the raw ratio can exceed 1 — it is
+    clamped to 1.0. Count ties break to the larger char coverage
+    (deterministic). 0.0 for docs with < n tokens or no characters.
+
+    Pure JVM, no shuffle, O(g log g) per row (sort + one run-length
+    aggregate pass) — the filter scales with corpus size, not corpus².
+    Typical training-data use: drop docs with top_2gram > 0.20."""
+    toks = tokens(c)
+    best = _top_run_struct(F.array_sort(_pos_ngrams(toks, n)), n)
+    total = _token_chars(toks)
+    return F.when(
+        (total > 0) & (best["bestcnt"] > 0),
+        F.least(best["bestcover"].cast("double") / total, F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+
+
+def gopher_repetition(
+    df,
+    content: str,
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 10),
+):
+    """Gopher repetition-quality features (Rae et al. 2021, A1.1) for a
+    DataFrame: adds `top_{n}gram_char_frac` for each n in top_ns and
+    `dup_{n}gram_char_frac` for each n in dup_ns.
+
+    dup_{n}gram_char_frac = fraction of the document's characters
+    covered by at least one token n-gram occurring more than once —
+    exact positional coverage (each character counted once however many
+    duplicate grams span it: the strict reading, always <= 1). Typical
+    use: drop docs with dup_5gram > 0.15.
+
+    Built as a projection ladder (tokens -> grams -> sorted -> dup
+    values -> positional flags -> coverage), each rung materialized as a
+    column attribute so the lambdas reference per-row VALUES, not
+    re-evaluated expression trees. Everything is per-row array algebra:
+    no shuffle, no UDF — at 100 TB this is a map-only stage."""
+    toks, total = "_rep_toks", "_rep_total"
+    d = df.withColumn(toks, tokens(F.col(content))).withColumn(
+        total, _token_chars(F.col(toks))
+    )
+    for n in top_ns:
+        best = _top_run_struct(
+            F.array_sort(_pos_ngrams(F.col(toks), n)), n
+        )
+        d = d.withColumn(
+            f"top_{n}gram_char_frac",
+            F.when(
+                (F.col(total) > 0) & (best["bestcnt"] > 0),
+                F.least(
+                    best["bestcover"].cast("double") / F.col(total),
+                    F.lit(1.0),
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    for n in dup_ns:
+        g, s, dv, fl = f"_rep_g{n}", f"_rep_s{n}", f"_rep_d{n}", f"_rep_f{n}"
+        d = d.withColumn(g, _pos_ngrams(F.col(toks), n))
+        d = d.withColumn(s, F.array_sort(F.col(g)))
+        # duplicate gram VALUES: sorted-adjacent equality (no g² compare)
+        d = d.withColumn(
+            dv,
+            F.array_distinct(
+                F.filter(
+                    F.when(
+                        F.size(F.col(s)) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(F.col(s)) - 1),
+                            lambda i: F.when(
+                                F.element_at(F.col(s), i)
+                                == F.element_at(F.col(s), i + 1),
+                                F.element_at(F.col(s), i),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                    lambda v: v.isNotNull(),
+                )
+            ),
+        )
+        d = d.withColumn(
+            fl, F.transform(F.col(g), lambda x: F.array_contains(F.col(dv), x))
+        )
+        # token j is covered when any of the <= n gram windows spanning
+        # it is a duplicate; chars of covered tokens, once each
+        ngrams = F.size(F.col(g))
+        cov = F.aggregate(
+            F.sequence(F.lit(1), F.size(F.col(toks))),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(
+                F.exists(
+                    F.slice(
+                        F.col(fl),
+                        F.greatest(j - F.lit(n - 1), F.lit(1)),
+                        F.least(j, ngrams)
+                        - F.greatest(j - F.lit(n - 1), F.lit(1))
+                        + 1,
+                    ),
+                    lambda x: x,
+                ),
+                F.length(F.element_at(F.col(toks), j)).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        d = d.withColumn(
+            f"dup_{n}gram_char_frac",
+            F.when(
+                (F.col(total) > 0) & (F.size(F.col(dv)) > 0),
+                cov.cast("double") / F.col(total),
+            ).otherwise(F.lit(0.0)),
+        ).drop(g, s, dv, fl)
+    return d.drop(toks, total)
 
 
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"

@@ -372,3 +372,113 @@ def test_ivf_persisted_index_probe_prunes_lists(spark, tmp_path_factory):
         spark, tio, "emb__ivf", qvecs[0], k=5, n_probe=n_probe
     ).collect()}
     assert 0 in p0  # a vector's own list always contains itself
+
+
+def _py_gopher_tokens(text):
+    import re as _re
+
+    return [t for t in _re.split(r"\s+", text) if t]
+
+
+def _py_top_ngram_char_fraction(text, n):
+    from collections import Counter
+
+    toks = _py_gopher_tokens(text)
+    total = sum(len(t) for t in toks)
+    if len(toks) < n or total == 0:
+        return 0.0
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    cnt = Counter(grams)
+    m = max(cnt.values())
+    cover = max(c * (len(g) - (n - 1)) for g, c in cnt.items() if c == m)
+    return min(cover / total, 1.0)
+
+
+def _py_dup_ngram_char_fraction(text, n):
+    from collections import Counter
+
+    toks = _py_gopher_tokens(text)
+    total = sum(len(t) for t in toks)
+    if len(toks) < n or total == 0:
+        return 0.0
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    cnt = Counter(grams)
+    dup = {g for g, c in cnt.items() if c > 1}
+    if not dup:
+        return 0.0
+    covered = 0
+    for j in range(len(toks)):  # token j covered by grams [j-n+1 .. j]
+        lo, hi = max(j - n + 1, 0), min(j, len(grams) - 1)
+        if any(grams[i] in dup for i in range(lo, hi + 1)):
+            covered += len(toks[j])
+    return covered / total
+
+
+def test_gopher_repetition_fractions_match_python_oracle(spark):
+    """top/dup n-gram char fractions (Gopher quality rules) — JVM array
+    exprs vs an independent pure-Python oracle, on hand-built edges and
+    random repetitive docs."""
+    import random
+
+    import pytest as _pytest
+
+    from spider_engine_spark.functions.text_analysis import (
+        gopher_repetition,
+        top_ngram_char_fraction,
+    )
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gg", "d", "epsilon", "zzz"]
+    corpus = [
+        "",
+        "one",
+        "one two",
+        "a a a a a",  # overlap: raw top-2gram cover > 1 -> clamp
+        "x y x y x y x y",
+        "no repeats at all here truly none",
+        "spam spam spam spam ham spam spam spam spam",
+        "  leading and   multiple   spaces here  ",
+    ]
+    for _ in range(40):
+        k = rng.randrange(0, 30)
+        corpus.append(" ".join(rng.choice(vocab) for _ in range(k)))
+    # heavy-repetition docs (phrase stutter like boilerplate)
+    for _ in range(10):
+        phrase = " ".join(rng.choice(vocab) for _ in range(4))
+        corpus.append(
+            " ".join([phrase] * rng.randrange(2, 5) + [rng.choice(vocab)])
+        )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(corpus)], "doc_id long, text string"
+    )
+    rows = (
+        gopher_repetition(df, "text", top_ns=(3,), dup_ns=(2, 5))
+        .select(
+            "doc_id",
+            # Column form and DataFrame ladder must agree (same law)
+            top_ngram_char_fraction(F.col("text"), 2).alias("top2"),
+            F.col("top_3gram_char_frac").alias("top3"),
+            F.col("dup_2gram_char_frac").alias("dup2"),
+            F.col("dup_5gram_char_frac").alias("dup5"),
+        )
+        .collect()
+    )
+    assert len(rows) == len(corpus)
+    for r in rows:
+        text = corpus[r["doc_id"]]
+        for col, fn, n in (
+            ("top2", _py_top_ngram_char_fraction, 2),
+            ("top3", _py_top_ngram_char_fraction, 3),
+            ("dup2", _py_dup_ngram_char_fraction, 2),
+            ("dup5", _py_dup_ngram_char_fraction, 5),
+        ):
+            want = fn(text, n)
+            assert r[col] == _pytest.approx(want, rel=1e-12, abs=1e-12), (
+                f"doc {r['doc_id']} {col}: got {r[col]}, want {want} "
+                f"for {text!r}"
+            )
+    # the filters separate boilerplate from clean text
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[4]["top2"] > 0.5  # "x y x y ..." is pure repetition
+    assert by_id[5]["dup2"] == 0.0  # no repeated bigram
