@@ -369,3 +369,47 @@ def embedding_near_dups(
             "cosine",
         )
     )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    testset: DataFrame,
+    key: str = "doc_id",
+    content: str = "text",
+    n: int = 3,
+    w: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing winnowing
+    fingerprints with an evaluation set.
+
+    Returns (corpus_id, test_id, shared_fps) for every corpus/test pair
+    sharing >= min_shared fingerprints. Winnowing's guarantee (Schleimer
+    et al. '03) makes this sound for contamination: any verbatim run of
+    >= n+w-1 shared tokens produces at least one shared fingerprint, so
+    no long-enough copied span can slip through; min_shared > 1 trades
+    that guarantee for precision on boilerplate-heavy corpora.
+
+    Plan shape at 100 TB: the test set (benchmarks are tiny relative to
+    a crawl) is exploded to fingerprints and BROADCAST; the corpus side
+    is a map-only explode joined without any shuffle of corpus rows, and
+    the final groupBy shuffles only matched (corpus_id, test_id) pairs —
+    normally a vanishing fraction of the corpus.
+    """
+    from spider_engine_spark.functions.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    fps = winnowing_fingerprints(F.col(content), n, w)
+    a = corpus.select(
+        F.col(key).alias("corpus_id"), F.explode(fps).alias("fp")
+    )
+    b = testset.select(
+        F.col(key).alias("test_id"), F.explode(fps).alias("fp")
+    )
+    return (
+        a.join(F.broadcast(b), "fp")
+        .groupBy("corpus_id", "test_id")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= F.lit(min_shared))
+    )

@@ -482,3 +482,36 @@ def test_gopher_repetition_fractions_match_python_oracle(spark):
     by_id = {r["doc_id"]: r for r in rows}
     assert by_id[4]["top2"] > 0.5  # "x y x y ..." is pure repetition
     assert by_id[5]["dup2"] == 0.0  # no repeated bigram
+
+
+def test_contamination_pairs_flags_copied_spans(spark):
+    """Decontamination: a corpus doc embedding a test-set span of
+    >= n+w-1 tokens is flagged (winnowing guarantee); disjoint docs are
+    not; the broadcast join keeps corpus rows unshuffled."""
+    from spider_engine_spark.operators.dedup import contamination_pairs
+
+    bench = "what is the capital of france paris obviously"  # 8 tokens
+    corpus = spark.createDataFrame(
+        [
+            (0, f"crawl page mentions {bench} inside a longer article"),
+            (1, "entirely unrelated content about spark shuffles"),
+            (2, f"another copy: {bench}"),
+            (3, "capital france paris"),  # shares words, no 6-token run
+        ],
+        "doc_id long, text string",
+    )
+    testset = spark.createDataFrame(
+        [(100, bench), (101, "some other benchmark question here asked")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["corpus_id"], r["test_id"])
+        for r in contamination_pairs(corpus, testset).collect()
+    }
+    assert (0, 100) in got and (2, 100) in got
+    assert not any(c in (1, 3) for c, _ in got)
+    assert not any(t == 101 for _, t in got)
+    # plan: corpus side joins via BroadcastHashJoin (no corpus shuffle
+    # before the join)
+    plan = contamination_pairs(corpus, testset)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
