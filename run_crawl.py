@@ -17,6 +17,15 @@ import argparse
 import json
 import time
 
+# argparse defaults shared with migration_ignored_flags: the guard
+# compares against THESE — a hardcoded copy would silently drift if the
+# default ever changed, which is the exact bug class the guard exists
+# to prevent
+DEFAULT_SEEDS = 100
+DEFAULT_STEPS = 5
+DEFAULT_SALTS = 4
+DEFAULT_CHECKPOINT_EVERY = 1
+
 
 def migration_ignored_flags(args: argparse.Namespace) -> list[str]:
     """Flags a --migrate-* run would silently ignore (the migration job
@@ -36,10 +45,14 @@ def migration_ignored_flags(args: argparse.Namespace) -> list[str]:
             ("--host-cache", args.host_cache or None),
             ("--no-flush", args.no_flush or None),
             ("--no-index", args.no_index or None),
-            ("--steps", args.steps if args.steps != 5 else None),
+            ("--seeds", args.seeds if args.seeds != DEFAULT_SEEDS else None),
+            ("--steps", args.steps if args.steps != DEFAULT_STEPS else None),
+            ("--salts", args.salts if args.salts != DEFAULT_SALTS else None),
             (
                 "--checkpoint-every",
-                args.checkpoint_every if args.checkpoint_every != 1 else None,
+                args.checkpoint_every
+                if args.checkpoint_every != DEFAULT_CHECKPOINT_EVERY
+                else None,
             ),
         )
         if val is not None
@@ -49,13 +62,13 @@ def migration_ignored_flags(args: argparse.Namespace) -> list[str]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True, help="crawl state dir (TableIO root)")
-    ap.add_argument("--seeds", type=int, default=100)
-    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--seeds", type=int, default=DEFAULT_SEEDS)
+    ap.add_argument("--steps", type=int, default=DEFAULT_STEPS)
     ap.add_argument("--shards", type=int, default=None,
                     help="seen-set shard count (default 8 on bootstrap; on "
                     "resume the value stored in the crawl root is restored "
                     "— passing a conflicting value is an error)")
-    ap.add_argument("--salts", type=int, default=4)
+    ap.add_argument("--salts", type=int, default=DEFAULT_SALTS)
     ap.add_argument("--capacity", type=int, default=None,
                     help="cuckoo-filter capacity per shard (default 2^16 on "
                     "bootstrap; restored from the crawl root on resume)")
@@ -72,7 +85,8 @@ def main() -> None:
     ap.add_argument("--hosts", type=int, default=None, help="web size (WebConfig.num_hosts)")
     ap.add_argument("--words", type=int, default=None, help="words per text span (WebConfig.words_per_span)")
     ap.add_argument("--vocab", type=int, default=None, help="vocabulary size (WebConfig.vocab_size)")
-    ap.add_argument("--checkpoint-every", type=int, default=1)
+    ap.add_argument("--checkpoint-every", type=int,
+                    default=DEFAULT_CHECKPOINT_EVERY)
     ap.add_argument("--no-flush", action="store_true",
                     help="measurement mode: skip the final state snapshot")
     ap.add_argument("--master", default=None)

@@ -102,21 +102,24 @@ def _token_chars(toks: Column) -> Column:
     )
 
 
-def _top_run_struct(sorted_grams: Column, n: int) -> Column:
-    """Single-pass run-length scan over a SORTED gram array: returns
-    struct(bestcnt, bestcover) where bestcnt = the max occurrence count
-    of any gram and bestcover = cnt * token-chars of the winning gram
-    (count ties break to the larger cover — deterministic). One
-    aggregate = the sorted array is evaluated once per row; a
-    count-by-distinct transform would re-evaluate the captured gram
-    array per element (Column exprs are trees, not DAGs — the round-3
-    codegen lesson, which made the naive form ~100x slower)."""
-    zero = F.struct(
+def _top_run_zero() -> Column:
+    return F.struct(
         F.lit("").alias("prev"),
         F.lit(0).cast("long").alias("run"),
         F.lit(0).cast("long").alias("bestcnt"),
         F.lit(0).cast("long").alias("bestcover"),
     )
+
+
+def _top_run_merge(n: int):
+    """Merge step of the single-pass run-length scan over a SORTED gram
+    array: the accumulator tracks (bestcnt = max occurrence count of any
+    gram, bestcover = cnt * token-chars of the winning gram; count ties
+    break to the larger cover — deterministic). One aggregate = the
+    sorted array is evaluated once per row; a count-by-distinct
+    transform would re-evaluate the captured gram array per element
+    (Column exprs are trees, not DAGs — the round-3 codegen lesson,
+    which made the naive form ~100x slower)."""
 
     def merge(acc: Column, x: Column) -> Column:
         run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
@@ -133,7 +136,14 @@ def _top_run_struct(sorted_grams: Column, n: int) -> Column:
             .alias("bestcover"),
         )
 
-    return F.aggregate(sorted_grams, zero, merge)
+    return merge
+
+
+def _top_frac_from_struct(best: Column, total: Column) -> Column:
+    return F.when(
+        (total > 0) & (best["bestcnt"] > 0),
+        F.least(best["bestcover"].cast("double") / total, F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
 
 
 def top_ngram_char_fraction(c: Column, n: int = 2) -> Column:
@@ -146,15 +156,18 @@ def top_ngram_char_fraction(c: Column, n: int = 2) -> Column:
     (deterministic). 0.0 for docs with < n tokens or no characters.
 
     Pure JVM, no shuffle, O(g log g) per row (sort + one run-length
-    aggregate pass) — the filter scales with corpus size, not corpus².
-    Typical training-data use: drop docs with top_2gram > 0.20."""
+    aggregate pass; the fraction is computed in the aggregate's finish
+    lambda so the scan's result struct is never referenced twice — a
+    bare struct expression would duplicate the whole sort+scan subtree
+    per field access). Typical use: drop docs with top_2gram > 0.20."""
     toks = tokens(c)
-    best = _top_run_struct(F.array_sort(_pos_ngrams(toks, n)), n)
     total = _token_chars(toks)
-    return F.when(
-        (total > 0) & (best["bestcnt"] > 0),
-        F.least(best["bestcover"].cast("double") / total, F.lit(1.0)),
-    ).otherwise(F.lit(0.0))
+    return F.aggregate(
+        F.array_sort(_pos_ngrams(toks, n)),
+        _top_run_zero(),
+        _top_run_merge(n),
+        lambda acc: _top_frac_from_struct(acc, total),
+    )
 
 
 def gopher_repetition(
@@ -183,18 +196,16 @@ def gopher_repetition(
         total, _token_chars(F.col(toks))
     )
     for n in top_ns:
-        best = _top_run_struct(
-            F.array_sort(_pos_ngrams(F.col(toks), n)), n
-        )
+        # the finish lambda keeps the O(g log g) sort+scan referenced
+        # exactly once (same rule as the Column form)
         d = d.withColumn(
             f"top_{n}gram_char_frac",
-            F.when(
-                (F.col(total) > 0) & (best["bestcnt"] > 0),
-                F.least(
-                    best["bestcover"].cast("double") / F.col(total),
-                    F.lit(1.0),
-                ),
-            ).otherwise(F.lit(0.0)),
+            F.aggregate(
+                F.array_sort(_pos_ngrams(F.col(toks), n)),
+                _top_run_zero(),
+                _top_run_merge(n),
+                lambda acc: _top_frac_from_struct(acc, F.col(total)),
+            ),
         )
     for n in dup_ns:
         g, s, dv, fl = f"_rep_g{n}", f"_rep_s{n}", f"_rep_d{n}", f"_rep_f{n}"
@@ -286,11 +297,9 @@ def winnowing_fingerprints(
     sampling does not).
     """
     toks = tokens(c)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    hashes = F.transform(grams, md5_h60_col)
+    # shared positional-gram law (_pos_ngrams) — its <n empty-array
+    # guard is subsumed by the outer size >= n+w-1 gate below
+    hashes = F.transform(_pos_ngrams(toks, n), md5_h60_col)
     wins = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(hashes) - (w - 1)),

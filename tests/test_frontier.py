@@ -744,7 +744,7 @@ def test_run_crawl_migration_flag_guard():
         base = dict(
             shards=None, capacity=None, hosts=None, words=None, vocab=None,
             host_cache=False, no_flush=False, no_index=False, steps=5,
-            checkpoint_every=1,
+            seeds=100, salts=4, checkpoint_every=1,
         )
         base.update(kw)
         return argparse.Namespace(**base)
@@ -755,6 +755,8 @@ def test_run_crawl_migration_flag_guard():
     assert migration_ignored_flags(ns(no_flush=True)) == ["--no-flush"]
     assert migration_ignored_flags(ns(no_index=True)) == ["--no-index"]
     assert migration_ignored_flags(ns(steps=3)) == ["--steps"]
+    assert migration_ignored_flags(ns(seeds=500)) == ["--seeds"]
+    assert migration_ignored_flags(ns(salts=8)) == ["--salts"]
     assert migration_ignored_flags(ns(checkpoint_every=4)) == [
         "--checkpoint-every"
     ]
