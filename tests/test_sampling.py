@@ -1,0 +1,96 @@
+"""Deterministic sampling: reproducibility, partition-independence,
+coupling, stratified rates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_engine_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+    uniform_unit,
+    weighted_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).cache()
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_sample_is_reproducible_and_partition_independent(docs):
+    a = _ids(deterministic_sample(docs, "doc_id", 0.3))
+    b = _ids(deterministic_sample(docs, "doc_id", 0.3))
+    assert a == b
+    # reshuffling the input changes nothing (df.sample would fail this)
+    c = _ids(
+        deterministic_sample(
+            docs.repartition(7, "source").sortWithinPartitions("n_chars"),
+            "doc_id",
+            0.3,
+        )
+    )
+    assert a == c
+    # rate sanity: binomial(500, .3) within 6 sigma
+    assert abs(len(a) - 150) < 62
+
+
+def test_lower_rate_is_subset_of_higher(docs):
+    s10 = _ids(deterministic_sample(docs, "doc_id", 0.1))
+    s30 = _ids(deterministic_sample(docs, "doc_id", 0.3))
+    assert s10 <= s30  # coupled samples: scaling-ladder property
+    # different salt -> a (near-certainly) different, independent draw
+    other = _ids(deterministic_sample(docs, "doc_id", 0.1, salt=1))
+    assert other != s10
+
+
+def test_rate_bounds_rejected(docs):
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, "doc_id", 1.5)
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "doc_id", "lang", {"en": -0.1})
+
+
+def test_weighted_sample_matches_manual_threshold(docs):
+    # weight = 1 for long docs, 0 for short: the sample must be exactly
+    # the long docs (p=1 always keeps: u in [0,1) < 1; p=0 never keeps)
+    w = F.when(F.col("n_chars") >= 200, F.lit(1.0)).otherwise(F.lit(0.0))
+    got = _ids(weighted_sample(docs, "doc_id", w))
+    want = _ids(docs.filter("n_chars >= 200"))
+    assert got == want
+    # fractional weights reproduce the per-row u < p rule exactly
+    w2 = F.when(F.col("n_chars") >= 200, F.lit(0.5)).otherwise(F.lit(0.05))
+    got2 = _ids(weighted_sample(docs, "doc_id", w2, salt=3))
+    manual = _ids(
+        docs.filter(
+            uniform_unit(F.col("doc_id"), 3)
+            < F.when(F.col("n_chars") >= 200, 0.5).otherwise(0.05)
+        )
+    )
+    assert got2 == manual
+
+
+def test_stratified_rates_per_language(docs):
+    out = stratified_sample(
+        docs, "doc_id", "lang", {"en": 1.0, "de": 0.0}, default_rate=0.5
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang.get("en") == totals["en"]  # rate 1.0 keeps all
+    assert "de" not in by_lang  # rate 0.0 drops all
+    for lang, n in by_lang.items():
+        if lang not in ("en", "de"):  # default 0.5 within 6 sigma
+            assert abs(n - totals[lang] * 0.5) < 6 * (totals[lang] * 0.25) ** 0.5
