@@ -309,3 +309,62 @@ def winnowing_fingerprints(
     return F.when(
         F.size(toks) >= n + w - 1, wins
     ).otherwise(F.array().cast("array<long>"))
+
+
+def quality_filter(
+    df,
+    content: str,
+    min_tokens: int = 10,
+    max_tokens: int = 200_000,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    max_top2gram: float = 0.20,
+    max_dup5gram: float = 0.15,
+    min_distinct_ratio: float = 0.0,
+):
+    """Composite document-quality gate (Gopher-style ruleset): adds
+    `quality_reject_reasons` (array of failed-rule labels, empty = keep)
+    and `quality_keep` (boolean). Default thresholds follow Rae et al.
+    2021 A1.1 where a direct analogue exists; every rule is a per-row
+    JVM expression over the `gopher_repetition` ladder plus the basic
+    token features — no shuffle, stateless, streaming-safe.
+
+    Keeping the REASONS (not just the verdict) is deliberate: corpus
+    curation iterates on threshold choices, and a labeled reject stream
+    lets each rule's kill-rate be audited with one groupBy instead of a
+    recompute over 100 TB."""
+    toks, avg, dr = "_qf_ntoks", "_qf_avglen", "_qf_distinct"
+    d = gopher_repetition(df, content, top_ns=(2,), dup_ns=(5,))
+    d = (
+        d.withColumn(toks, token_count(F.col(content)))
+        .withColumn(avg, avg_token_len(F.col(content)))
+        .withColumn(dr, distinct_ratio(F.col(content)))
+    )
+    rules = [
+        ("too_few_tokens", F.col(toks) < F.lit(min_tokens)),
+        ("too_many_tokens", F.col(toks) > F.lit(max_tokens)),
+        ("avg_token_too_short", F.col(avg) < F.lit(min_avg_token_len)),
+        ("avg_token_too_long", F.col(avg) > F.lit(max_avg_token_len)),
+        (
+            "top_2gram_repetition",
+            F.col("top_2gram_char_frac") > F.lit(max_top2gram),
+        ),
+        (
+            "dup_5gram_repetition",
+            F.col("dup_5gram_char_frac") > F.lit(max_dup5gram),
+        ),
+        ("low_distinct_ratio", F.col(dr) < F.lit(min_distinct_ratio)),
+    ]
+    reasons = F.filter(
+        F.array(
+            *[F.when(cond, F.lit(label)) for label, cond in rules]
+        ),
+        lambda v: v.isNotNull(),
+    )
+    return (
+        d.withColumn("quality_reject_reasons", reasons)
+        .withColumn(
+            "quality_keep", F.size(F.col("quality_reject_reasons")) == 0
+        )
+        .drop(toks, avg, dr)
+    )

@@ -515,3 +515,48 @@ def test_contamination_pairs_flags_copied_spans(spark):
     # before the join)
     plan = contamination_pairs(corpus, testset)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_quality_filter_labels_each_rule(spark):
+    """The composite quality gate: each planted violation trips its rule
+    label; a clean doc passes with an empty reason list. Degenerate docs
+    legitimately co-fire rules (a 2-token doc's top 2-gram IS the whole
+    doc), so short/repeated fixtures assert membership, not equality."""
+    from spider_engine_spark.functions.text_analysis import quality_filter
+
+    clean = (
+        "the quick brown fox jumps over a lazy dog while evening light "
+        "settles on quiet rooftops and distant hills glow warmly tonight"
+    )
+    rows = [
+        (0, clean),
+        (1, "too short"),
+        (2, "spam " * 40),  # top-2gram + dup-5gram + low distinct
+        (3, "a b c d e f g h i j k l"),  # avg token length 1 < 2.0
+        (4, "pneumonoultramicroscopicsilicovolcanoconiosis " * 12),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["quality_keep"], set(r["quality_reject_reasons"]))
+        for r in quality_filter(df, "text").collect()
+    }
+    assert out[0] == (True, set())
+    assert out[1][0] is False and "too_few_tokens" in out[1][1]
+    assert out[2][0] is False
+    assert {"top_2gram_repetition", "dup_5gram_repetition"} <= out[2][1]
+    assert out[3] == (False, {"avg_token_too_short"})
+    assert out[4][0] is False and "avg_token_too_long" in out[4][1]
+    # no rule fires spuriously on a doc that can't have violated it
+    assert "avg_token_too_long" not in out[1][1] | out[2][1] | out[3][1]
+    assert "too_few_tokens" not in out[2][1] | out[3][1] | out[4][1]
+    # kill-rate audit: one groupBy over the labeled reject stream
+    from pyspark.sql import functions as FF
+
+    audit = (
+        quality_filter(df, "text")
+        .select(FF.explode("quality_reject_reasons").alias("rule"))
+        .groupBy("rule")
+        .count()
+        .collect()
+    )
+    assert {r["rule"] for r in audit} >= {"too_few_tokens", "avg_token_too_short"}
