@@ -21,42 +21,63 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spider_engine_spark.functions.hashes import md5_h60_col
+
 # 2^53: the largest power of two whose reciprocal keeps the quotient
 # exact in a double (xxhash64 bits beyond 53 would be rounded anyway)
 _U_BITS = 53
 _U_DENOM = float(1 << _U_BITS)
 
 
-def uniform_unit(key: Column, salt: int = 0) -> Column:
-    """Deterministic uniform [0,1) from a row key: the low 53 bits of
-    xxhash64(key, salt) scaled by 2^-53. Independent of partitioning,
-    ordering, and cluster size; changing `salt` draws an independent
-    sample."""
-    h = F.xxhash64(key, F.lit(salt))
+def uniform_unit(key: Column, salt: int = 0, law: str = "xxhash64") -> Column:
+    """Deterministic uniform [0,1) from a row key: the low 53 bits of a
+    keyed hash scaled by 2^-53. Independent of partitioning, ordering,
+    and cluster size; changing `salt` draws an independent sample.
+
+    law='xxhash64' (default) is the production hash — cheapest JVM path.
+    law='md5' derives the same 53-bit quotient from the shared 60-bit
+    md5 law (functions/hashes.md5_h60_col) over `key || ':' || salt`,
+    which ANSI engines can recompute bit-for-bit — it exists so the
+    sampling DECISION itself can sit behind an exact SQL oracle
+    (DuckDB: ('0x'||substring(md5(k||':'||s),1,15))::BIGINT % 2^53 / 2^53).
+    Both are uniform; only the cost differs (md5 ~2-3x the hash time,
+    still a tiny fraction of a parquet scan)."""
+    if law == "xxhash64":
+        h = F.xxhash64(key, F.lit(salt))
+    elif law == "md5":
+        h = md5_h60_col(
+            F.concat_ws(":", key.cast("string"), F.lit(str(salt)))
+        )
+    else:
+        raise ValueError(f"unknown sampling hash law: {law!r}")
     return (
         F.pmod(h, F.lit(1 << _U_BITS)).cast("double") / F.lit(_U_DENOM)
     )
 
 
 def deterministic_sample(
-    df: DataFrame, key: str, rate: float, salt: int = 0
+    df: DataFrame, key: str, rate: float, salt: int = 0,
+    law: str = "xxhash64",
 ) -> DataFrame:
     """Keep each row iff u(key, salt) < rate. Exactly reproducible; a
     lower-rate sample with the same salt is a strict subset of a
     higher-rate one (coupled samples for corpus-scaling ladders)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return df.filter(uniform_unit(F.col(key), salt) < F.lit(float(rate)))
+    return df.filter(
+        uniform_unit(F.col(key), salt, law) < F.lit(float(rate))
+    )
 
 
 def weighted_sample(
-    df: DataFrame, key: str, weight: Column, salt: int = 0
+    df: DataFrame, key: str, weight: Column, salt: int = 0,
+    law: str = "xxhash64",
 ) -> DataFrame:
     """Per-row acceptance probability = clamp(weight, 0, 1) — e.g. a
     quality score as the keep probability (soft quality filtering à la
     CCNet/Dolma mixes). Deterministic in (key, salt)."""
     p = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
-    return df.filter(uniform_unit(F.col(key), salt) < p)
+    return df.filter(uniform_unit(F.col(key), salt, law) < p)
 
 
 def stratified_sample(
@@ -66,6 +87,7 @@ def stratified_sample(
     rates: dict[str, float],
     default_rate: float = 0.0,
     salt: int = 0,
+    law: str = "xxhash64",
 ) -> DataFrame:
     """Per-stratum rates (e.g. {'en': 0.3, 'de': 1.0}) for language /
     source rebalancing. The rate lookup is a small literal map expr —
@@ -80,4 +102,4 @@ def stratified_sample(
         rate = F.when(F.col(stratum) == F.lit(k), F.lit(float(v))).otherwise(
             rate
         )
-    return df.filter(uniform_unit(F.col(key), salt) < rate)
+    return df.filter(uniform_unit(F.col(key), salt, law) < rate)

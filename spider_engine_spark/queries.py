@@ -1895,6 +1895,253 @@ def thumbnail_stats(spark, sf_dir):
     )
 
 
+# Shared SQL fragment: per-document Gopher repetition/quality features,
+# the exact laws of functions/text_analysis.gopher_repetition (n=2 top,
+# n=5 dup) and the basic token features.  Produces CTE `gq`:
+#   (doc_id, n_tokens, avg_len, dr, top2, dup5).
+# Laws mirrored: cover = cnt * token-chars of the gram (len - (n-1)
+# joiner spaces), count ties break to larger cover, top frac clamped to
+# 1.0 (overlaps double-count); dup coverage counts each token's chars
+# once when ANY n-gram window spanning it is a duplicated value.
+_GOPHER_SQL = f"""
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tc AS (
+      SELECT doc_id, toks,
+        coalesce(list_sum(list_transform(toks, x -> len(x))), 0)::BIGINT
+          AS total,
+        [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+          AS g2,
+        [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks)-3)]
+          AS g5
+      FROM t
+    ),
+    u2 AS (SELECT doc_id, unnest(g2) AS g FROM tc),
+    c2 AS (SELECT doc_id, g, count(*) AS cnt FROM u2 GROUP BY doc_id, g),
+    b2 AS (
+      SELECT doc_id, cnt * (len(g) - 1) AS cover,
+        row_number() OVER (PARTITION BY doc_id
+          ORDER BY cnt DESC, cnt * (len(g) - 1) DESC) AS rn
+      FROM c2
+    ),
+    top2c AS (SELECT doc_id, cover FROM b2 WHERE rn = 1),
+    u5 AS (SELECT doc_id, unnest(g5) AS g FROM tc),
+    d5 AS (SELECT doc_id, g FROM u5 GROUP BY doc_id, g HAVING count(*) > 1),
+    dl AS (SELECT doc_id, list(g) AS dups FROM d5 GROUP BY doc_id),
+    gq AS (
+      SELECT tc.doc_id AS doc_id,
+        len(tc.toks) AS n_tokens,
+        CASE WHEN len(tc.toks) = 0 THEN 0.0
+          ELSE tc.total::DOUBLE / len(tc.toks) END AS avg_len,
+        CASE WHEN len(tc.toks) = 0 THEN 0.0
+          ELSE len(list_distinct(tc.toks))::DOUBLE / len(tc.toks) END AS dr,
+        CASE WHEN top2c.cover IS NULL OR tc.total = 0 THEN 0.0
+          ELSE least(top2c.cover::DOUBLE / tc.total, 1.0) END AS top2,
+        CASE WHEN dl.dups IS NULL OR tc.total = 0 THEN 0.0 ELSE
+          coalesce(list_sum(list_transform(range(1, len(tc.toks) + 1),
+            j -> CASE WHEN len(list_filter(
+                (list_transform(tc.g5, x -> list_contains(dl.dups, x))
+                )[greatest(j - 4, 1):least(j, len(tc.g5))],
+                f -> f)) > 0
+              THEN len(tc.toks[j]) ELSE 0 END)), 0)::DOUBLE / tc.total
+        END AS dup5
+      FROM tc
+      LEFT JOIN top2c ON tc.doc_id = top2c.doc_id
+      LEFT JOIN dl ON tc.doc_id = dl.doc_id
+    )
+"""
+
+
+@query(
+    "gopher_repetition_fracs",
+    f"""
+    WITH {_GOPHER_SQL}
+    SELECT doc_id, top2 AS top_2gram_char_frac, dup5 AS dup_5gram_char_frac
+    FROM gq
+    """,
+)
+def gopher_repetition_fracs(spark, sf_dir):
+    """Gopher repetition features (Rae et al. 2021 A1.1) per document:
+    top-2-gram and dup-5-gram char fractions, value-exact against an
+    independent SQL recomputation (both sides divide exact integer char
+    counts in double, so the hashes match bit-for-bit). Spark side is
+    the per-row array-algebra ladder — map-only, no shuffle at 100 TB."""
+    from spider_engine_spark.functions.text_analysis import (
+        gopher_repetition,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return gopher_repetition(docs, "text", top_ns=(2,), dup_ns=(5,)).select(
+        "doc_id", "top_2gram_char_frac", "dup_5gram_char_frac"
+    )
+
+
+@query(
+    "quality_gate_audit",
+    f"""
+    WITH {_GOPHER_SQL},
+    v AS (
+      SELECT doc_id,
+        n_tokens < 10 AS r_few,
+        n_tokens > 200000 AS r_many,
+        avg_len < 2.0 AS r_short,
+        avg_len > 12.0 AS r_long,
+        top2 > 0.20 AS r_top2,
+        dup5 > 0.15 AS r_dup5,
+        dr < 0.0 AS r_dr
+      FROM gq
+    ),
+    agg AS (
+      SELECT
+        sum(CASE WHEN r_few THEN 1 ELSE 0 END) AS n_few,
+        sum(CASE WHEN r_many THEN 1 ELSE 0 END) AS n_many,
+        sum(CASE WHEN r_short THEN 1 ELSE 0 END) AS n_short,
+        sum(CASE WHEN r_long THEN 1 ELSE 0 END) AS n_long,
+        sum(CASE WHEN r_top2 THEN 1 ELSE 0 END) AS n_top2,
+        sum(CASE WHEN r_dup5 THEN 1 ELSE 0 END) AS n_dup5,
+        sum(CASE WHEN r_dr THEN 1 ELSE 0 END) AS n_dr,
+        sum(CASE WHEN NOT (r_few OR r_many OR r_short OR r_long
+                           OR r_top2 OR r_dup5 OR r_dr)
+            THEN 1 ELSE 0 END) AS n_keep
+      FROM v
+    )
+    SELECT rule, CAST(n AS BIGINT) AS n_docs FROM (
+      SELECT 'too_few_tokens' AS rule, n_few AS n FROM agg
+      UNION ALL SELECT 'too_many_tokens', n_many FROM agg
+      UNION ALL SELECT 'avg_token_too_short', n_short FROM agg
+      UNION ALL SELECT 'avg_token_too_long', n_long FROM agg
+      UNION ALL SELECT 'top_2gram_repetition', n_top2 FROM agg
+      UNION ALL SELECT 'dup_5gram_repetition', n_dup5 FROM agg
+      UNION ALL SELECT 'low_distinct_ratio', n_dr FROM agg
+      UNION ALL SELECT 'KEEP', n_keep FROM agg
+    ) WHERE n > 0
+    """,
+)
+def quality_gate_audit(spark, sf_dir):
+    """The composite quality gate's kill-rate audit: one row per firing
+    reject rule with its document count, plus a 'KEEP' row — exactly the
+    per-rule groupBy the labeled reject stream exists for.  The oracle
+    recomputes every rule from scratch (token features + Gopher
+    fractions) in SQL; threshold comparisons agree because both engines
+    compute the underlying ratios as identical exact-integer divisions."""
+    from spider_engine_spark.functions.text_analysis import quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    qf = quality_filter(docs, "text")
+    rejects = (
+        qf.select(F.explode("quality_reject_reasons").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    keeps = (
+        qf.filter(F.col("quality_keep"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(F.lit("KEEP").alias("rule"), "n_docs")
+    )
+    return rejects.unionByName(keeps).filter(F.col("n_docs") > 0)
+
+
+@query(
+    "corpus_sample_strata",
+    """
+    WITH u AS (
+      SELECT lang,
+        (('0x' || substring(md5(doc_id::VARCHAR || ':7'), 1, 15))::BIGINT
+          % 9007199254740992) / 9007199254740992.0 AS u
+      FROM documents
+    ), r AS (
+      SELECT lang, u,
+        CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+          WHEN 'fr' THEN 0.1 ELSE 0.05 END AS rate
+      FROM u
+    )
+    SELECT lang, count(*)::BIGINT AS n_sampled,
+      CAST(sum(CASE WHEN u < rate / 2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_half
+    FROM r WHERE u < rate GROUP BY lang
+    """,
+)
+def corpus_sample_strata(spark, sf_dir):
+    """Deterministic stratified corpus sampling (training-mix
+    rebalancing): per-language counts of a keyed-hash sample, plus the
+    coupled half-rate subsample (same salt, rate/2 — a strict subset by
+    construction, the scaling-ladder property).  Uses the sampling
+    module's SQL-reproducible md5 law so the membership DECISION itself
+    is oracle-checked row-for-row, not just statistically."""
+    from spider_engine_spark.operators.sampling import (
+        stratified_sample,
+        uniform_unit,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.1}
+    default_rate = 0.05
+    s = stratified_sample(
+        docs, "doc_id", "lang", rates, default_rate, salt=7, law="md5"
+    )
+    u = uniform_unit(F.col("doc_id"), 7, "md5")
+    half = F.lit(default_rate / 2)
+    for k, v in sorted(rates.items()):
+        half = F.when(F.col("lang") == F.lit(k), F.lit(v / 2)).otherwise(
+            half
+        )
+    return s.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum((u < half).cast("long")).cast("long").alias("n_half"),
+    )
+
+
+@query(
+    "benchmark_contamination",
+    """
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), big AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) >= 6
+    ), g AS (
+      SELECT doc_id,
+        [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+          AS grams
+      FROM big
+    ), h AS (
+      SELECT doc_id,
+        list_transform(grams,
+          x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS hs
+      FROM g
+    ), wmin AS (
+      SELECT doc_id,
+        list_distinct([list_min(hs[j:j+3]) for j in range(1, len(hs)-2)])
+          AS fps
+      FROM h
+    ), fpx AS (
+      SELECT doc_id, unnest(fps) AS fp FROM wmin
+    )
+    SELECT a.doc_id AS corpus_id, b.doc_id AS test_id,
+      count(*) AS shared_fps
+    FROM fpx a JOIN fpx b ON a.fp = b.fp
+    WHERE b.doc_id % 97 = 0
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 1
+    """,
+)
+def benchmark_contamination(spark, sf_dir):
+    """Benchmark decontamination sweep: corpus documents sharing
+    winnowing fingerprints (n=3, w=4) with a deterministic held-out
+    'evaluation set' (doc_id % 97 == 0 — stands in for a tiny benchmark
+    table).  The eval side is broadcast, the corpus side is map-only
+    explode + broadcast join: no corpus shuffle until the vanishing
+    matched-pairs groupBy — the shape that survives 100 TB.  Oracle
+    recomputes both fingerprint sets and the join in SQL."""
+    from spider_engine_spark.operators.dedup import contamination_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    testset = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_pairs(
+        docs, testset, key="doc_id", content="text", n=3, w=4, min_shared=1
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order
 #
@@ -1932,11 +2179,42 @@ _DRIVER_GATE_CAP = 50
 #                               pagination adds the clamp slice)
 #   streaming_hourly_window <-> events_hourly   (result-identical window
 #                               agg, streaming vs batch surface)
+# Round 5 registered 4 new queries (gopher_repetition_fracs,
+# quality_gate_audit, corpus_sample_strata, benchmark_contamination), so
+# 7 entries must sit out per round; four more 2-round-green plan-family
+# pairs joined the rotation:
+#   search_filtered    <-> filters_all_ops      (the 10-op filter
+#                               dispatch, search path vs enumeration)
+#   events_running_sum <-> events_lead_lag      (per-key ordered window
+#                               functions over events)
+#   tpch_q1            <-> tpch_q6              (single-table lineitem
+#                               scan-filter-aggregate)
+#   frame_sample_stats <-> thumbnail_stats      (synth_media ->
+#                               mapInPandas kernel -> per-kind stats;
+#                               thumbnail_stats first gated r4, so it
+#                               sits out even rounds only, by which time
+#                               it has >=2 consecutive green rounds)
 _GATE_ROTATION = [
     # even rounds (r4, r6, ...)
-    ["embedding_topk_pairs", "search_pagination", "streaming_hourly_window"],
+    [
+        "embedding_topk_pairs",
+        "search_pagination",
+        "streaming_hourly_window",
+        "filters_all_ops",
+        "events_lead_lag",
+        "tpch_q6",
+        "thumbnail_stats",
+    ],
     # odd rounds (r5, r7, ...)
-    ["knn_brute", "search_tfidf", "events_hourly"],
+    [
+        "knn_brute",
+        "search_tfidf",
+        "events_hourly",
+        "search_filtered",
+        "events_running_sum",
+        "tpch_q1",
+        "frame_sample_stats",
+    ],
 ]
 _GATE_ROUND = 5  # bump each round — picks the rotation slot
 _GATE_OVERFLOW = _GATE_ROTATION[_GATE_ROUND % len(_GATE_ROTATION)]

@@ -14,12 +14,17 @@ from spider_engine_spark.queries import (
     QUERIES,
 )
 
-# Queries that had no driver correctness row before round 4 — they must
-# stay inside the cap until they have been gate-green for >=2 rounds.
+# Queries that do not yet have >=2 consecutive gate-green rounds — they
+# must stay inside the cap (and outside every rotation slot) until they
+# do.  Round-4 additions (bpe_token_count_by_lang, winnowing_
+# fingerprints) earned their second green row in r5; thumbnail_stats
+# (first green r4) joined the rotation's EVEN slot, which it first sits
+# out in r6 — after its second consecutive green round.
 NEVER_YET_GATED = [
-    "bpe_token_count_by_lang",
-    "winnowing_fingerprints",
-    "thumbnail_stats",
+    "gopher_repetition_fracs",
+    "quality_gate_audit",
+    "corpus_sample_strata",
+    "benchmark_contamination",
 ]
 
 
@@ -69,6 +74,14 @@ def test_demoted_entries_have_a_gated_partner():
         "search_tfidf": "search_pagination",
         "streaming_hourly_window": "events_hourly",
         "events_hourly": "streaming_hourly_window",
+        "search_filtered": "filters_all_ops",
+        "filters_all_ops": "search_filtered",
+        "events_running_sum": "events_lead_lag",
+        "events_lead_lag": "events_running_sum",
+        "tpch_q1": "tpch_q6",
+        "tpch_q6": "tpch_q1",
+        "frame_sample_stats": "thumbnail_stats",
+        "thumbnail_stats": "frame_sample_stats",
     }
     order = list(QUERIES)
     for name in _GATE_OVERFLOW:

@@ -94,3 +94,28 @@ def test_stratified_rates_per_language(docs):
     for lang, n in by_lang.items():
         if lang not in ("en", "de"):  # default 0.5 within 6 sigma
             assert abs(n - totals[lang] * 0.5) < 6 * (totals[lang] * 0.25) ** 0.5
+
+
+def test_md5_law_bit_equal_to_python_and_coupled(docs):
+    """law='md5' is the SQL-reproducible sampling law: u must equal the
+    pure-Python recomputation bit-for-bit (same md5-h60 construction the
+    DuckDB oracle uses), the hash-law switch must not break coupling,
+    and an unknown law must be rejected."""
+    import hashlib
+
+    rows = docs.select(
+        "doc_id", uniform_unit(F.col("doc_id"), 7, "md5").alias("u")
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        h = int(
+            hashlib.md5(f"{r['doc_id']}:7".encode()).hexdigest()[:15], 16
+        )
+        assert r["u"] == (h % (1 << 53)) / float(1 << 53)
+    lo = _ids(deterministic_sample(docs, "doc_id", 0.1, salt=7, law="md5"))
+    hi = _ids(deterministic_sample(docs, "doc_id", 0.3, salt=7, law="md5"))
+    assert lo <= hi
+    # md5 and xxhash64 draws are independent samples, not renamings
+    assert lo != _ids(deterministic_sample(docs, "doc_id", 0.1, salt=7))
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, "doc_id", 0.1, law="sha9000")
