@@ -175,6 +175,7 @@ def gopher_repetition(
     content: str,
     top_ns: tuple = (2, 3, 4),
     dup_ns: tuple = (5, 10),
+    tokens_col: str | None = None,
 ):
     """Gopher repetition-quality features (Rae et al. 2021, A1.1) for a
     DataFrame: adds `top_{n}gram_char_frac` for each n in top_ns and
@@ -190,9 +191,14 @@ def gopher_repetition(
     values -> positional flags -> coverage), each rung materialized as a
     column attribute so the lambdas reference per-row VALUES, not
     re-evaluated expression trees. Everything is per-row array algebra:
-    no shuffle, no UDF — at 100 TB this is a map-only stage."""
+    no shuffle, no UDF — at 100 TB this is a map-only stage.
+
+    `tokens_col` names an existing array<string> token column to reuse
+    (callers that already materialized the split, e.g. quality_filter,
+    avoid re-tokenizing); default tokenizes `content` itself."""
     toks, total = "_rep_toks", "_rep_total"
-    d = df.withColumn(toks, tokens(F.col(content))).withColumn(
+    tok_src = F.col(tokens_col) if tokens_col else tokens(F.col(content))
+    d = df.withColumn(toks, tok_src).withColumn(
         total, _token_chars(F.col(toks))
     )
     for n in top_ns:
@@ -324,21 +330,45 @@ def quality_filter(
 ):
     """Composite document-quality gate (Gopher-style ruleset): adds
     `quality_reject_reasons` (array of failed-rule labels, empty = keep)
-    and `quality_keep` (boolean). Default thresholds follow Rae et al.
-    2021 A1.1 where a direct analogue exists; every rule is a per-row
-    JVM expression over the `gopher_repetition` ladder plus the basic
-    token features — no shuffle, stateless, streaming-safe.
+    and `quality_keep` (boolean). The two repetition thresholds (top-
+    2-gram 0.20, dup-5-gram 0.15) are Rae et al. 2021 A1.1's published
+    values; the length / avg-token-length bounds are deliberately looser
+    operational defaults (Gopher's own are 50-100,000 words and mean
+    word length 3-10 — pass those explicitly to reproduce the paper's
+    gate). Every rule is a per-row JVM expression over the
+    `gopher_repetition` ladder plus the basic token features — no
+    shuffle, stateless, streaming-safe. NULL content is treated as the
+    empty document (tokenless), so it fails the min-token rule rather
+    than sailing through on NULL comparisons.
 
     Keeping the REASONS (not just the verdict) is deliberate: corpus
     curation iterates on threshold choices, and a labeled reject stream
     lets each rule's kill-rate be audited with one groupBy instead of a
     recompute over 100 TB."""
+    tk = "_qf_toks"
     toks, avg, dr = "_qf_ntoks", "_qf_avglen", "_qf_distinct"
-    d = gopher_repetition(df, content, top_ns=(2,), dup_ns=(5,))
+    # tokenize ONCE (the regex split over full text is the expensive
+    # subtree — Column exprs are trees, not DAGs, so every feature
+    # referencing tokens(content) would re-run the split per row)
+    d = df.withColumn(
+        tk, tokens(F.coalesce(F.col(content), F.lit("")))
+    )
+    d = gopher_repetition(d, content, top_ns=(2,), dup_ns=(5,), tokens_col=tk)
+    ntoks = F.size(F.col(tk))
     d = (
-        d.withColumn(toks, token_count(F.col(content)))
-        .withColumn(avg, avg_token_len(F.col(content)))
-        .withColumn(dr, distinct_ratio(F.col(content)))
+        d.withColumn(toks, ntoks)
+        .withColumn(
+            avg,
+            F.when(ntoks == 0, F.lit(0.0)).otherwise(
+                _token_chars(F.col(tk)).cast("double") / ntoks
+            ),
+        )
+        .withColumn(
+            dr,
+            F.when(ntoks == 0, F.lit(0.0)).otherwise(
+                F.size(F.array_distinct(F.col(tk))).cast("double") / ntoks
+            ),
+        )
     )
     rules = [
         ("too_few_tokens", F.col(toks) < F.lit(min_tokens)),
@@ -366,5 +396,5 @@ def quality_filter(
         .withColumn(
             "quality_keep", F.size(F.col("quality_reject_reasons")) == 0
         )
-        .drop(toks, avg, dr)
+        .drop(tk, toks, avg, dr)
     )

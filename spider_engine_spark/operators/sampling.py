@@ -41,7 +41,13 @@ def uniform_unit(key: Column, salt: int = 0, law: str = "xxhash64") -> Column:
     sampling DECISION itself can sit behind an exact SQL oracle
     (DuckDB: ('0x'||substring(md5(k||':'||s),1,15))::BIGINT % 2^53 / 2^53).
     Both are uniform; only the cost differs (md5 ~2-3x the hash time,
-    still a tiny fraction of a parquet scan)."""
+    still a tiny fraction of a parquet scan).
+
+    A NULL key yields a NULL u (so every sample filter DROPS null-key
+    rows — the same rows the SQL law drops, since `||` propagates NULL).
+    Without the guard, xxhash64(NULL, salt) and concat_ws's null-
+    skipping would give all null-key rows one shared constant u: the
+    whole group all-in or all-out, which is not a sample."""
     if law == "xxhash64":
         h = F.xxhash64(key, F.lit(salt))
     elif law == "md5":
@@ -50,9 +56,8 @@ def uniform_unit(key: Column, salt: int = 0, law: str = "xxhash64") -> Column:
         )
     else:
         raise ValueError(f"unknown sampling hash law: {law!r}")
-    return (
-        F.pmod(h, F.lit(1 << _U_BITS)).cast("double") / F.lit(_U_DENOM)
-    )
+    u = F.pmod(h, F.lit(1 << _U_BITS)).cast("double") / F.lit(_U_DENOM)
+    return F.when(key.isNull(), F.lit(None).cast("double")).otherwise(u)
 
 
 def deterministic_sample(
@@ -75,8 +80,15 @@ def weighted_sample(
 ) -> DataFrame:
     """Per-row acceptance probability = clamp(weight, 0, 1) — e.g. a
     quality score as the keep probability (soft quality filtering à la
-    CCNet/Dolma mixes). Deterministic in (key, salt)."""
-    p = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    CCNet/Dolma mixes). Deterministic in (key, salt). NULL and NaN
+    weights mean "no usable score" and are dropped (p = 0): Spark's
+    least/greatest order NaN ABOVE every double, so an unguarded clamp
+    would turn a NaN quality score into keep-with-certainty — the exact
+    junk rows a weighted quality sample exists to down-weight."""
+    w = weight.cast("double")
+    p = F.when(w.isNull() | F.isnan(w), F.lit(0.0)).otherwise(
+        F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0))
+    )
     return df.filter(uniform_unit(F.col(key), salt, law) < p)
 
 

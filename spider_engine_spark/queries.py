@@ -1902,9 +1902,14 @@ def thumbnail_stats(spark, sf_dir):
 # Laws mirrored: cover = cnt * token-chars of the gram (len - (n-1)
 # joiner spaces), count ties break to larger cover, top frac clamped to
 # 1.0 (overlaps double-count); dup coverage counts each token's chars
-# once when ANY n-gram window spanning it is a duplicated value.
-_GOPHER_SQL = f"""
-    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# once when ANY n-gram window spanning it is a duplicated value; NULL
+# text is the empty document (quality_filter's coalesce law), so it
+# lands in too_few_tokens, never in KEEP.
+_GOPHER_SQL = """
+    t AS (SELECT doc_id,
+      list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+        x -> x <> '') AS toks
+      FROM documents),
     tc AS (
       SELECT doc_id, toks,
         coalesce(list_sum(list_transform(toks, x -> len(x))), 0)::BIGINT

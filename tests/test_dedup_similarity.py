@@ -560,3 +560,24 @@ def test_quality_filter_labels_each_rule(spark):
         .collect()
     )
     assert {r["rule"] for r in audit} >= {"too_few_tokens", "avg_token_too_short"}
+
+
+def test_quality_filter_rejects_null_text(spark):
+    """NULL content = empty document: it must FAIL the gate via the
+    min-token rule (previously every rule condition was NULL, no label
+    survived, and the null doc sailed through as quality_keep=true)."""
+    from spider_engine_spark.functions.text_analysis import quality_filter
+
+    clean = (
+        "the quick brown fox jumps over a lazy dog while evening light "
+        "settles on quiet rooftops and distant hills glow warmly tonight"
+    )
+    df = spark.createDataFrame(
+        [(0, None), (1, clean)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["quality_keep"], set(r["quality_reject_reasons"]))
+        for r in quality_filter(df, "text").collect()
+    }
+    assert out[0][0] is False and "too_few_tokens" in out[0][1]
+    assert out[1] == (True, set())

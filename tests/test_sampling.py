@@ -119,3 +119,32 @@ def test_md5_law_bit_equal_to_python_and_coupled(docs):
     assert lo != _ids(deterministic_sample(docs, "doc_id", 0.1, salt=7))
     with pytest.raises(ValueError):
         deterministic_sample(docs, "doc_id", 0.1, law="sha9000")
+
+
+def test_null_key_rows_are_dropped_not_grouped(spark):
+    """NULL keys must yield NULL u (dropped by every sample filter, like
+    the SQL law where || propagates NULL) — not one shared constant u
+    that moves the whole null group in or out together."""
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "y"), (1, "z"), (2, "w")],
+        "k long, v string",
+    )
+    for law in ("xxhash64", "md5"):
+        got = df.select(uniform_unit(F.col("k"), 0, law).alias("u")).collect()
+        by_null = {r["u"] is None for r in got[:2]}
+        assert by_null == {True}, f"law={law}: null key produced a u"
+        # and at ANY rate the null rows are never sampled
+        kept = deterministic_sample(df, "k", 0.999, law=law).collect()
+        assert all(r["k"] is not None for r in kept)
+
+
+def test_weighted_sample_drops_nan_and_null_weights(spark):
+    """NaN/NULL weights = no usable score -> p=0 (dropped). Spark's
+    least/greatest order NaN above all doubles, so the unguarded clamp
+    turned NaN into keep-with-certainty."""
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, None), (3, 1.0), (4, 0.0)],
+        "doc_id long, score double",
+    )
+    kept = _ids(weighted_sample(df, "doc_id", F.col("score")))
+    assert kept == {3}  # p=1 keeps, p=0 / NaN / NULL drop
