@@ -301,6 +301,13 @@ def winnowing_fingerprints(
     documents sharing a long-enough run of text share a fingerprint with
     certainty (the guarantee windowed-min selection provides and random
     sampling does not).
+
+    PERF: this single-Column form captures `hashes` as an EXPRESSION in
+    the windowed-min lambda, so every window re-evaluates the full
+    tokenize+gram+md5 chain (trees, not DAGs) — fine for one-off use on
+    short docs, ~25x slower than the ladder at corpus scale.  Pipelines
+    should call add_winnowing_fingerprints (the materialized-ladder
+    DataFrame form) and explode with exploded_winnowing_fingerprints.
     """
     toks = tokens(c)
     # shared positional-gram law (_pos_ngrams) — its <n empty-array
@@ -315,6 +322,64 @@ def winnowing_fingerprints(
     return F.when(
         F.size(toks) >= n + w - 1, wins
     ).otherwise(F.array().cast("array<long>"))
+
+
+def add_winnowing_fingerprints(
+    df, content: str, out: str = "fps", n: int = 3, w: int = 4
+):
+    """DataFrame form of winnowing_fingerprints (same law, same output
+    values): tokens, grams and gram-hashes are materialized as column
+    attributes so each rung is computed ONCE per row — the windowed-min
+    lambda then slices a per-row VALUE instead of re-evaluating the
+    tokenize+md5 chain per window (measured 25x at sf0.01).  Adds
+    `out` (array<long>) and drops the intermediates."""
+    tk, g, hs = f"_win_toks_{out}", f"_win_grams_{out}", f"_win_hs_{out}"
+    d = df.withColumn(tk, tokens(F.col(content)))
+    d = d.withColumn(g, _pos_ngrams(F.col(tk), n))
+    d = d.withColumn(hs, F.transform(F.col(g), md5_h60_col))
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col(hs)) - (w - 1)),
+            lambda j: F.array_min(F.slice(F.col(hs), j, w)),
+        )
+    )
+    return d.withColumn(
+        out,
+        F.when(F.size(F.col(tk)) >= n + w - 1, wins).otherwise(
+            F.array().cast("array<long>")
+        ),
+    ).drop(tk, g, hs)
+
+
+def exploded_winnowing_fingerprints(
+    df, key: str, content: str, n: int = 3, w: int = 4, fp_col: str = "fp"
+):
+    """(key, fp) rows from the winnowing ladder.  Uses explode_outer +
+    isNotNull-on-the-OUTPUT rather than explode: plain explode makes
+    InferFiltersFromGenerate add a `size(fps) > 0` filter which
+    PushDownPredicates rewrites through the projection ladder with the
+    whole fingerprint tree inlined ~14x (no non-cheap duplication guard
+    in that rule — measured 25x slower).  A null-check on the generator
+    output cannot be pushed below the Generate, so the ladder survives;
+    empty-array docs cost one null row each, filtered right above."""
+    d = add_winnowing_fingerprints(df, content, "_win_fps", n, w)
+    return d.select(
+        key, F.explode_outer("_win_fps").alias(fp_col)
+    ).filter(F.col(fp_col).isNotNull())
+
+
+# Reject-rule labels quality_filter can emit, in rule order (importers
+# — the audit query, dashboards — should enumerate THIS, not re-type
+# label strings).
+QUALITY_RULE_LABELS = (
+    "too_few_tokens",
+    "too_many_tokens",
+    "avg_token_too_short",
+    "avg_token_too_long",
+    "top_2gram_repetition",
+    "dup_5gram_repetition",
+    "low_distinct_ratio",
+)
 
 
 def quality_filter(
@@ -343,8 +408,18 @@ def quality_filter(
 
     Keeping the REASONS (not just the verdict) is deliberate: corpus
     curation iterates on threshold choices, and a labeled reject stream
-    lets each rule's kill-rate be audited with one groupBy instead of a
-    recompute over 100 TB."""
+    lets each rule's kill-rate be audited in one aggregation instead of
+    a recompute over 100 TB.
+
+    Plan-shape warning: consume the derived columns through PROJECTIONS
+    or AGGREGATE EXPRESSIONS (e.g. sum(array_contains(reasons, lbl)) —
+    the quality_gate_audit pattern), or write the gated result before
+    filtering.  A Filter or explode placed directly above this operator
+    is rewritten THROUGH the projection ladder by Catalyst's
+    PushDownPredicates / generator pushdown, which substitute aliases
+    with no non-cheap-duplication guard (unlike CollapseProject): the
+    tokenize subtree re-expands ~57x per row (measured 30x slowdown).
+    """
     tk = "_qf_toks"
     toks, avg, dr = "_qf_ntoks", "_qf_avglen", "_qf_distinct"
     # tokenize ONCE (the regex split over full text is the expensive
@@ -370,21 +445,16 @@ def quality_filter(
             ),
         )
     )
-    rules = [
-        ("too_few_tokens", F.col(toks) < F.lit(min_tokens)),
-        ("too_many_tokens", F.col(toks) > F.lit(max_tokens)),
-        ("avg_token_too_short", F.col(avg) < F.lit(min_avg_token_len)),
-        ("avg_token_too_long", F.col(avg) > F.lit(max_avg_token_len)),
-        (
-            "top_2gram_repetition",
-            F.col("top_2gram_char_frac") > F.lit(max_top2gram),
-        ),
-        (
-            "dup_5gram_repetition",
-            F.col("dup_5gram_char_frac") > F.lit(max_dup5gram),
-        ),
-        ("low_distinct_ratio", F.col(dr) < F.lit(min_distinct_ratio)),
+    conds = [
+        F.col(toks) < F.lit(min_tokens),
+        F.col(toks) > F.lit(max_tokens),
+        F.col(avg) < F.lit(min_avg_token_len),
+        F.col(avg) > F.lit(max_avg_token_len),
+        F.col("top_2gram_char_frac") > F.lit(max_top2gram),
+        F.col("dup_5gram_char_frac") > F.lit(max_dup5gram),
+        F.col(dr) < F.lit(min_distinct_ratio),
     ]
+    rules = list(zip(QUALITY_RULE_LABELS, conds))
     reasons = F.filter(
         F.array(
             *[F.when(cond, F.lit(label)) for label, cond in rules]

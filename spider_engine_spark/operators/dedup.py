@@ -48,14 +48,56 @@ def tokens_col(content: str):
 
 
 def shingles_col(content: str, n: int = 3):
-    """n-gram shingles of the whitespace token stream (native)."""
-    toks = tokens_col(content)
+    """n-gram shingles of the whitespace token stream (native).
+
+    PERF: as a single Column expr the transform lambda captures `toks`
+    as an EXPRESSION, re-splitting the text per shingle (trees, not
+    DAGs).  Pipelines should go through with_shingles /
+    exploded_shingles, which materialize the token array first."""
+    return _shingles_from(tokens_col(content), n)
+
+
+def _shingles_from(toks, n: int):
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
         F.array_distinct(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
         )
     )
+
+
+def with_shingles(df: DataFrame, content: str, n: int, out: str) -> DataFrame:
+    """Shingle ladder: tokenize ONCE into a column attribute, then build
+    the shingle array from the per-row VALUE (the bare shingles_col expr
+    re-splits the text per shingle; measured multi-x on corpus scans)."""
+    tk = f"_sh_toks_{out}"
+    d = df.withColumn(tk, tokens_col(content))
+    return d.withColumn(out, _shingles_from(F.col(tk), n)).drop(tk)
+
+
+def exploded_shingles(
+    df: DataFrame, key: str, content: str, n: int = 3
+) -> DataFrame:
+    """(key, shingle) rows via explode_outer + null-filter on the
+    generator OUTPUT: plain explode makes InferFiltersFromGenerate add a
+    size>0 filter that PushDownPredicates rewrites through the ladder
+    with the whole shingle tree inlined (no duplication guard in that
+    rule) — the null-check above the Generate cannot be pushed down, so
+    the one-tokenize ladder survives."""
+    d = with_shingles(df, content, n, "_sh_arr")
+    return d.select(
+        key, F.explode_outer("_sh_arr").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+
+
+def exploded_tokens(df: DataFrame, key: str, content: str) -> DataFrame:
+    """(key, term) rows, same explode_outer pattern (a plain explode's
+    inferred size>0 filter re-splits the text a second time per row)."""
+    tk = "_tok_arr"
+    d = df.withColumn(tk, tokens_col(content))
+    return d.select(
+        key, F.explode_outer(tk).alias("term")
+    ).filter(F.col("term").isNotNull())
 
 
 def minhash_signatures(
@@ -65,9 +107,7 @@ def minhash_signatures(
 
     h_i(s) = min over shingles of xxhash64(shingle, i): k seeded hash
     functions, computed as one explode + one groupBy (single shuffle)."""
-    sh = df.select(
-        F.col(key), F.explode(shingles_col(content, n)).alias("shingle")
-    )
+    sh = exploded_shingles(df, key, content, n)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(k)
@@ -156,9 +196,7 @@ def shared_shingle_pairs(
       sub-threshold shingle; pairs whose ENTIRE overlap is boilerplate
       hotter than max_df can be missed — the same deliberate trade the
       LSH sibling makes with cap_bucket_size."""
-    sh = df.select(
-        F.col(key), F.explode(shingles_col(content, n)).alias("shingle")
-    )
+    sh = exploded_shingles(df, key, content, n)
     extra = None
     if max_df is not None:
         hot = (
@@ -172,10 +210,10 @@ def shared_shingle_pairs(
         # exact-duplicate recovery: identical shingle sets pair
         # regardless of how hot their shingles are (single groupBy on
         # the set hash; quadratic only within true-duplicate clusters)
-        sig = df.select(
+        sig = with_shingles(df, content, n, "_sh_arr").select(
             F.col(key),
             F.md5(
-                F.concat_ws("\x1f", F.sort_array(shingles_col(content, n)))
+                F.concat_ws("\x1f", F.sort_array(F.col("_sh_arr")))
             ).alias("csig"),
         )
         sa, sb = sig.alias("sa"), sig.alias("sb")
@@ -204,7 +242,7 @@ def jaccard_verify(
     pairs: DataFrame, df: DataFrame, key: str, content: str, n: int = 3
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only."""
-    sh = df.select(F.col(key), shingles_col(content, n).alias("sh"))
+    sh = with_shingles(df, content, n, "sh").select(F.col(key), "sh")
     out = (
         pairs.join(sh.withColumnRenamed(key, "a").withColumnRenamed("sh", "sh_a"), "a")
         .join(sh.withColumnRenamed(key, "b").withColumnRenamed("sh", "sh_b"), "b")
@@ -232,9 +270,7 @@ def simhash_signatures(df: DataFrame, key: str, content: str) -> DataFrame:
     64-bit SimHash, 4 bits narrower so an ANSI-SQL oracle can recompute
     it exactly.
     """
-    toks = df.select(
-        F.col(key), F.explode(tokens_col(content)).alias("term")
-    )
+    toks = exploded_tokens(df, key, content)
     tc = toks.groupBy(key, "term").agg(F.count(F.lit(1)).alias("cnt"))
     th = tc.withColumn("h", md5_h60_col("term"))
     bit_aggs = [
@@ -397,15 +433,16 @@ def contamination_pairs(
     normally a vanishing fraction of the corpus.
     """
     from spider_engine_spark.functions.text_analysis import (
-        winnowing_fingerprints,
+        exploded_winnowing_fingerprints,
     )
 
-    fps = winnowing_fingerprints(F.col(content), n, w)
-    a = corpus.select(
-        F.col(key).alias("corpus_id"), F.explode(fps).alias("fp")
+    a = exploded_winnowing_fingerprints(
+        corpus.select(F.col(key).alias("corpus_id"), F.col(content)),
+        "corpus_id", content, n, w,
     )
-    b = testset.select(
-        F.col(key).alias("test_id"), F.explode(fps).alias("fp")
+    b = exploded_winnowing_fingerprints(
+        testset.select(F.col(key).alias("test_id"), F.col(content)),
+        "test_id", content, n, w,
     )
     return (
         a.join(F.broadcast(b), "fp")

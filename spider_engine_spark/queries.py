@@ -1825,17 +1825,16 @@ def winnowing_fingerprints(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (n=3 grams, window w=4),
     exploded to (doc_id, fp) rows — the content-defined signatures a
     100 TB near-dup pass joins on. Fully JVM; the oracle recomputes the
-    identical selection in SQL."""
+    identical selection in SQL.  Uses the materialized-ladder +
+    explode_outer form: the single-Column + explode form re-evaluates
+    the tokenize+md5 chain per window (InferFiltersFromGenerate inlines
+    the tree through the ladder) — measured 25x slower."""
     from spider_engine_spark.functions.text_analysis import (
-        winnowing_fingerprints as fps_col,
+        exploded_winnowing_fingerprints,
     )
 
     docs = load(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            "doc_id", F.explode(fps_col(F.col("text"), 3, 4)).alias("fp")
-        )
-    )
+    return exploded_winnowing_fingerprints(docs, "doc_id", "text", 3, 4)
 
 
 @query(
@@ -2023,26 +2022,44 @@ def gopher_repetition_fracs(spark, sf_dir):
 )
 def quality_gate_audit(spark, sf_dir):
     """The composite quality gate's kill-rate audit: one row per firing
-    reject rule with its document count, plus a 'KEEP' row — exactly the
-    per-rule groupBy the labeled reject stream exists for.  The oracle
+    reject rule with its document count, plus a 'KEEP' row.  The oracle
     recomputes every rule from scratch (token features + Gopher
     fractions) in SQL; threshold comparisons agree because both engines
-    compute the underlying ratios as identical exact-integer divisions."""
-    from spider_engine_spark.functions.text_analysis import quality_filter
+    compute the underlying ratios as identical exact-integer divisions.
+
+    Deliberately ONE conditional aggregation over the labeled stream
+    (then an unpivot of the single wide row) rather than
+    explode+groupBy / filter+count legs: aggregate expressions reference
+    the derived columns as attributes, keeping quality_filter's
+    projection ladder intact, whereas a Filter or Generate above the
+    ladder is rewritten THROUGH it by PushDownPredicates / generator
+    pushdown — rules with no non-cheap duplication guard, unlike
+    CollapseProject — re-expanding the tokenize subtree ~57x per row
+    (measured 58 s vs 2 s at sf0.01).  Pinned by
+    test_quality_audit_plan_does_not_reexpand_tokenize."""
+    from spider_engine_spark.functions.text_analysis import (
+        QUALITY_RULE_LABELS,
+        quality_filter,
+    )
 
     docs = load(spark, sf_dir, "documents")
     qf = quality_filter(docs, "text")
-    rejects = (
-        qf.select(F.explode("quality_reject_reasons").alias("rule"))
-        .groupBy("rule")
-        .agg(F.count("*").cast("long").alias("n_docs"))
+    wide = qf.agg(
+        *[
+            F.sum(
+                F.array_contains("quality_reject_reasons", lbl).cast("long")
+            ).alias(lbl)
+            for lbl in QUALITY_RULE_LABELS
+        ],
+        F.sum(F.col("quality_keep").cast("long")).alias("KEEP"),
     )
-    keeps = (
-        qf.filter(F.col("quality_keep"))
-        .agg(F.count("*").cast("long").alias("n_docs"))
-        .select(F.lit("KEEP").alias("rule"), "n_docs")
+    stack_args = ", ".join(
+        f"'{lbl}', `{lbl}`" for lbl in [*QUALITY_RULE_LABELS, "KEEP"]
     )
-    return rejects.unionByName(keeps).filter(F.col("n_docs") > 0)
+    n = len(QUALITY_RULE_LABELS) + 1
+    return wide.selectExpr(
+        f"stack({n}, {stack_args}) AS (rule, n_docs)"
+    ).filter(F.col("n_docs") > 0)
 
 
 @query(

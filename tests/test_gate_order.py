@@ -101,3 +101,20 @@ def test_registry_size_documented():
         "registry outgrew the documented overflow — update _GATE_OVERFLOW "
         "per the policy in queries.py"
     )
+
+
+def test_quality_audit_plan_does_not_reexpand_tokenize(spark):
+    """quality_gate_audit must reference quality_filter's derived
+    columns only through aggregate expressions: a Filter/Generate above
+    the ladder is rewritten through it by PushDownPredicates/generator
+    pushdown (no non-cheap duplication guard), re-expanding the
+    tokenize subtree ~57x per row (measured 30x slower at sf0.01)."""
+    from spider_engine_spark.queries import QUERIES
+
+    df = QUERIES["quality_gate_audit"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_split = plan.count("split(")
+    assert n_split <= 4, (
+        f"tokenize subtree appears {n_split}x in the audit plan — "
+        "a filter/explode re-expanded the quality_filter ladder"
+    )
