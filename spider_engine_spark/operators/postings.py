@@ -284,9 +284,15 @@ def build_postings_native(
     the 100 TB path for latin text. Empty tokens (double delimiters) are
     dropped, matching the punctuation filter's removal of '' / ' ' tokens.
     """
+    # explode_outer, not explode: plain explode's inferred size>0 filter
+    # (InferFiltersFromGenerate) re-splits the full text a second time
+    # per row; the term != '' filter on the generator OUTPUT already
+    # drops the NULL rows outer-explode emits for empty/null arrays.
+    # Parity at bench doc sizes (~300 chars), a real win on web-size docs
+    # where the split dominates the scan stage.
     toks = df.select(
         F.col(doc_id).cast("long").alias("doc_id"),
-        F.explode(F.split(F.col(field), delimiter)).alias("term"),
+        F.explode_outer(F.split(F.col(field), delimiter)).alias("term"),
     ).filter(F.col("term") != "")
     # TF per (doc, term) + total per doc via two-level agg (map-side combine
     # on the first groupBy; no window needed).
