@@ -338,10 +338,13 @@ def index_docs(docs: DataFrame) -> DataFrame:
         F.xxhash64("doc_id").alias("doc_key"),
         tokenize_cols_udf("words")(F.col("text")).alias("tw"),
     )
+    # explode_outer + output null-check: plain explode's inferred size>0
+    # filter would re-materialize the full arrays_zip per doc a second
+    # time (it sits above the Arrow node, so it can't prune anything)
     toks = tokked.select(
         "doc_key",
-        F.explode(F.arrays_zip("tw.terms", "tw.weights")).alias("tok"),
-    ).select(
+        F.explode_outer(F.arrays_zip("tw.terms", "tw.weights")).alias("tok"),
+    ).filter(F.col("tok").isNotNull()).select(
         F.lit("spans_text").alias("field"),
         F.col("tok.terms").alias("term"),
         F.col("doc_key").alias("doc_id"),

@@ -182,11 +182,14 @@ def field_tokens(
             F.col(doc_id).cast("long").alias("doc_id"),
             tokenize_cols_udf(mode)(F.col(field)).alias("tw"),
         )
+    # explode_outer + output null-check: plain explode's inferred size>0
+    # filter re-materializes the arrays_zip per row without pruning
+    # anything (it cannot cross the Arrow/native-tw projection)
     return tokked.select(
         F.lit(field).alias("field"),
-        F.explode(F.arrays_zip("tw.terms", "tw.weights")).alias("tok"),
+        F.explode_outer(F.arrays_zip("tw.terms", "tw.weights")).alias("tok"),
         "doc_id",
-    ).select(
+    ).filter(F.col("tok").isNotNull()).select(
         "field",
         F.col("tok.terms").alias("term"),
         "doc_id",
