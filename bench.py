@@ -44,6 +44,13 @@ HEADLINE = [
     "tpch_q4_semijoin",
     "json_props_topk",
     "events_lead_lag",
+    # round-5 additions (absent from BENCH_r<=4 — subtract these lines
+    # for a comparable-subset total vs earlier rounds; see BENCH/BASELINE.md)
+    "gopher_repetition_fracs",
+    "quality_gate_audit",
+    "winnowing_fingerprints",
+    "benchmark_contamination",
+    "corpus_sample_strata",
 ]
 
 
