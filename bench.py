@@ -51,6 +51,8 @@ HEADLINE = [
     "winnowing_fingerprints",
     "benchmark_contamination",
     "corpus_sample_strata",
+    "pii_scrub_audit",
+    "sequence_packing",
 ]
 
 

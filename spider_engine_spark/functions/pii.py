@@ -1,0 +1,76 @@
+"""PII detection and scrubbing for training-data pipelines.
+
+Redacting emails / IPs / phone-like strings is a standard pre-training
+step (e.g. the C4 and Dolma pipelines). Everything here is a chain of
+JVM `regexp_replace` / `regexp_count` Column expressions — no UDF, no
+shuffle, stateless and streaming-safe; at 100 TB this is a map-only
+stage fused into the scan.
+
+Pattern portability: the patterns below are written in the common
+subset of Java regex (Spark) and RE2 (DuckDB oracles) — character
+classes, bounded repetition, \\b word boundaries, no backreferences or
+lookaround (RE2 has neither). Both engines scan leftmost
+non-overlapping, so match COUNTS and replacement results agree exactly;
+tests/test_pii.py pins Spark-vs-DuckDB equality on adversarial
+fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (kind, pattern, replacement token). Order is the scrub order: emails
+# first so the later, looser patterns (phone digit runs) never eat an
+# address's local part out from under it.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    (
+        "email",
+        r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "ipv4",
+        r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+        "<IP>",
+    ),
+    (
+        "phone",
+        r"\+?[0-9][0-9\- ]{7,14}[0-9]",
+        "<PHONE>",
+    ),
+)
+
+
+def pii_counts(c: Column, kind: str) -> Column:
+    """Non-overlapping match count of one PII kind in a string column."""
+    pattern = {k: p for k, p, _ in PII_PATTERNS}[kind]
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def scrub_pii(c: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Replace every PII match with its redaction token, applying the
+    patterns in PII_PATTERNS order (a later pattern never sees text a
+    previous one already redacted)."""
+    chosen = {k for k in (kinds or [k for k, _, _ in PII_PATTERNS])}
+    out = c
+    for kind, pattern, token in PII_PATTERNS:
+        if kind in chosen:
+            out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def with_pii_scrubbed(
+    df, content: str, out: str = "text_scrubbed",
+    kinds: tuple[str, ...] | None = None,
+):
+    """DataFrame form: adds `out` = the scrubbed text plus one
+    `pii_n_<kind>` count column per kind (counted on the ORIGINAL text,
+    so the counts audit what was removed)."""
+    d = df
+    for kind, _, _ in PII_PATTERNS:
+        if kinds is None or kind in kinds:
+            d = d.withColumn(
+                f"pii_n_{kind}", pii_counts(F.col(content), kind)
+            )
+    return d.withColumn(out, scrub_pii(F.col(content), kinds))

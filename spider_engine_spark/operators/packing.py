@@ -1,0 +1,99 @@
+"""Deterministic sequence packing for training-data pipelines.
+
+LLM pre-training consumes fixed-length token blocks, not documents:
+documents are concatenated into a stream (separator-aware) and the
+stream is cut into `block`-token chunks (GPT-style packing; a document
+may span a chunk boundary). At 100 TB the stream cannot be a single
+global order — a genuinely serial first-fit pack would funnel the
+corpus through one task. This operator shards the corpus into
+`buckets` independent streams by a stable key hash, so each bucket is
+one window partition: the only shuffle is the bucket exchange, each
+bucket packs independently, and the layout is exactly reproducible
+across runs, partitionings and cluster sizes (everything derives from
+(key, token-count) — no RNG, no task order).
+
+Sizing at scale: buckets should be >> executor count (e.g. 10k-100k at
+100 TB) so each window partition fits an executor comfortably; the
+per-bucket stream position is a cumulative sum window — Spark computes
+it in one pass over each sorted bucket.
+
+The whole law is integer arithmetic over a window cumsum, so a DuckDB
+oracle reproduces it bit-for-bit (driver query `sequence_packing`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spider_engine_spark.functions.hashes import md5_h60_col
+from spider_engine_spark.functions.text_analysis import bpe_ish_token_count
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str,
+    content: str,
+    block: int = 512,
+    buckets: int = 32,
+    sep_tokens: int = 1,
+    counter=None,
+) -> DataFrame:
+    """Assign every document a position in its bucket's token stream.
+
+    Adds: n_tok (document token count + sep_tokens separator), bucket
+    (md5-law shard of `key` — the SQL-reproducible hash so the layout
+    itself is oracle-checkable), stream_start / stream_end (cumulative
+    positions within the bucket, ordered by `key`), chunk_first /
+    chunk_last (the block indices the document's tokens land in; a doc
+    spans chunks when chunk_last > chunk_first).
+
+    counter defaults to the BPE-ish pre-tokenizer count
+    (functions/text_analysis.bpe_ish_token_count); pass any Column
+    function for a different token law. Zero-token documents still
+    consume their separator, so every doc has a well-defined position.
+    """
+    if block <= 0:
+        raise ValueError(f"block must be positive, got {block}")
+    count_fn = counter or bpe_ish_token_count
+    d = df.select(
+        F.col(key),
+        # coalesce: NULL text counts as 0 tokens (still pays its
+        # separator) so every doc has a defined stream position and the
+        # bucket cumsum never goes NULL
+        (
+            F.coalesce(count_fn(F.col(content)).cast("long"), F.lit(0))
+            + F.lit(sep_tokens)
+        ).alias("n_tok"),
+        F.pmod(md5_h60_col(F.col(key).cast("string")), F.lit(buckets))
+        .cast("int")
+        .alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(key)
+    d = d.withColumn("stream_end", F.sum("n_tok").over(w))
+    d = d.withColumn("stream_start", F.col("stream_end") - F.col("n_tok"))
+    return d.select(
+        key,
+        "bucket",
+        "n_tok",
+        "stream_start",
+        "stream_end",
+        F.floor(F.col("stream_start") / block).cast("long").alias(
+            "chunk_first"
+        ),
+        F.floor((F.col("stream_end") - 1) / block).cast("long").alias(
+            "chunk_last"
+        ),
+    )
+
+
+def packing_summary(packed: DataFrame, block: int = 512) -> DataFrame:
+    """Per-bucket packing report: docs, tokens, chunks and the fill rate
+    of the last (ragged) chunk — the waste metric a mix designer tunes
+    `block`/`buckets` against."""
+    return packed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        (F.ceil(F.sum("n_tok") / block)).cast("long").alias("n_chunks"),
+        (F.max("chunk_last") + 1).cast("long").alias("max_chunk_plus1"),
+    )

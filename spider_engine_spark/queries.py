@@ -2164,6 +2164,128 @@ def benchmark_contamination(spark, sf_dir):
     )
 
 
+# PII patterns shared with the oracle: written in the Java-regex/RE2
+# common subset (functions/pii.py docstring), so both engines count and
+# replace identically.
+from spider_engine_spark.functions.pii import PII_PATTERNS as _PII
+
+_PII_EMAIL, _PII_IPV4, _PII_PHONE = (p for _, p, _ in _PII)
+
+
+@query(
+    "pii_scrub_audit",
+    f"""
+    WITH msg AS (
+      SELECT doc_id,
+        'Contact u' || doc_id::VARCHAR || '@ex' || (doc_id % 7)::VARCHAR
+          || '.org at ' || (doc_id % 256)::VARCHAR || '.'
+          || ((doc_id * 7) % 256)::VARCHAR || '.'
+          || ((doc_id * 13) % 256)::VARCHAR || '.'
+          || ((doc_id * 29) % 256)::VARCHAR
+          || ' or +1555' || lpad((doc_id % 10000)::VARCHAR, 5, '0')
+          || ' re: ' || text AS msg
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(msg, '{_PII_EMAIL}')) AS BIGINT)
+        AS pii_n_email,
+      CAST(len(regexp_extract_all(msg, '{_PII_IPV4}')) AS BIGINT)
+        AS pii_n_ipv4,
+      CAST(len(regexp_extract_all(msg, '{_PII_PHONE}')) AS BIGINT)
+        AS pii_n_phone,
+      regexp_replace(regexp_replace(regexp_replace(msg,
+        '{_PII_EMAIL}', '<EMAIL>', 'g'),
+        '{_PII_IPV4}', '<IP>', 'g'),
+        '{_PII_PHONE}', '<PHONE>', 'g') AS msg_scrubbed
+    FROM msg
+    """,
+)
+def pii_scrub_audit(spark, sf_dir):
+    """PII detection + scrubbing audit (the C4/Dolma-style redaction
+    pass): every document gets a deterministic doc_id-derived email, IPv4
+    and phone number injected (the natural corpus is letters-only, so
+    injection makes the law observable), then per-kind match counts on
+    the original text and the fully scrubbed string are returned.  The
+    oracle recomputes counts AND replacements with DuckDB's RE2 on the
+    byte-identical injected text, so the value hash pins Spark-vs-RE2
+    regex parity on the whole corpus.  Map-only (no shuffle): at 100 TB
+    this fuses into the scan."""
+    from spider_engine_spark.functions.pii import with_pii_scrubbed
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Contact u"),
+            did.cast("string"),
+            F.lit("@ex"),
+            (did % 7).cast("string"),
+            F.lit(".org at "),
+            (did % 256).cast("string"),
+            F.lit("."),
+            ((did * 7) % 256).cast("string"),
+            F.lit("."),
+            ((did * 13) % 256).cast("string"),
+            F.lit("."),
+            ((did * 29) % 256).cast("string"),
+            F.lit(" or +1555"),
+            F.lpad((did % 10000).cast("string"), 5, "0"),
+            F.lit(" re: "),
+            F.col("text"),
+        ).alias("msg"),
+    )
+    out = with_pii_scrubbed(injected, "msg", out="msg_scrubbed")
+    return out.select(
+        "doc_id",
+        F.col("pii_n_email").cast("long").alias("pii_n_email"),
+        F.col("pii_n_ipv4").cast("long").alias("pii_n_ipv4"),
+        F.col("pii_n_phone").cast("long").alias("pii_n_phone"),
+        "msg_scrubbed",
+    )
+
+
+@query(
+    "sequence_packing",
+    """
+    WITH base AS (
+      SELECT doc_id,
+        coalesce(len(regexp_extract_all(text,
+          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')), 0) + 1 AS n_tok,
+        CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8
+          AS INTEGER) AS bucket
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, bucket, CAST(n_tok AS BIGINT) AS n_tok,
+        CAST(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id)
+          AS BIGINT) AS stream_end
+      FROM base
+    )
+    SELECT doc_id, bucket, n_tok,
+      stream_end - n_tok AS stream_start,
+      stream_end,
+      CAST((stream_end - n_tok) // 512 AS BIGINT) AS chunk_first,
+      CAST((stream_end - 1) // 512 AS BIGINT) AS chunk_last
+    FROM cum
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Deterministic GPT-style sequence packing: every document's
+    position (stream_start/stream_end) and block span (chunk_first/
+    chunk_last) in its bucket's concatenated token stream, under the
+    BPE-ish token law + 1 separator token, bucketed by the md5 shard
+    law.  The layout is pure integer arithmetic over a per-bucket
+    cumsum, so the oracle reproduces it bit-for-bit — the whole pack
+    plan is one bucket-exchange shuffle + one window pass per bucket
+    (operators/packing.py docstring has the 100 TB sizing)."""
+    from spider_engine_spark.operators.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, key="doc_id", content="text", block=512, buckets=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order
 #
@@ -2216,6 +2338,13 @@ _DRIVER_GATE_CAP = 50
 #                               thumbnail_stats first gated r4, so it
 #                               sits out even rounds only, by which time
 #                               it has >=2 consecutive green rounds)
+# Round 5 (late) registered 2 more new queries (pii_scrub_audit,
+# sequence_packing), so 9 entries sit out per round; two more
+# 2-round-green plan-family pairs joined the rotation:
+#   window_topn_orders <-> window_ntile_users   (per-key ordered ranking
+#                               window over the same base tables)
+#   tpch_q3_top10      <-> tpch_q5_regional     (multi-way TPC-H join +
+#                               aggregate)
 _GATE_ROTATION = [
     # even rounds (r4, r6, ...)
     [
@@ -2226,6 +2355,8 @@ _GATE_ROTATION = [
         "events_lead_lag",
         "tpch_q6",
         "thumbnail_stats",
+        "window_topn_orders",
+        "tpch_q3_top10",
     ],
     # odd rounds (r5, r7, ...)
     [
@@ -2236,6 +2367,8 @@ _GATE_ROTATION = [
         "events_running_sum",
         "tpch_q1",
         "frame_sample_stats",
+        "window_ntile_users",
+        "tpch_q5_regional",
     ],
 ]
 _GATE_ROUND = 5  # bump each round — picks the rotation slot

@@ -25,6 +25,8 @@ NEVER_YET_GATED = [
     "quality_gate_audit",
     "corpus_sample_strata",
     "benchmark_contamination",
+    "pii_scrub_audit",
+    "sequence_packing",
 ]
 
 
@@ -82,6 +84,10 @@ def test_demoted_entries_have_a_gated_partner():
         "tpch_q6": "tpch_q1",
         "frame_sample_stats": "thumbnail_stats",
         "thumbnail_stats": "frame_sample_stats",
+        "window_topn_orders": "window_ntile_users",
+        "window_ntile_users": "window_topn_orders",
+        "tpch_q3_top10": "tpch_q5_regional",
+        "tpch_q5_regional": "tpch_q3_top10",
     }
     order = list(QUERIES)
     for name in _GATE_OVERFLOW:

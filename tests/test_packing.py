@@ -1,0 +1,116 @@
+"""Sequence packing laws: contiguous per-bucket streams, chunk spans,
+partitioning-independence, degenerate docs, and the summary report."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_engine_spark.operators.packing import (
+    pack_sequences,
+    packing_summary,
+)
+
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    return pack_sequences(
+        docs, key="doc_id", content="text", block=512, buckets=8
+    ).cache()
+
+
+def test_streams_are_contiguous_per_bucket(packed):
+    rows = packed.orderBy("bucket", "doc_id").collect()
+    pos = {}
+    for r in rows:
+        assert r["stream_start"] == pos.get(r["bucket"], 0), (
+            f"gap/overlap at doc {r['doc_id']} in bucket {r['bucket']}"
+        )
+        assert r["stream_end"] == r["stream_start"] + r["n_tok"]
+        assert r["n_tok"] >= 1  # separator: even empty docs take a slot
+        pos[r["bucket"]] = r["stream_end"]
+
+
+def test_chunk_spans_follow_from_positions(packed):
+    bad = packed.filter(
+        (F.col("chunk_first") != F.floor(F.col("stream_start") / 512))
+        | (F.col("chunk_last") != F.floor((F.col("stream_end") - 1) / 512))
+        | (F.col("chunk_last") < F.col("chunk_first"))
+    ).count()
+    assert bad == 0
+
+
+def test_layout_is_partitioning_independent(spark, packed):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    again = pack_sequences(
+        docs.repartition(7, "source").sortWithinPartitions("n_chars"),
+        key="doc_id",
+        content="text",
+        block=512,
+        buckets=8,
+    )
+    assert set(map(tuple, packed.collect())) == set(
+        map(tuple, again.collect())
+    )
+
+
+def test_degenerate_docs_take_one_separator_token(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "one two three")], "doc_id long, t string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, key="doc_id", content="t", block=4, buckets=1
+        ).collect()
+    }
+    assert rows[1]["n_tok"] == 1 and rows[2]["n_tok"] == 1
+    assert rows[3]["n_tok"] == 4  # 3 tokens + separator
+    # single bucket: total stream length is the sum and every position
+    # is defined (no NULL poisoning from the NULL doc)
+    assert sorted(r["stream_start"] for r in rows.values()) == [0, 1, 2]
+
+
+def test_doc_spans_block_boundary(spark):
+    # two 4-token (3 + separator) docs in one bucket with block=5: the
+    # second doc occupies stream [4, 8) and spans chunks 0 and 1
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, t string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, key="doc_id", content="t", block=5, buckets=1
+        ).collect()
+    }
+    first, second = rows[min(rows)], rows[max(rows)]
+    assert (first["chunk_first"], first["chunk_last"]) == (0, 0)
+    assert second["chunk_first"] == 0 and second["chunk_last"] == 1
+
+
+def test_summary_report(packed):
+    s = {r["bucket"]: r for r in packing_summary(packed, block=512).collect()}
+    agg = {
+        r["bucket"]: r
+        for r in packed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_tok").alias("tok"),
+            F.max("chunk_last").alias("mx"),
+        )
+        .collect()
+    }
+    for b, r in s.items():
+        assert r["n_docs"] == agg[b]["n"]
+        assert r["n_tokens"] == agg[b]["tok"]
+        assert r["n_chunks"] == -(-agg[b]["tok"] // 512)
+        # contiguous-from-zero stream: the ragged last chunk IS chunk
+        # max_chunk_plus1 - 1, so both chunk counts agree
+        assert r["max_chunk_plus1"] == r["n_chunks"] == agg[b]["mx"] + 1
+
+
+def test_block_must_be_positive(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, t string")
+    with pytest.raises(ValueError):
+        pack_sequences(df, key="doc_id", content="t", block=0)
