@@ -48,11 +48,27 @@ def pii_counts(c: Column, kind: str) -> Column:
     return F.regexp_count(c, F.lit(pattern))
 
 
+def _validate_kinds(kinds) -> frozenset[str]:
+    """None means ALL kinds; any unknown name raises — a typo in a
+    redaction step must fail loudly, never fail open and ship PII."""
+    known = {k for k, _, _ in PII_PATTERNS}
+    if kinds is None:
+        return frozenset(known)
+    unknown = set(kinds) - known
+    if unknown:
+        raise ValueError(
+            f"unknown PII kind(s) {sorted(unknown)}; known: {sorted(known)}"
+        )
+    return frozenset(kinds)
+
+
 def scrub_pii(c: Column, kinds: tuple[str, ...] | None = None) -> Column:
     """Replace every PII match with its redaction token, applying the
     patterns in PII_PATTERNS order (a later pattern never sees text a
-    previous one already redacted)."""
-    chosen = {k for k in (kinds or [k for k, _, _ in PII_PATTERNS])}
+    previous one already redacted). kinds=None scrubs everything; an
+    explicit empty tuple scrubs nothing (and counts nothing in the
+    DataFrame form) — the two surfaces always agree."""
+    chosen = _validate_kinds(kinds)
     out = c
     for kind, pattern, token in PII_PATTERNS:
         if kind in chosen:
@@ -67,10 +83,11 @@ def with_pii_scrubbed(
     """DataFrame form: adds `out` = the scrubbed text plus one
     `pii_n_<kind>` count column per kind (counted on the ORIGINAL text,
     so the counts audit what was removed)."""
+    chosen = _validate_kinds(kinds)
     d = df
     for kind, _, _ in PII_PATTERNS:
-        if kinds is None or kind in kinds:
+        if kind in chosen:
             d = d.withColumn(
                 f"pii_n_{kind}", pii_counts(F.col(content), kind)
             )
-    return d.withColumn(out, scrub_pii(F.col(content), kinds))
+    return d.withColumn(out, scrub_pii(F.col(content), tuple(chosen)))

@@ -41,7 +41,9 @@ def pack_sequences(
 ) -> DataFrame:
     """Assign every document a position in its bucket's token stream.
 
-    Adds: n_tok (document token count + sep_tokens separator), bucket
+    Returns one row per input row with ONLY the key + layout columns
+    (join back on `key` to materialize the packed blocks from content):
+    n_tok (document token count + sep_tokens separator), bucket
     (md5-law shard of `key` — the SQL-reproducible hash so the layout
     itself is oracle-checkable), stream_start / stream_end (cumulative
     positions within the bucket, ordered by `key`), chunk_first /
@@ -72,28 +74,32 @@ def pack_sequences(
     w = Window.partitionBy("bucket").orderBy(key)
     d = d.withColumn("stream_end", F.sum("n_tok").over(w))
     d = d.withColumn("stream_start", F.col("stream_end") - F.col("n_tok"))
+    block = int(block)
+    # integer DIV, not double /: positions are longs and the law claims
+    # bit-exactness at any scale (double division is exact only < 2^53)
     return d.select(
         key,
         "bucket",
         "n_tok",
         "stream_start",
         "stream_end",
-        F.floor(F.col("stream_start") / block).cast("long").alias(
+        F.expr(f"CAST(stream_start DIV {block} AS LONG)").alias(
             "chunk_first"
         ),
-        F.floor((F.col("stream_end") - 1) / block).cast("long").alias(
+        F.expr(f"CAST((stream_end - 1) DIV {block} AS LONG)").alias(
             "chunk_last"
         ),
     )
 
 
-def packing_summary(packed: DataFrame, block: int = 512) -> DataFrame:
-    """Per-bucket packing report: docs, tokens, chunks and the fill rate
-    of the last (ragged) chunk — the waste metric a mix designer tunes
-    `block`/`buckets` against."""
+def packing_summary(packed: DataFrame) -> DataFrame:
+    """Per-bucket packing report: docs, tokens and chunk count — the
+    waste metric a mix designer tunes `block`/`buckets` against.
+    n_chunks derives from the layout itself (streams start at 0, so it
+    is max(chunk_last)+1); no `block` parameter to pass that could
+    silently disagree with the one used at pack time."""
     return packed.groupBy("bucket").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
-        (F.ceil(F.sum("n_tok") / block)).cast("long").alias("n_chunks"),
-        (F.max("chunk_last") + 1).cast("long").alias("max_chunk_plus1"),
+        (F.max("chunk_last") + 1).cast("long").alias("n_chunks"),
     )

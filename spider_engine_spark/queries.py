@@ -2166,10 +2166,21 @@ def benchmark_contamination(spark, sf_dir):
 
 # PII patterns shared with the oracle: written in the Java-regex/RE2
 # common subset (functions/pii.py docstring), so both engines count and
-# replace identically.
+# replace identically.  Counts, replacement tokens AND the scrub chain
+# order are all derived from PII_PATTERNS here — reordering the tuple or
+# changing a token in pii.py cannot desynchronize the oracle.
 from spider_engine_spark.functions.pii import PII_PATTERNS as _PII
 
-_PII_EMAIL, _PII_IPV4, _PII_PHONE = (p for _, p, _ in _PII)
+_pii_count_sql = ",\n      ".join(
+    f"CAST(len(regexp_extract_all(msg, '{pat}')) AS BIGINT)"
+    f" AS pii_n_{kind}"
+    for kind, pat, _ in _PII
+)
+_pii_scrub_sql = "msg"
+for _k, _pat, _tok in _PII:
+    _pii_scrub_sql = (
+        f"regexp_replace({_pii_scrub_sql}, '{_pat}', '{_tok}', 'g')"
+    )
 
 
 @query(
@@ -2187,16 +2198,8 @@ _PII_EMAIL, _PII_IPV4, _PII_PHONE = (p for _, p, _ in _PII)
       FROM documents
     )
     SELECT doc_id,
-      CAST(len(regexp_extract_all(msg, '{_PII_EMAIL}')) AS BIGINT)
-        AS pii_n_email,
-      CAST(len(regexp_extract_all(msg, '{_PII_IPV4}')) AS BIGINT)
-        AS pii_n_ipv4,
-      CAST(len(regexp_extract_all(msg, '{_PII_PHONE}')) AS BIGINT)
-        AS pii_n_phone,
-      regexp_replace(regexp_replace(regexp_replace(msg,
-        '{_PII_EMAIL}', '<EMAIL>', 'g'),
-        '{_PII_IPV4}', '<IP>', 'g'),
-        '{_PII_PHONE}', '<PHONE>', 'g') AS msg_scrubbed
+      {_pii_count_sql},
+      {_pii_scrub_sql} AS msg_scrubbed
     FROM msg
     """,
 )

@@ -90,7 +90,7 @@ def test_doc_spans_block_boundary(spark):
 
 
 def test_summary_report(packed):
-    s = {r["bucket"]: r for r in packing_summary(packed, block=512).collect()}
+    s = {r["bucket"]: r for r in packing_summary(packed).collect()}
     agg = {
         r["bucket"]: r
         for r in packed.groupBy("bucket")
@@ -104,10 +104,9 @@ def test_summary_report(packed):
     for b, r in s.items():
         assert r["n_docs"] == agg[b]["n"]
         assert r["n_tokens"] == agg[b]["tok"]
-        assert r["n_chunks"] == -(-agg[b]["tok"] // 512)
-        # contiguous-from-zero stream: the ragged last chunk IS chunk
-        # max_chunk_plus1 - 1, so both chunk counts agree
-        assert r["max_chunk_plus1"] == r["n_chunks"] == agg[b]["mx"] + 1
+        # contiguous-from-zero stream: n_chunks is max(chunk_last)+1,
+        # which equals ceil(n_tokens / block) under the pack-time block
+        assert r["n_chunks"] == agg[b]["mx"] + 1 == -(-agg[b]["tok"] // 512)
 
 
 def test_block_must_be_positive(spark):

@@ -52,15 +52,17 @@ def test_counts_and_scrub_match_duckdb(spark):
     pats = {k: p for k, p, _ in PII_PATTERNS}
     for i, t in enumerate(FIXTURES):
         lit = t.replace("'", "''")
+        # build the scrub chain from PII_PATTERNS so the test tracks the
+        # module's tokens and order, never a stale hardcoded copy
+        scrub = f"'{lit}'"
+        for _, pat, tok in PII_PATTERNS:
+            scrub = f"regexp_replace({scrub}, '{pat}', '{tok}', 'g')"
         (e, p4, ph, s), = _duck(
             f"""
             SELECT len(regexp_extract_all('{lit}', '{pats["email"]}')),
                    len(regexp_extract_all('{lit}', '{pats["ipv4"]}')),
                    len(regexp_extract_all('{lit}', '{pats["phone"]}')),
-                   regexp_replace(regexp_replace(regexp_replace('{lit}',
-                     '{pats["email"]}', '<EMAIL>', 'g'),
-                     '{pats["ipv4"]}', '<IP>', 'g'),
-                     '{pats["phone"]}', '<PHONE>', 'g')
+                   {scrub}
             """
         )
         assert got[i] == (e, p4, ph, s), f"fixture {i}: {t!r}"
@@ -86,6 +88,21 @@ def test_dataframe_form_counts_original_text(spark):
     (row,) = with_pii_scrubbed(df, "t", kinds=("ipv4",)).collect()
     assert "pii_n_email" not in row.asDict()
     assert row["text_scrubbed"] == "a@b.io and a@b.io"
+
+
+def test_unknown_kind_fails_loudly(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a@b.io")], ["k", "t"])
+    with pytest.raises(ValueError, match="unknown PII kind"):
+        with_pii_scrubbed(df, "t", kinds=("Email",))  # typo'd case
+    with pytest.raises(ValueError, match="unknown PII kind"):
+        scrub_pii(F.col("t"), kinds=("e-mail",))
+    # explicit empty tuple: scrub nothing AND count nothing (the two
+    # surfaces agree; only None means "all kinds")
+    (row,) = with_pii_scrubbed(df, "t", kinds=()).collect()
+    assert row["text_scrubbed"] == "a@b.io"
+    assert not any(c.startswith("pii_n_") for c in row.asDict())
 
 
 def test_null_text_stays_null(spark):
