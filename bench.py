@@ -53,6 +53,7 @@ HEADLINE = [
     "corpus_sample_strata",
     "pii_scrub_audit",
     "sequence_packing",
+    "dedup_clusters",
 ]
 
 

@@ -450,3 +450,86 @@ def contamination_pairs(
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= F.lit(min_shared))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    nodes: DataFrame | None = None,
+    key: str = "node",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (node, component) with
+    component = MIN node id in the component (deterministic canonical
+    representative).
+
+    This is the capstone of the dedup family: the pair generators
+    (minhash_lsh_pairs / simhash_pairs / shared_shingle_pairs /
+    embedding_near_dups) emit edges; clustering them picks ONE canonical
+    document per duplicate cluster (transitively: A~B, B~C => {A,B,C}
+    keep min).  The reference has no analogue (single-node engine); this
+    is the standard MapReduce CC formulation (cf. Kiveris et al. 2014).
+
+    Algorithm: min-label propagation with pointer jumping.  Each round
+    (1) every node takes the min label over itself and its neighbors
+    (edges join labels + groupBy min — two shuffles), then (2) jumps to
+    its label's label (self-join — labels are node ids, so every label
+    resolves).  Pointer jumping halves path lengths, so rounds are
+    O(log diameter) — near-dup clusters are almost always stars/cliques
+    (1-2 rounds); even a pathological chain of length 10^6 converges in
+    ~20.  Labels are monotone non-increasing, which makes the
+    convergence test exact: a round with zero strictly-smaller labels is
+    a fixpoint.  Each round ends in localCheckpoint (lineage would grow
+    exponentially otherwise) — at cluster scale substitute reliable
+    checkpoints.  All JVM-native; AQE handles skewed hub nodes.
+
+    `nodes` (single-column DataFrame named `key`) adds isolated nodes as
+    singleton components; pair endpoints are always included regardless.
+    """
+    und = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    und = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        # pin the edge list: it is re-joined EVERY round, and the pair
+        # generator feeding it (minhash/simhash verify) is the expensive
+        # part — without this the candidate pipeline re-runs per round
+        # (measured 11.1 s -> ~7 s for dedup_clusters at sf0.1)
+        .localCheckpoint()
+    )
+    endpoints = und.select(F.col("src").alias(key)).distinct()
+    if nodes is not None:
+        endpoints = nodes.select(key).unionByName(endpoints).distinct()
+    lab = endpoints.select(
+        F.col(key), F.col(key).alias("comp")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        msgs = und.join(
+            lab.select(F.col(key).alias("dst"), "comp"), "dst"
+        ).select(F.col("src").alias(key), "comp")
+        upd = (
+            lab.select(key, "comp")
+            .unionByName(msgs)
+            .groupBy(key)
+            .agg(F.min("comp").alias("comp"))
+        )
+        jump = upd.select(F.col(key).alias("_jk"), F.col("comp").alias("_jc"))
+        upd = (
+            upd.join(jump, upd["comp"] == jump["_jk"], "left")
+            .select(F.col(key), F.coalesce("_jc", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            upd.select(F.col(key), F.col("comp").alias("_new"))
+            .join(lab, key)
+            .filter(F.col("_new") < F.col("comp"))
+            .count()
+        )
+        lab = upd
+        if changed == 0:
+            return lab
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )

@@ -1447,6 +1447,78 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                 for i in range(1, len(toks)-1)])
+        END AS sh
+      FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ), und AS (
+      SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+    ), reach(n, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.n, und.v FROM reach JOIN und ON reach.r = und.u
+    ), comp AS (
+      SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n
+    )
+    SELECT doc_id, cluster_id,
+      count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+      doc_id = cluster_id AS is_canonical
+    FROM comp
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING — the capstone the pair generators feed:
+    minhash-LSH candidates verified at jaccard >= 0.8 become edges;
+    connected components (min-label propagation + pointer jumping,
+    operators/dedup.py:connected_components) assign every document a
+    cluster whose id is the MIN doc_id in the component — the canonical
+    row a dedup pass keeps (is_canonical flags it; singletons are their
+    own cluster).  The oracle recomputes the same pairs brute-force and
+    closes them with a recursive CTE — transitive-closure min per node
+    — so the clustering law itself is verified, not just the pairs.
+    At 100 TB: O(log diameter) rounds of two-shuffle label updates;
+    near-dup clusters are stars/cliques so 1-2 rounds in practice."""
+    from spider_engine_spark.operators.dedup import (
+        connected_components,
+        jaccard_verify,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", k=16, n=3)
+    cand = minhash_lsh_pairs(sigs, "doc_id", bands=8)
+    pairs = (
+        jaccard_verify(cand, docs, "doc_id", "text", n=3)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("a", "b")
+    )
+    comp = connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    )
+
+
+@query(
     "set_ops_docs",
     """
     WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
@@ -2348,6 +2420,14 @@ _DRIVER_GATE_CAP = 50
 #                               window over the same base tables)
 #   tpch_q3_top10      <-> tpch_q5_regional     (multi-way TPC-H join +
 #                               aggregate)
+# Round 5 (final) registered dedup_clusters (never gated — inside the
+# cap), so 10 entries sit out per round; one more 2-round-green pair
+# (green since r3, identical 25-pair result set at sf0.01):
+#   dedup_minhash_lsh  <-> dedup_ngram_jaccard  (shingle near-dup pairs,
+#                               exact jaccard>=0.8 verify; candidate
+#                               generation LSH vs equi-join; the family
+#                               is additionally covered every round by
+#                               the never-demoted dedup_clusters)
 _GATE_ROTATION = [
     # even rounds (r4, r6, ...)
     [
@@ -2360,6 +2440,7 @@ _GATE_ROTATION = [
         "thumbnail_stats",
         "window_topn_orders",
         "tpch_q3_top10",
+        "dedup_minhash_lsh",
     ],
     # odd rounds (r5, r7, ...)
     [
@@ -2372,6 +2453,7 @@ _GATE_ROTATION = [
         "frame_sample_stats",
         "window_ntile_users",
         "tpch_q5_regional",
+        "dedup_ngram_jaccard",
     ],
 ]
 _GATE_ROUND = 5  # bump each round — picks the rotation slot

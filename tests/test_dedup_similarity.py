@@ -581,3 +581,81 @@ def test_quality_filter_rejects_null_text(spark):
     }
     assert out[0][0] is False and "too_few_tokens" in out[0][1]
     assert out[1] == (True, set())
+
+
+# ---------------------------------------------------------------------------
+# connected_components (dedup clustering)
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(pairs, nodes):
+    """Union-find oracle: node -> min node id of its component."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    return {n: min(members) for r, members in comp.items() for n in members}
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    from spider_engine_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(f"d{i}", f"d{i+1}") for i in range(9)]
+        + [("x1", "x2"), ("x2", "x3"), ("x1", "x3")],
+        "a string, b string",
+    )
+    nodes = spark.createDataFrame(
+        [("solo",)] + [(f"d{i}",) for i in range(10)]
+        + [("x1",), ("x2",), ("x3",)],
+        "node string",
+    )
+    got = {r.node: r.comp for r in connected_components(pairs, nodes=nodes).collect()}
+    assert got["solo"] == "solo"
+    assert all(got[f"d{i}"] == "d0" for i in range(10))  # chain: O(log d) rounds
+    assert all(got[x] == "x1" for x in ("x1", "x2", "x3"))
+
+
+def test_connected_components_matches_union_find_on_random_graph(spark):
+    """Seeded random graph vs a pure-Python union-find oracle, plus
+    determinism across two runs."""
+    import random
+
+    from spider_engine_spark.operators.dedup import connected_components
+
+    rng = random.Random(20260817)
+    n = 80
+    nodes = [f"n{i:03d}" for i in range(n)]
+    pairs = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(60)
+        }
+    )
+    expect = _uf_components(pairs, nodes)
+    pdf = spark.createDataFrame(pairs, "a string, b string")
+    ndf = spark.createDataFrame([(x,) for x in nodes], "node string")
+    got1 = {r.node: r.comp for r in connected_components(pdf, nodes=ndf).collect()}
+    got2 = {r.node: r.comp for r in connected_components(pdf, nodes=ndf).collect()}
+    assert got1 == expect
+    assert got2 == got1
+
+
+def test_connected_components_endpoints_without_nodes_arg(spark):
+    from spider_engine_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([("b", "a"), ("c", "d")], "a string, b string")
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}

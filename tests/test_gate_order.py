@@ -27,6 +27,7 @@ NEVER_YET_GATED = [
     "benchmark_contamination",
     "pii_scrub_audit",
     "sequence_packing",
+    "dedup_clusters",
 ]
 
 
@@ -88,6 +89,8 @@ def test_demoted_entries_have_a_gated_partner():
         "window_ntile_users": "window_topn_orders",
         "tpch_q3_top10": "tpch_q5_regional",
         "tpch_q5_regional": "tpch_q3_top10",
+        "dedup_minhash_lsh": "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard": "dedup_minhash_lsh",
     }
     order = list(QUERIES)
     for name in _GATE_OVERFLOW:
