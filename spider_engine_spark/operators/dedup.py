@@ -486,7 +486,17 @@ def connected_components(
 
     `nodes` (single-column DataFrame named `key`) adds isolated nodes as
     singleton components; pair endpoints are always included regardless.
+
+    Every intermediate checkpoint's blocks are dropped as soon as the
+    next round supersedes it; only the RETURNED label snapshot stays
+    pinned (a localCheckpoint cannot recompute once its blocks are
+    dropped).  DataFrame.unpersist() is a NO-OP for localCheckpoint
+    blocks (they live at the RDD layer, not the Dataset cache manager),
+    so superseded snapshots are freed by RDD id via
+    _drop_checkpoint_blocks.
     """
+    spark = pairs.sparkSession
+    base_ids = _pinned_rdd_ids(spark)
     und = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     und = (
         und.unionByName(
@@ -499,12 +509,15 @@ def connected_components(
         # (measured 11.1 s -> ~7 s for dedup_clusters at sf0.1)
         .localCheckpoint()
     )
+    und_ids = _pinned_rdd_ids(spark) - base_ids
     endpoints = und.select(F.col("src").alias(key)).distinct()
     if nodes is not None:
         endpoints = nodes.select(key).unionByName(endpoints).distinct()
+    pre = _pinned_rdd_ids(spark)
     lab = endpoints.select(
         F.col(key), F.col(key).alias("comp")
     ).localCheckpoint()
+    lab_ids = _pinned_rdd_ids(spark) - pre
     for _ in range(max_iter):
         msgs = und.join(
             lab.select(F.col(key).alias("dst"), "comp"), "dst"
@@ -516,20 +529,48 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
         )
         jump = upd.select(F.col(key).alias("_jk"), F.col("comp").alias("_jc"))
+        pre = _pinned_rdd_ids(spark)
         upd = (
             upd.join(jump, upd["comp"] == jump["_jk"], "left")
             .select(F.col(key), F.coalesce("_jc", "comp").alias("comp"))
             .localCheckpoint()
         )
+        upd_ids = _pinned_rdd_ids(spark) - pre
         changed = (
             upd.select(F.col(key), F.col("comp").alias("_new"))
             .join(lab, key)
             .filter(F.col("_new") < F.col("comp"))
             .count()
         )
-        lab = upd
+        _drop_checkpoint_blocks(spark, lab_ids)  # superseded snapshot
+        lab, lab_ids = upd, upd_ids
         if changed == 0:
+            _drop_checkpoint_blocks(spark, und_ids)
             return lab
+    _drop_checkpoint_blocks(spark, und_ids | lab_ids)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
+
+
+def _pinned_rdd_ids(spark) -> set[int]:
+    """Ids of RDDs currently holding blocks in the block manager."""
+    return {
+        r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+
+
+def _drop_checkpoint_blocks(spark, ids: set[int]) -> None:
+    """Free the block-manager snapshots behind a localCheckpoint.
+
+    localCheckpoint pins its data as RDD-level persistence, invisible to
+    Dataset.unpersist(); the only handle is the RDD id, captured as the
+    getRDDStorageInfo delta around the checkpoint call (the driver loop
+    is single-threaded, so the delta is exactly the new snapshot).  The
+    frame is unusable afterwards — only superseded snapshots go here.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        jrdd = jmap.get(i)
+        if jrdd is not None:
+            jrdd.unpersist(False)

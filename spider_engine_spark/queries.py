@@ -527,6 +527,21 @@ def agg_distinct_users(spark, sf_dir):
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
+# tokenize + 3-gram-shingle CTEs shared by the shingle-family oracles
+# (dedup_minhash_lsh, dedup_ngram_jaccard, dedup_clusters) — ONE copy,
+# so a change to the shingle law cannot silently desynchronize an
+# oracle from its siblings (mirror of operators/dedup.py:_shingles_from)
+_SHINGLE_CTES = f"""t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                 for i in range(1, len(toks)-1)])
+        END AS sh
+      FROM t
+    )"""
+
 
 @query(
     "dedup_exact",
@@ -545,18 +560,8 @@ def dedup_exact(spark, sf_dir):
 
 @query(
     "dedup_minhash_lsh",
-    """
-    WITH t AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
-      FROM documents
-    ), s AS (
-      SELECT doc_id,
-        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
-                                 for i in range(1, len(toks)-1)])
-        END AS sh
-      FROM t
-    )
+    f"""
+    WITH {_SHINGLE_CTES}
     SELECT a.doc_id AS a, b.doc_id AS b,
       len(list_intersect(a.sh, b.sh))::DOUBLE
         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
@@ -1388,18 +1393,8 @@ def filter_sentinel_semantics(spark, sf_dir):
 
 @query(
     "dedup_ngram_jaccard",
-    """
-    WITH t AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
-      FROM documents
-    ), s AS (
-      SELECT doc_id,
-        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
-                                 for i in range(1, len(toks)-1)])
-        END AS sh
-      FROM t
-    ), e AS (
+    f"""
+    WITH {_SHINGLE_CTES}, e AS (
       SELECT doc_id, unnest(sh) AS shingle FROM s
     ), cold AS (  -- the engine's max_df=20 hot-shingle candidate cap
       SELECT shingle FROM e GROUP BY shingle HAVING count(*) <= 20
@@ -1448,18 +1443,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @query(
     "dedup_clusters",
-    """
-    WITH RECURSIVE t AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
-      FROM documents
-    ), s AS (
-      SELECT doc_id,
-        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
-                                 for i in range(1, len(toks)-1)])
-        END AS sh
-      FROM t
-    ), pairs AS (
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTES}, pairs AS (
       SELECT a.doc_id AS a, b.doc_id AS b
       FROM s a JOIN s b ON a.doc_id < b.doc_id
       WHERE len(list_intersect(a.sh, b.sh))::DOUBLE

@@ -659,3 +659,26 @@ def test_connected_components_endpoints_without_nodes_arg(spark):
     pairs = spark.createDataFrame([("b", "a"), ("c", "d")], "a string, b string")
     got = {r.node: r.comp for r in connected_components(pairs).collect()}
     assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}
+
+
+def test_connected_components_frees_intermediate_checkpoints(spark):
+    """Only the RETURNED label snapshot may stay pinned: every per-round
+    checkpoint and the edge list must be freed (localCheckpoint blocks
+    are invisible to Dataset.unpersist — the operator frees them by RDD
+    id), else a long session leaks one snapshot per round."""
+    from spider_engine_spark.operators.dedup import (
+        _pinned_rdd_ids,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(f"d{i}", f"d{i+1}") for i in range(9)], "a string, b string"
+    )
+    before = _pinned_rdd_ids(spark)
+    out = connected_components(pairs)
+    assert out.count() == 10
+    leaked = _pinned_rdd_ids(spark) - before
+    assert len(leaked) == 1, (
+        f"{len(leaked)} snapshots pinned after the run — expected only "
+        "the returned labels"
+    )
