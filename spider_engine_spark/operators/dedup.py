@@ -119,18 +119,15 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    sigs: DataFrame,
-    key: str,
-    bands: int = 4,
-    cap_bucket_size: int | None = None,
-) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+def band_buckets(sigs: DataFrame, key: str, bands: int) -> DataFrame:
+    """(key, band, bucket) — banded LSH bucket ids of MinHash signatures.
 
-    sig length k is split into `bands` bands of k/bands rows; band value =
-    xxhash64 of the slice. Returns distinct (a, b) with a < b."""
+    sig length k is split into `bands` bands of k/bands rows; band value
+    = xxhash64 of the slice.  Shared by the batch pair generator
+    (minhash_lsh_pairs) and the incremental streaming probe
+    (streaming/neardup.py), so both sides bucket by the identical law."""
     k = bands  # number of bands; rows per band derived from sig length
-    exploded = sigs.select(
+    return sigs.select(
         F.col(key),
         F.posexplode(
             F.transform(
@@ -151,6 +148,18 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    key: str,
+    bands: int = 4,
+    cap_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Returns distinct (a, b) with a < b."""
+    exploded = band_buckets(sigs, key, bands)
     if cap_bucket_size is not None:
         counts = exploded.groupBy("band", "bucket").agg(
             F.count("*").alias("bsz")

@@ -558,9 +558,12 @@ def dedup_exact(spark, sf_dir):
     return exact_dedup(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query(
-    "dedup_minhash_lsh",
-    f"""
+
+# brute-force verified-pair scan — the oracle for BOTH the batch LSH
+# path (dedup_minhash_lsh) and the incremental streaming path
+# (streaming_neardup_pairs): the two engines provably emit the same
+# verified pair set (LSH candidate law identical; see neardup.py)
+_BRUTE_NEARDUP_SQL = f"""
     WITH {_SHINGLE_CTES}
     SELECT a.doc_id AS a, b.doc_id AS b,
       len(list_intersect(a.sh, b.sh))::DOUBLE
@@ -568,8 +571,10 @@ def dedup_exact(spark, sf_dir):
     FROM s a JOIN s b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
-    """,
-)
+    """
+
+
+@query("dedup_minhash_lsh", _BRUTE_NEARDUP_SQL)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16) + 8-band LSH candidates, exact 3-gram-shingle Jaccard
     verification >= 0.8. Oracle is the brute-force pair scan; with r=2
@@ -950,6 +955,39 @@ def streaming_hourly_window(spark, sf_dir):
         "event_type",
         "n_events",
         "sum_value",
+    )
+
+
+@query("streaming_neardup_pairs", _BRUTE_NEARDUP_SQL)
+def streaming_neardup_pairs(spark, sf_dir):
+    """INCREMENTAL near-dup detection: documents hash-split into 4
+    micro-batches and folded through the REAL foreachBatch handler
+    (streaming/neardup.py — the exact code path Structured Streaming
+    drives; pytest additionally runs the true readStream/availableNow
+    integration with maxFilesPerTrigger=1).  Each batch probes the
+    persisted band-bucket state accumulated by earlier batches, so the
+    union of emitted candidates equals the batch LSH candidate set for
+    ANY batch split (the module's completeness invariant); jaccard
+    verification >= 0.8 on those candidates then provably equals
+    dedup_minhash_lsh's output — and the oracle is the same brute-force
+    scan.  A batch-vs-streaming parity check through the driver's hash
+    gate, over real cross-batch state."""
+    import tempfile
+
+    from spider_engine_spark.operators.dedup import jaccard_verify
+    from spider_engine_spark.sources.tableio import TableIO
+    from spider_engine_spark.streaming.neardup import (
+        make_neardup_batch_handler,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    io = TableIO(tempfile.mkdtemp(prefix="drv_neardup_"))
+    handler = make_neardup_batch_handler(io, "doc_id", "text", k=16, bands=8)
+    for i in range(4):
+        handler(docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i), i)
+    pairs = io.read(spark, "pairs")
+    return jaccard_verify(pairs, docs, "doc_id", "text", n=3).filter(
+        F.col("jaccard") >= 0.8
     )
 
 
@@ -2413,6 +2451,12 @@ _DRIVER_GATE_CAP = 50
 #                               generation LSH vs equi-join; the family
 #                               is additionally covered every round by
 #                               the never-demoted dedup_clusters)
+# Round 5 (final) also registered streaming_neardup_pairs (never gated
+# — inside the cap), so 11 entries sit out per round; one more
+# 2-round-green plan-family pair:
+#   rollup_lang_source <-> pivot_event_types    (multi-dimension
+#                               reshaping aggregates — GROUPING SETS vs
+#                               pivot — over the same base tables)
 _GATE_ROTATION = [
     # even rounds (r4, r6, ...)
     [
@@ -2426,6 +2470,7 @@ _GATE_ROTATION = [
         "window_topn_orders",
         "tpch_q3_top10",
         "dedup_minhash_lsh",
+        "rollup_lang_source",
     ],
     # odd rounds (r5, r7, ...)
     [
@@ -2439,6 +2484,7 @@ _GATE_ROTATION = [
         "window_ntile_users",
         "tpch_q5_regional",
         "dedup_ngram_jaccard",
+        "pivot_event_types",
     ],
 ]
 _GATE_ROUND = 5  # bump each round — picks the rotation slot

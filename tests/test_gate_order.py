@@ -28,6 +28,7 @@ NEVER_YET_GATED = [
     "pii_scrub_audit",
     "sequence_packing",
     "dedup_clusters",
+    "streaming_neardup_pairs",
 ]
 
 
@@ -91,6 +92,8 @@ def test_demoted_entries_have_a_gated_partner():
         "tpch_q5_regional": "tpch_q3_top10",
         "dedup_minhash_lsh": "dedup_ngram_jaccard",
         "dedup_ngram_jaccard": "dedup_minhash_lsh",
+        "rollup_lang_source": "pivot_event_types",
+        "pivot_event_types": "rollup_lang_source",
     }
     order = list(QUERIES)
     for name in _GATE_OVERFLOW:

@@ -1,0 +1,171 @@
+"""Incremental streaming near-dup detection (streaming/neardup.py).
+
+Pins the module's completeness invariant: the union over micro-batches
+of emitted candidate pairs equals batch minhash_lsh_pairs on the full
+corpus, for any batch split — plus crash-replay idempotence through the
+real per-table batch_id protocol and the true readStream integration.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_engine_spark.operators.dedup import (
+    jaccard_verify,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+from spider_engine_spark.sources.tableio import TableIO
+from spider_engine_spark.streaming.neardup import (
+    make_neardup_batch_handler,
+    stream_neardup,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm window sill in the afternoon sun with great interest"
+)
+
+ROWS = [
+    (0, BASE),
+    (1, BASE),  # exact dup of 0
+    (2, BASE.replace("afternoon", "morning")),  # near dup of 0/1
+    (3, "completely different text about spark shuffles and parquet "
+        "files and columnar storage engines"),
+    (4, "another unrelated document mentioning inverted indexes and "
+        "tokenizers and posting lists"),
+    (5, BASE.replace("quick", "slow").replace("lazy", "sleepy")),
+    (6, BASE + " with one extra trailing clause appended"),  # near dup
+]
+SCHEMA = "doc_id long, text string"
+
+
+def _batch_pairs(spark):
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    sigs = minhash_signatures(docs, "doc_id", "text", k=16, n=3)
+    return {
+        (r.a, r.b) for r in minhash_lsh_pairs(sigs, "doc_id", bands=8).collect()
+    }
+
+
+def _streamed_pairs(spark, io):
+    return {(r.a, r.b) for r in io.read(spark, "pairs").collect()}
+
+
+@pytest.mark.parametrize(
+    "split",
+    [
+        [[0, 1, 2, 3, 4, 5, 6]],                    # one batch
+        [[0, 1], [2, 3], [4, 5], [6]],              # dups together
+        [[0], [3, 6], [1, 4], [2, 5]],              # dups split apart
+        [[6], [5], [4], [3], [2], [1], [0]],        # reverse singletons
+    ],
+)
+def test_streamed_candidates_equal_batch_for_any_split(
+    spark, tmp_path, split
+):
+    io = TableIO(str(tmp_path / "state"))
+    handler = make_neardup_batch_handler(io, "doc_id", "text", k=16, bands=8)
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    for bid, ids in enumerate(split):
+        handler(docs.filter(F.col("doc_id").isin(ids)), bid)
+    assert _streamed_pairs(spark, io) == _batch_pairs(spark)
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """Re-delivering a committed batch (checkpoint recovery) must change
+    nothing: no duplicate pair rows, no duplicate bucket state."""
+    io = TableIO(str(tmp_path / "state"))
+    handler = make_neardup_batch_handler(io, "doc_id", "text", k=16, bands=8)
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    b0 = docs.filter(F.col("doc_id") < 3)
+    b1 = docs.filter(F.col("doc_id") >= 3)
+    handler(b0, 0)
+    handler(b1, 1)
+    n_pairs = io.read(spark, "pairs").count()
+    n_buckets = io.read(spark, "buckets").count()
+    handler(b1, 1)  # replay after a simulated post-commit crash
+    handler(b0, 0)  # stale replay must also be a no-op
+    assert io.read(spark, "pairs").count() == n_pairs
+    assert io.read(spark, "buckets").count() == n_buckets
+    assert _streamed_pairs(spark, io) == _batch_pairs(spark)
+
+
+def test_crash_between_pairs_and_buckets_replays_clean(spark, tmp_path):
+    """Die after the pairs append but before the buckets append: the
+    replay must finish the buckets write without duplicating pairs."""
+    io = TableIO(str(tmp_path / "state"))
+    handler = make_neardup_batch_handler(io, "doc_id", "text", k=16, bands=8)
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    handler(docs.filter(F.col("doc_id") < 3), 0)
+
+    # crash injection: a TableIO whose buckets write raises AFTER pairs
+    # committed (pairs is written first by design)
+    class CrashIO(TableIO):
+        def write(self, name, df, **kw):
+            if name == "buckets":
+                raise RuntimeError("injected crash")
+            return super().write(name, df, **kw)
+
+    crash_handler = make_neardup_batch_handler(
+        CrashIO(str(tmp_path / "state")), "doc_id", "text", k=16, bands=8
+    )
+    b1 = docs.filter(F.col("doc_id") >= 3)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        crash_handler(b1, 1)
+    # pairs for batch 1 are committed; buckets still at batch 0
+    assert int(io.meta("pairs")["batch_id"]) == 1
+    assert int(io.meta("buckets")["batch_id"]) == 0
+    handler(b1, 1)  # recovery replay
+    assert int(io.meta("buckets")["batch_id"]) == 1
+    assert _streamed_pairs(spark, io) == _batch_pairs(spark)
+    # exactly one pairs row set — the replay did not re-append
+    docs_all = spark.createDataFrame(ROWS, SCHEMA)
+    n_expected = len(_batch_pairs(spark))
+    assert io.read(spark, "pairs").count() == n_expected
+
+
+def test_stream_neardup_real_readstream(spark, tmp_path):
+    """True Structured Streaming integration: one parquet file per
+    micro-batch (maxFilesPerTrigger=1, availableNow), resumed once to
+    prove the checkpoint + state survive across queries."""
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    # three input files -> three micro-batches
+    for lo, hi in [(0, 2), (2, 5)]:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_neardup(spark, src, state, ckpt, schema=SCHEMA)
+    q.awaitTermination(120)
+    # late arrivals -> a later query resumes from the checkpoint
+    docs.filter(F.col("doc_id") >= 5).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = stream_neardup(spark, src, state, ckpt, schema=SCHEMA)
+    q2.awaitTermination(120)
+    io = TableIO(state)
+    assert _streamed_pairs(spark, io) == _batch_pairs(spark)
+    # verified pairs equal the batch operator's verified output
+    verified = {
+        (r.a, r.b)
+        for r in jaccard_verify(
+            io.read(spark, "pairs"), docs, "doc_id", "text", n=3
+        ).filter(F.col("jaccard") >= 0.8).collect()
+    }
+    sigs = minhash_signatures(docs, "doc_id", "text", k=16, n=3)
+    batch_verified = {
+        (r.a, r.b)
+        for r in jaccard_verify(
+            minhash_lsh_pairs(sigs, "doc_id", bands=8),
+            docs, "doc_id", "text", n=3,
+        ).filter(F.col("jaccard") >= 0.8).collect()
+    }
+    # candidate set is rich (near-dups 2/5/6 share buckets with 0/1) but
+    # only the exact dup survives 0.8: one-word edits in a ~24-token doc
+    # give jaccard 19/25 = 0.76 — the verify stage is doing real work
+    assert len(_streamed_pairs(spark, io)) >= 3
+    assert verified == batch_verified == {(0, 1)}
