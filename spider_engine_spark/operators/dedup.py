@@ -150,6 +150,25 @@ def band_buckets(sigs: DataFrame, key: str, bands: int) -> DataFrame:
     )
 
 
+def bucket_self_pairs(exploded: DataFrame, key: str) -> DataFrame:
+    """Distinct (a, b) with a < b over keys sharing any (band, bucket)
+    row — THE candidate-pair law.  Shared by the batch generator
+    (minhash_lsh_pairs) and the streaming probe's in-batch leg
+    (streaming/neardup.py) so a change here cannot silently break the
+    batch/stream parity their common oracle asserts."""
+    x, y = exploded.alias("a"), exploded.alias("b")
+    return (
+        x.join(
+            y,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(F.col(f"a.{key}").alias("a"), F.col(f"b.{key}").alias("b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     sigs: DataFrame,
     key: str,
@@ -167,20 +186,7 @@ def minhash_lsh_pairs(
         exploded = exploded.join(
             counts.filter(F.col("bsz") <= cap_bucket_size), ["band", "bucket"]
         )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
-        )
-        .select(
-            F.col(f"a.{key}").alias("a"), F.col(f"b.{key}").alias("b")
-        )
-        .distinct()
-    )
+    return bucket_self_pairs(exploded, key)
 
 
 def shared_shingle_pairs(

@@ -980,12 +980,18 @@ def streaming_neardup_pairs(spark, sf_dir):
         make_neardup_batch_handler,
     )
 
+    import shutil
+
     docs = load(spark, sf_dir, "documents")
-    io = TableIO(tempfile.mkdtemp(prefix="drv_neardup_"))
+    root = tempfile.mkdtemp(prefix="drv_neardup_")
+    io = TableIO(root)
     handler = make_neardup_batch_handler(io, "doc_id", "text", k=16, bands=8)
     for i in range(4):
         handler(docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i), i)
-    pairs = io.read(spark, "pairs")
+    # pin the (tiny) pair set, then delete the temp state so repeated
+    # driver runs don't accumulate corpus-sized dirs under /tmp
+    pairs = io.read(spark, "pairs").localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
     return jaccard_verify(pairs, docs, "doc_id", "text", n=3).filter(
         F.col("jaccard") >= 0.8
     )
@@ -1063,6 +1069,8 @@ def frontier_crawl(spark, sf_dir):
     from spider_engine_spark import webmodel as wm
     from spider_engine_spark.operators.frontier import CrawlJob
 
+    import shutil
+
     root = tempfile.mkdtemp(prefix="drv_crawl_")
     job = CrawlJob(
         spark, root, seeds=wm.seed_urls(20), num_shards=4, salts=2,
@@ -1070,9 +1078,13 @@ def frontier_crawl(spark, sf_dir):
     )
     job.run(2)
     docs = job.io.read(spark, "docs")
-    return docs.select(
+    # pin the (small) fetch sets, then delete the temp crawl state so
+    # repeated driver runs don't accumulate dirs under /tmp
+    out = docs.select(
         F.col("doc_id").alias("url"), F.col("fetch_step").alias("step")
-    ).orderBy("step", "url")
+    ).orderBy("step", "url").localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def _spans_oracle() -> str:

@@ -11,18 +11,27 @@ structure batch by batch).
 
 Completeness invariant (pinned by tests): the union over micro-batches
 of emitted candidate pairs equals the batch minhash_lsh_pairs output on
-the full corpus, for ANY split of documents into batches and any
-arrival order — a pair lands in a common (band, bucket) whether its
-members arrive together (in-batch self-join) or apart (probe join
-against the persisted buckets), and a cross-batch pair is emitted
-exactly once: in the batch of its later-arriving member.
+the stream's FIRST ARRIVALS, for ANY split of documents into batches
+and any arrival order — a pair lands in a common (band, bucket) whether
+its members arrive together (in-batch self-join, the SAME
+bucket_self_pairs law the batch path uses) or apart (probe join against
+the persisted buckets), and a cross-batch pair is emitted exactly once:
+in the batch of its later-arriving member.  A re-delivered key
+(re-crawl of a known doc_id) is ignored — first-arrival-wins, the
+reference's duplicate-PK law (core/table/table.go:451-454) — so state
+rows and pairs never duplicate.  Within one micro-batch, keys are
+assumed unique (the batch operators' precondition).
 
 100 TB shape: per micro-batch work is one equi-join of (batch x bands)
 rows against the bucket table on (band, bucket) — a single shuffle;
 the bucket table grows as corpus x bands rows of ~24 bytes and never
-holds text.  Skewed buckets (boilerplate) are the same AQE-handled
-hazard as the batch path; a cap_bucket_size-style guard can be applied
-to the persisted side by the same frequency-cap technique if needed.
+holds text.  Both state tables are compacted incrementally every
+compact_every batches (TableIO.compact_small — undersized dirs only,
+the ingest.py policy), so a long-running stream's probe never unions
+one parquet dir per historical batch.  Skewed buckets (boilerplate)
+are the same AQE-handled hazard as the batch path; a
+cap_bucket_size-style guard can be applied to the persisted side by
+the same frequency-cap technique if needed.
 
 Exactness note: this emits LSH CANDIDATE pairs (the same candidate law
 as the batch path); callers wanting verified near-dups run the cheap
@@ -37,6 +46,7 @@ from pyspark.sql import functions as F
 
 from spider_engine_spark.operators.dedup import (
     band_buckets,
+    bucket_self_pairs,
     minhash_signatures,
 )
 from spider_engine_spark.sources.tableio import TableIO
@@ -48,6 +58,8 @@ def make_neardup_batch_handler(
     content: str = "text",
     k: int = 16,
     bands: int = 8,
+    compact_every: int = 8,
+    compact_max_bytes: int = 64 << 20,
 ):
     """The foreachBatch body, exposed (like ingest.make_batch_handler)
     so crash-replay tests drive the REAL handler at commit boundaries.
@@ -57,11 +69,13 @@ def make_neardup_batch_handler(
     LSH state each future batch probes.
 
     Idempotence / crash-safety: per-table batch_id guards (the
-    ingest.py protocol).  `pairs` commits BEFORE `buckets`, and the
-    probe side is read before either write, so a crash between the two
-    appends replays into: pairs skipped (already committed), buckets
-    recomputed deterministically from the same batch and appended —
-    no duplicate pairs, no missed probes.
+    ingest.py protocol).  The prior-bucket snapshot is resolved before
+    either write and `pairs` commits BEFORE `buckets`, so a crash
+    between the two appends replays into: pairs skipped (already
+    committed), buckets recomputed deterministically from the same
+    first-arrival batch and appended — no duplicate pairs, no missed
+    probes.  A replay of a fully-committed batch sees its own keys in
+    `prior`, filters the batch to empty, and both guards skip anyway.
     """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -71,23 +85,22 @@ def make_neardup_batch_handler(
             )
 
         spark = batch_df.sparkSession
+        prior = io.read(spark, "buckets") if io.exists("buckets") else None
+        if prior is not None:
+            # first-arrival-wins (reference duplicate-PK law): a
+            # re-delivered doc_id neither re-buckets nor re-emits pairs
+            batch_df = batch_df.join(
+                prior.select(key).distinct(), key, "left_anti"
+            )
         sigs = minhash_signatures(batch_df, key, content, k=k)
         # reused by the in-batch self-join, the cross-batch probe and
         # the state append — persist (cache manager), not localCheckpoint
         bb = band_buckets(sigs, key, bands).persist()
         try:
             if batch_id > done("pairs"):
-                x, y = bb.alias("x"), bb.alias("y")
-                pairs = x.join(
-                    y,
-                    (F.col("x.band") == F.col("y.band"))
-                    & (F.col("x.bucket") == F.col("y.bucket"))
-                    & (F.col(f"x.{key}") < F.col(f"y.{key}")),
-                ).select(
-                    F.col(f"x.{key}").alias("a"), F.col(f"y.{key}").alias("b")
-                )
-                if io.exists("buckets"):
-                    p = io.read(spark, "buckets").alias("p")
+                pairs = bucket_self_pairs(bb, key)
+                if prior is not None:
+                    x, p = bb.alias("x"), prior.alias("p")
                     cross = x.join(
                         p,
                         (F.col("x.band") == F.col("p.band"))
@@ -114,6 +127,24 @@ def make_neardup_batch_handler(
                 )
         finally:
             bb.unpersist()
+        # incremental compaction (the ingest.py policy): without it a
+        # long-running stream's probe unions one parquet dir per
+        # historical batch — O(#batches) listing/plan cost per probe
+        if (batch_id + 1) % compact_every == 0:
+            for tbl in ("pairs", "buckets"):
+                if not io.exists(tbl):
+                    continue
+                m = io.meta(tbl)
+                already = bool(m.get("compacted")) and int(
+                    m.get("batch_id", -1)
+                ) >= batch_id
+                if not already:
+                    io.compact_small(
+                        spark,
+                        tbl,
+                        max_bytes=compact_max_bytes,
+                        meta={"batch_id": batch_id, "compacted": True},
+                    )
 
     return handle
 
@@ -129,6 +160,8 @@ def stream_neardup(
     k: int = 16,
     bands: int = 8,
     max_files_per_trigger: int = 1,
+    compact_every: int = 8,
+    compact_max_bytes: int = 64 << 20,
 ):
     """Stream documents from parquet files into the incremental near-dup
     state; returns the StreamingQuery (availableNow — drain-and-stop).
@@ -144,7 +177,15 @@ def stream_neardup(
     )
     return (
         stream.writeStream.foreachBatch(
-            make_neardup_batch_handler(io, key, content, k=k, bands=bands)
+            make_neardup_batch_handler(
+                io,
+                key,
+                content,
+                k=k,
+                bands=bands,
+                compact_every=compact_every,
+                compact_max_bytes=compact_max_bytes,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

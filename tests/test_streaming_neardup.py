@@ -121,9 +121,58 @@ def test_crash_between_pairs_and_buckets_replays_clean(spark, tmp_path):
     assert int(io.meta("buckets")["batch_id"]) == 1
     assert _streamed_pairs(spark, io) == _batch_pairs(spark)
     # exactly one pairs row set — the replay did not re-append
-    docs_all = spark.createDataFrame(ROWS, SCHEMA)
-    n_expected = len(_batch_pairs(spark))
-    assert io.read(spark, "pairs").count() == n_expected
+    assert io.read(spark, "pairs").count() == len(_batch_pairs(spark))
+
+
+def test_redelivered_key_is_ignored_first_arrival_wins(spark, tmp_path):
+    """Re-crawl of a known doc_id (possibly with changed text) must not
+    re-bucket the key or re-emit its pairs — the reference's
+    duplicate-PK rejection law, streamed."""
+    io = TableIO(str(tmp_path / "state"))
+    handler = make_neardup_batch_handler(io, "doc_id", "text", k=16, bands=8)
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    handler(docs.filter(F.col("doc_id") < 4), 0)
+    handler(docs.filter(F.col("doc_id") >= 4), 1)
+    n_pairs = io.read(spark, "pairs").count()
+    n_buckets = io.read(spark, "buckets").count()
+    # batch 2 re-delivers doc 0 with CHANGED text plus a genuinely new doc
+    redelivery = spark.createDataFrame(
+        [(0, "totally rewritten text for a recrawled page"),
+         (7, BASE.replace("dog", "wolf"))],
+        SCHEMA,
+    )
+    handler(redelivery, 2)
+    buckets = io.read(spark, "buckets")
+    # doc 0 kept its ORIGINAL buckets (first arrival), doc 7 was added
+    assert buckets.filter(F.col("doc_id") == 0).count() == 8
+    assert buckets.count() == n_buckets + 8
+    new_pairs = _streamed_pairs(spark, io)
+    # doc 7 pairs with the BASE cluster; no (0, x) pair was re-emitted
+    assert {p for p in new_pairs if 7 in p}
+    assert io.read(spark, "pairs").count() == n_pairs + len(
+        {p for p in new_pairs if 7 in p}
+    )
+
+
+def test_state_tables_are_compacted_incrementally(spark, tmp_path):
+    """Every compact_every batches the undersized state dirs fold into
+    one — a long stream's probe must not union one dir per batch."""
+    io = TableIO(str(tmp_path / "state"))
+    handler = make_neardup_batch_handler(
+        io, "doc_id", "text", k=16, bands=8, compact_every=4
+    )
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    for bid, ids in enumerate([[0, 1], [2], [3, 4], [5, 6]]):
+        handler(docs.filter(F.col("doc_id").isin(ids)), bid)
+    # batch 3 triggered compaction: dirs collapsed, content unchanged
+    assert len(io._entry("buckets")["dirs"]) == 1
+    assert len(io._entry("pairs")["dirs"]) == 1
+    assert _streamed_pairs(spark, io) == _batch_pairs(spark)
+    assert io.read(spark, "buckets").count() == len(ROWS) * 8
+    # a replayed compaction boundary is a no-op (meta guard)
+    handler(docs.filter(F.col("doc_id").isin([5, 6])), 3)
+    assert len(io._entry("buckets")["dirs"]) == 1
+    assert _streamed_pairs(spark, io) == _batch_pairs(spark)
 
 
 def test_stream_neardup_real_readstream(spark, tmp_path):
@@ -140,13 +189,13 @@ def test_stream_neardup_real_readstream(spark, tmp_path):
             (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         ).coalesce(1).write.mode("append").parquet(src)
     q = stream_neardup(spark, src, state, ckpt, schema=SCHEMA)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow drain timed out"
     # late arrivals -> a later query resumes from the checkpoint
     docs.filter(F.col("doc_id") >= 5).coalesce(1).write.mode(
         "append"
     ).parquet(src)
     q2 = stream_neardup(spark, src, state, ckpt, schema=SCHEMA)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "availableNow drain timed out"
     io = TableIO(state)
     assert _streamed_pairs(spark, io) == _batch_pairs(spark)
     # verified pairs equal the batch operator's verified output
