@@ -468,3 +468,54 @@ def quality_filter(
         )
         .drop(tk, toks, avg, dr)
     )
+
+
+def token_rarity(df, key: str, content: str):
+    """Per-document unigram corpus-frequency score — the integer-exact
+    core of a CCNet-style unigram-LM quality filter (Wenzek et al. '19
+    keep low-perplexity text; under a unigram LM, perplexity is a
+    monotone transform of the mean corpus frequency of a doc's tokens).
+
+    Returns (key, n_tokens, sum_df, avg_df): n_tokens = token count,
+    sum_df = sum over token OCCURRENCES of the corpus-wide count of that
+    token, avg_df = sum_df / n_tokens.  The log/perplexity transform is
+    deliberately left to consumers: it is monotone in avg_df, and
+    correctly-rounded log10 is not guaranteed across engines, while
+    BIGINT sums and one IEEE division are bit-exact — so the whole
+    result can sit behind the driver's value-hash gate.
+
+    Plan (2 shuffles + 1 broadcast): explode tokens once → per-(doc,
+    term) counts (one groupBy) and corpus term counts (one groupBy over
+    the same exploded frame) → broadcast the vocabulary counts into the
+    per-doc join (the vocab table is tiny relative to the corpus; at
+    vocabularies beyond driver memory swap the broadcast for a shuffle
+    join — stopword keys are then the usual AQE-skew case) → one final
+    per-doc aggregate.  Zero-token docs keep n_tokens = sum_df = 0 and
+    a NULL avg_df (0/0 is NULL in both engines).
+    """
+    from spider_engine_spark.operators.dedup import exploded_tokens
+
+    toks = exploded_tokens(df, key, content)
+    tc = toks.groupBy(key, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
+    per_doc = (
+        tc.join(F.broadcast(lm), "term")
+        .groupBy(key)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("df_")).alias("sum_df"),
+        )
+    )
+    return (
+        df.select(key)
+        .join(per_doc, key, "left")
+        .select(
+            F.col(key),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("sum_df", F.lit(0)).cast("long").alias("sum_df"),
+            (
+                F.col("sum_df").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("avg_df"),
+        )
+    )

@@ -1554,6 +1554,41 @@ def dedup_clusters(spark, sf_dir):
 
 
 @query(
+    "token_rarity_scores",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tc AS (SELECT doc_id, term, count(*) AS cnt FROM tok
+           GROUP BY doc_id, term),
+    lm AS (SELECT term, count(*) AS df_ FROM tok GROUP BY term),
+    per_doc AS (
+      SELECT tc.doc_id, sum(cnt)::BIGINT AS n_tokens,
+             sum(cnt * df_)::BIGINT AS sum_df
+      FROM tc JOIN lm USING (term) GROUP BY tc.doc_id
+    )
+    SELECT d.doc_id,
+      coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+      coalesce(p.sum_df, 0)::BIGINT AS sum_df,
+      p.sum_df::DOUBLE / p.n_tokens::DOUBLE AS avg_df
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def token_rarity_scores(spark, sf_dir):
+    """CCNet-style unigram-LM quality scoring, integer-exact: per doc
+    the corpus-frequency mass of its tokens (sum_df = sum over token
+    occurrences of that token's corpus count; avg_df = sum_df/n_tokens —
+    the monotone core of unigram perplexity, kept log-free so BIGINT
+    sums + one IEEE division stay bit-exact across engines and the full
+    values sit behind the hash gate).  Plan: one token explode feeds
+    both the per-doc term counts and the vocabulary counts; the vocab
+    is broadcast into the per-doc join (functions/text_analysis.py:
+    token_rarity for the 100 TB notes)."""
+    from spider_engine_spark.functions.text_analysis import token_rarity
+
+    return token_rarity(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
     "set_ops_docs",
     """
     WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
@@ -2469,6 +2504,17 @@ _DRIVER_GATE_CAP = 50
 #   rollup_lang_source <-> pivot_event_types    (multi-dimension
 #                               reshaping aggregates — GROUPING SETS vs
 #                               pivot — over the same base tables)
+# Round 5 (final) also registered token_rarity_scores (never gated —
+# inside the cap), so 12 entries sit out per round; two more
+# 2-round-green plan-family additions:
+#   events_sessionize  <-> events_running_sum   (3rd member of the
+#                               per-key ordered event-window family
+#                               with events_lead_lag; running_sum is
+#                               in-gate every even round, lead_lag +
+#                               sessionize every odd round)
+#   asof_join_latest_order <-> range_join_value_buckets (non-equi-join
+#                               family; the range-join partner is never
+#                               demoted)
 _GATE_ROTATION = [
     # even rounds (r4, r6, ...)
     [
@@ -2483,6 +2529,7 @@ _GATE_ROTATION = [
         "tpch_q3_top10",
         "dedup_minhash_lsh",
         "rollup_lang_source",
+        "events_sessionize",
     ],
     # odd rounds (r5, r7, ...)
     [
@@ -2497,6 +2544,7 @@ _GATE_ROTATION = [
         "tpch_q5_regional",
         "dedup_ngram_jaccard",
         "pivot_event_types",
+        "asof_join_latest_order",
     ],
 ]
 _GATE_ROUND = 5  # bump each round — picks the rotation slot

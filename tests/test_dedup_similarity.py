@@ -682,3 +682,38 @@ def test_connected_components_frees_intermediate_checkpoints(spark):
         f"{len(leaked)} snapshots pinned after the run — expected only "
         "the returned labels"
     )
+
+
+# ---------------------------------------------------------------------------
+# token_rarity (unigram corpus-frequency quality score)
+# ---------------------------------------------------------------------------
+
+
+def test_token_rarity_hand_computed(spark):
+    from spider_engine_spark.functions.text_analysis import token_rarity
+
+    docs = spark.createDataFrame(
+        [("d1", "a a b"), ("d2", "a c"), ("d3", "")],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.sum_df, r.avg_df)
+        for r in token_rarity(docs, "doc_id", "text").collect()
+    }
+    # corpus counts: a=3, b=1, c=1
+    assert got["d1"] == (3, 2 * 3 + 1, 7 / 3)
+    assert got["d2"] == (2, 3 + 1, 2.0)
+    assert got["d3"] == (0, 0, None)  # zero-token doc: NULL score
+
+
+def test_token_rarity_vocab_join_is_broadcast(spark):
+    """The vocabulary side must broadcast: a shuffle join on `term`
+    puts the full stopword skew on the exchange."""
+    from spider_engine_spark.functions.text_analysis import token_rarity
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        token_rarity(docs, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -29,6 +29,7 @@ NEVER_YET_GATED = [
     "sequence_packing",
     "dedup_clusters",
     "streaming_neardup_pairs",
+    "token_rarity_scores",
 ]
 
 
@@ -94,6 +95,8 @@ def test_demoted_entries_have_a_gated_partner():
         "dedup_ngram_jaccard": "dedup_minhash_lsh",
         "rollup_lang_source": "pivot_event_types",
         "pivot_event_types": "rollup_lang_source",
+        "events_sessionize": "events_running_sum",
+        "asof_join_latest_order": "range_join_value_buckets",
     }
     order = list(QUERIES)
     for name in _GATE_OVERFLOW:
