@@ -224,6 +224,43 @@ class TableIO:
         self._commit_manifest(name, manifest)
         return new_version
 
+    def compact_if_due(
+        self,
+        spark: SparkSession,
+        name: str,
+        batch_id: int,
+        every: int,
+        max_bytes: int = 64 << 20,
+        transform=None,
+        partition_by: list[str] | None = None,
+    ) -> int | None:
+        """Streaming compaction-boundary guard — THE shared law for
+        foreachBatch handlers (streaming/ingest.py, streaming/neardup.py):
+        every `every` batches, fold undersized dirs via compact_small.
+
+        Replay-safe in both directions: a never-written table is a
+        no-op (an empty availableNow stream must not fail), an
+        already-compacted boundary is a no-op, and a STALE replayed
+        batch id can never regress the table meta — the committed meta
+        carries max(batch_id, current meta batch_id), because the
+        per-table append guards compare against that meta and a
+        regression would re-open them to duplicate re-appends of every
+        later batch."""
+        if (batch_id + 1) % every != 0 or not self.exists(name):
+            return None
+        m = self.meta(name)
+        cur = int(m.get("batch_id", -1))
+        if bool(m.get("compacted")) and cur >= batch_id:
+            return None
+        return self.compact_small(
+            spark,
+            name,
+            max_bytes=max_bytes,
+            meta={"batch_id": max(batch_id, cur), "compacted": True},
+            transform=transform,
+            partition_by=partition_by,
+        )
+
     def _append_version_of(self, name: str, entry: dict, meta: dict) -> int:
         """Commit a new version referencing an existing entry's data dirs
         (no data rewrite); shared by revert() and commit_meta()."""

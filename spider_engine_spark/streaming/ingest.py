@@ -83,33 +83,25 @@ def make_batch_handler(
                 "postings", postings, mode="append",
                 meta={"batch_id": batch_id},
             )
-        # never-written postings (every batch so far empty, e.g. an empty
-        # availableNow stream with an explicit schema) have nothing to
-        # compact — compact_small would raise from _entry
-        if (batch_id + 1) % compact_every == 0 and io.exists("postings"):
-            # Incremental, like the crawl path (frontier.py): fold only
-            # undersized postings dirs; dirs >= max_bytes are referenced
-            # untouched by the new manifest. The former whole-table
-            # merge_postings(read(...)) overwrite was O(table) every
-            # compact_every batches — cumulative O(n^2) write
-            # amplification on a long-running stream. Reads re-merge a
-            # term's rows across dirs lazily (probes sum df / union
-            # postings), so partial compaction preserves results.
-            # Replay-safe: on an already-compacted replay either the
-            # meta guard or the <=1-undersized-dir no-op applies; a
-            # re-merge of merged content is a fixpoint regardless.
-            m = io.meta("postings")
-            already = bool(m.get("compacted")) and int(
-                m.get("batch_id", -1)
-            ) >= batch_id
-            if not already:
-                io.compact_small(
-                    batch_df.sparkSession,
-                    "postings",
-                    max_bytes=compact_max_bytes,
-                    meta={"batch_id": batch_id, "compacted": True},
-                    transform=merge_postings,
-                )
+        # Incremental, like the crawl path (frontier.py): fold only
+        # undersized postings dirs; dirs >= max_bytes are referenced
+        # untouched by the new manifest. The former whole-table
+        # merge_postings(read(...)) overwrite was O(table) every
+        # compact_every batches — cumulative O(n^2) write amplification
+        # on a long-running stream. Reads re-merge a term's rows across
+        # dirs lazily (probes sum df / union postings), so partial
+        # compaction preserves results. Never-written/already-compacted
+        # /stale-replay boundaries are all no-ops inside compact_if_due
+        # (the shared boundary law — a stale batch id must never
+        # regress the meta the append guards compare against).
+        io.compact_if_due(
+            batch_df.sparkSession,
+            "postings",
+            batch_id,
+            compact_every,
+            max_bytes=compact_max_bytes,
+            transform=merge_postings,
+        )
 
     return handle_batch
 

@@ -19,15 +19,20 @@ the persisted buckets), and a cross-batch pair is emitted exactly once:
 in the batch of its later-arriving member.  A re-delivered key
 (re-crawl of a known doc_id) is ignored — first-arrival-wins, the
 reference's duplicate-PK law (core/table/table.go:451-454) — so state
-rows and pairs never duplicate.  Within one micro-batch, keys are
-assumed unique (the batch operators' precondition).
+rows and pairs never duplicate.  Within one micro-batch, duplicate
+keys keep exactly one row deterministically (min by content hash, the
+catalog's dup-PK tiebreak) — otherwise minhash_signatures' groupBy
+would silently min-merge two texts into a hybrid signature matching
+neither.
 
-100 TB shape: per micro-batch work is one equi-join of (batch x bands)
-rows against the bucket table on (band, bucket) — a single shuffle;
-the bucket table grows as corpus x bands rows of ~24 bytes and never
-holds text.  Both state tables are compacted incrementally every
-compact_every batches (TableIO.compact_small — undersized dirs only,
-the ingest.py policy), so a long-running stream's probe never unions
+100 TB shape: per micro-batch the bucket table is read twice — the
+first-arrival anti-join on its distinct keys and the (band, bucket)
+probe equi-join — i.e. two corpus-sized shuffles of ~24-byte rows that
+never hold text, each against a batch-sized side (maintain the key set
+as its own corpus x 1-row table if the 2x read matters at your scale).
+Both state tables are compacted incrementally every compact_every
+batches (TableIO.compact_if_due — undersized dirs only, the shared
+ingest.py boundary law), so a long-running stream's probe never unions
 one parquet dir per historical batch.  Skewed buckets (boilerplate)
 are the same AQE-handled hazard as the batch path; a
 cap_bucket_size-style guard can be applied to the persisted side by
@@ -85,6 +90,15 @@ def make_neardup_batch_handler(
             )
 
         spark = batch_df.sparkSession
+        # in-batch duplicate keys: keep one row deterministically (min
+        # by content hash — the catalog's dup-PK tiebreak law) so a
+        # re-crawl landing twice in ONE micro-batch cannot min-merge
+        # two texts into a hybrid signature
+        batch_df = (
+            batch_df.select(key, content)
+            .groupBy(key)
+            .agg(F.min_by(content, F.md5(F.col(content))).alias(content))
+        )
         prior = io.read(spark, "buckets") if io.exists("buckets") else None
         if prior is not None:
             # first-arrival-wins (reference duplicate-PK law): a
@@ -113,11 +127,16 @@ def make_neardup_batch_handler(
                         F.greatest(
                             F.col(f"x.{key}"), F.col(f"p.{key}")
                         ).alias("b"),
-                    )
+                    ).distinct()
+                    # no distinct over the union: each leg is distinct
+                    # and they cannot collide (an in-batch pair has
+                    # BOTH members in this batch; a cross pair exactly
+                    # one) — a union-wide distinct would re-shuffle the
+                    # dominant candidate set a second time
                     pairs = pairs.unionByName(cross)
                 io.write(
                     "pairs",
-                    pairs.distinct(),
+                    pairs,
                     mode="append",
                     meta={"batch_id": batch_id},
                 )
@@ -127,24 +146,15 @@ def make_neardup_batch_handler(
                 )
         finally:
             bb.unpersist()
-        # incremental compaction (the ingest.py policy): without it a
-        # long-running stream's probe unions one parquet dir per
-        # historical batch — O(#batches) listing/plan cost per probe
-        if (batch_id + 1) % compact_every == 0:
-            for tbl in ("pairs", "buckets"):
-                if not io.exists(tbl):
-                    continue
-                m = io.meta(tbl)
-                already = bool(m.get("compacted")) and int(
-                    m.get("batch_id", -1)
-                ) >= batch_id
-                if not already:
-                    io.compact_small(
-                        spark,
-                        tbl,
-                        max_bytes=compact_max_bytes,
-                        meta={"batch_id": batch_id, "compacted": True},
-                    )
+        # incremental compaction (the shared ingest.py boundary law,
+        # incl. the stale-replay meta guard): without it a long-running
+        # stream's probe unions one parquet dir per historical batch —
+        # O(#batches) listing/plan cost per probe
+        for tbl in ("pairs", "buckets"):
+            io.compact_if_due(
+                spark, tbl, batch_id, compact_every,
+                max_bytes=compact_max_bytes,
+            )
 
     return handle
 

@@ -218,3 +218,67 @@ def test_stream_neardup_real_readstream(spark, tmp_path):
     # give jaccard 19/25 = 0.76 — the verify stage is doing real work
     assert len(_streamed_pairs(spark, io)) >= 3
     assert verified == batch_verified == {(0, 1)}
+
+
+def test_stale_replay_at_compaction_boundary_cannot_regress_meta(
+    spark, tmp_path
+):
+    """A stale replayed batch id landing on a compaction boundary must
+    not regress the table meta's batch_id — that would re-open the
+    append guards and duplicate every later batch on replay."""
+    io = TableIO(str(tmp_path / "state"))
+    handler = make_neardup_batch_handler(
+        io, "doc_id", "text", k=16, bands=8, compact_every=4
+    )
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    # batches 0..4: boundary at 3 compacts; batch 4 append clears the
+    # 'compacted' flag (write meta replaces), the regression window
+    splits = [[0, 1], [2], [3], [4, 5], [6]]
+    for bid, ids in enumerate(splits):
+        handler(docs.filter(F.col("doc_id").isin(ids)), bid)
+    n_pairs = io.read(spark, "pairs").count()
+    n_buckets = io.read(spark, "buckets").count()
+    assert int(io.meta("buckets")["batch_id"]) == 4
+    # stale replay of committed batch 3 — a compaction boundary
+    handler(docs.filter(F.col("doc_id").isin([3])), 3)
+    assert int(io.meta("buckets")["batch_id"]) == 4, (
+        "boundary compaction regressed the meta batch_id"
+    )
+    assert int(io.meta("pairs")["batch_id"]) == 4
+    # replays of later batches stay no-ops
+    handler(docs.filter(F.col("doc_id").isin([4, 5])), 4)
+    assert io.read(spark, "pairs").count() == n_pairs
+    assert io.read(spark, "buckets").count() == n_buckets
+    assert _streamed_pairs(spark, io) == _batch_pairs(spark)
+
+
+def test_inbatch_duplicate_key_keeps_one_deterministically(spark, tmp_path):
+    """Two versions of one doc_id in a SINGLE micro-batch must not
+    min-merge into a hybrid signature: exactly one version survives,
+    chosen by min content hash (the catalog dup-PK tiebreak), so two
+    runs agree."""
+    import hashlib
+
+    texts = ["first version of the page text", "second rewritten text"]
+    winner = min(texts, key=lambda t: hashlib.md5(t.encode()).hexdigest())
+    states = []
+    for run in range(2):
+        io = TableIO(str(tmp_path / f"state{run}"))
+        handler = make_neardup_batch_handler(
+            io, "doc_id", "text", k=16, bands=8
+        )
+        handler(
+            spark.createDataFrame(
+                [(0, texts[0]), (0, texts[1]), (1, winner)], SCHEMA
+            ),
+            0,
+        )
+        buckets = io.read(spark, "buckets")
+        assert buckets.filter(F.col("doc_id") == 0).count() == 8
+        states.append(
+            {(r.doc_id, r.band, r.bucket) for r in buckets.collect()}
+        )
+        # doc 1 carries the winner text: if doc 0 kept the same version
+        # they are exact dups and MUST pair in every band's bucket
+        assert {(0, 1)} == _streamed_pairs(spark, io)
+    assert states[0] == states[1]
