@@ -371,3 +371,37 @@ def test_stateful_seen_flag_dedups_across_arrow_chunks(spark):
     out = pd.concat(list(fn((0,), iter([chunk1, chunk2]), FakeState())))
     assert sorted(out["hash"]) == [11, 22, 33]  # 11 exactly once
     assert not out["maybe_seen"].any()  # all first-seen in this batch
+
+
+def test_ingest_stale_replay_at_boundary_cannot_regress_meta(
+    spark, tmp_path
+):
+    """The compact_if_due stale-replay guard, on the ingest handler: a
+    replayed old batch id landing on a compaction boundary must not
+    regress the tables' meta batch_id — that would re-open the append
+    guards and duplicate base/postings rows for every later batch."""
+    from spider_engine_spark.streaming.ingest import make_batch_handler
+
+    io = TableIO(str(tmp_path / "state"))
+    handler = make_batch_handler(io, compact_every=4)
+
+    def batch(i):
+        return spark.createDataFrame(
+            [(i * 10 + j, f"tokens of doc {i} {j}") for j in range(2)],
+            "doc_id long, text string",
+        )
+
+    for bid in range(5):  # boundary at 3 compacts; batch 4 clears flag
+        handler(batch(bid), bid)
+    n_base = io.read(spark, "base").count()
+    # content-level baseline: raw postings row counts legitimately drop
+    # when a replayed boundary compaction merges same-term rows
+    n_merged = merge_postings(io.read(spark, "postings")).count()
+    assert int(io.meta("base")["batch_id"]) == 4
+    handler(batch(3), 3)  # stale replay ON a compaction boundary
+    assert int(io.meta("postings")["batch_id"]) == 4, (
+        "boundary compaction regressed the postings meta batch_id"
+    )
+    handler(batch(4), 4)  # later replay must stay a no-op
+    assert io.read(spark, "base").count() == n_base
+    assert merge_postings(io.read(spark, "postings")).count() == n_merged
