@@ -250,13 +250,20 @@ class TableIO:
             return None
         m = self.meta(name)
         cur = int(m.get("batch_id", -1))
+        if cur > batch_id:
+            # stale replayed boundary: a later batch already committed,
+            # and the live stream will compact at its own next boundary
+            # — rewriting dirs here would be wasted replay I/O
+            return None
         if bool(m.get("compacted")) and cur >= batch_id:
             return None
+        # merge, don't replace: handlers may carry extra meta keys
+        # (compact_small itself preserves meta when meta=None)
         return self.compact_small(
             spark,
             name,
             max_bytes=max_bytes,
-            meta={"batch_id": max(batch_id, cur), "compacted": True},
+            meta={**m, "batch_id": max(batch_id, cur), "compacted": True},
             transform=transform,
             partition_by=partition_by,
         )

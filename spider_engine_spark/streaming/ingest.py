@@ -102,6 +102,15 @@ def make_batch_handler(
             max_bytes=compact_max_bytes,
             transform=merge_postings,
         )
+        # base grows one dir per micro-batch too — same boundary law,
+        # plain concat (disjoint rows, no transform needed)
+        io.compact_if_due(
+            batch_df.sparkSession,
+            "base",
+            batch_id,
+            compact_every,
+            max_bytes=compact_max_bytes,
+        )
 
     return handle_batch
 
