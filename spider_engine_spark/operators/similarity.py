@@ -269,6 +269,32 @@ def build_ivf_index(
     return cents
 
 
+def ivf_append(io, name: str, df: DataFrame) -> int:
+    """Incrementally add vectors to a persisted IVF index — the
+    streaming-ingest counterpart of build-once/probe-many: new rows are
+    assigned to the EXISTING centroids (a map-only projection against
+    k x dim literals; no shuffle beyond the hive co-location
+    repartition) and appended under the same ivf_list partitioning, so
+    probes see them immediately with unchanged partition pruning.
+
+    Centroids are deliberately NOT refit — the standard IVF maintenance
+    trade: assignment stays correct for any centroid set (probe ranks
+    the same centroids it assigns against), recall drifts only if the
+    data distribution shifts, and then the answer is a build_ivf_index
+    rebuild (watch per-list size skew via the table's partition dirs).
+    The index meta (centroids/k/key/vec) carries over unchanged."""
+    meta = io.meta(name)
+    cents, key, vec = meta["centroids"], meta["key"], meta["vec"]
+    assigned = ivf_assign(df.select(F.col(key), F.col(vec)), key, vec, cents)
+    return io.write(
+        name,
+        assigned.repartition("ivf_list"),
+        mode="append",
+        meta=meta,
+        partition_by=["ivf_list"],
+    )
+
+
 def ivf_probe_index(
     spark,
     io,

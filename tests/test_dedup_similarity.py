@@ -717,3 +717,51 @@ def test_token_rarity_vocab_join_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_append_incremental(spark, tmp_path_factory):
+    """Appended vectors join the persisted index under the same
+    centroids and partitioning: a planted power-of-two scaled copy of
+    the query (same cosine, same list argmax — exact in IEEE) is found
+    at rank 1 by the next probe, pruning intact, centroids unchanged."""
+    from spider_engine_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        ivf_probe_index,
+    )
+    from spider_engine_spark.sources.tableio import TableIO
+
+    tio = TableIO(str(tmp_path_factory.mktemp("ivf_app")))
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    cents = build_ivf_index(
+        tio, "emb__ivf", emb, "vec_id", "embedding", k=8, iters=2
+    )
+    qvec = list(emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"])
+    new_id = 10_000_000
+    copy = [float(x) * 2.0 for x in qvec]  # power-of-two: cosine == 1.0
+    ivf_append(
+        tio,
+        "emb__ivf",
+        spark.createDataFrame(
+            [(new_id, copy)], "vec_id long, embedding array<float>"
+        ),
+    )
+    assert tio.meta("emb__ivf")["centroids"] == cents  # meta carried over
+    page = ivf_probe_index(spark, tio, "emb__ivf", qvec, k=3, n_probe=2)
+    rows = page.collect()
+    # the scaled copy and the original tie at cosine 1.0; vec_id 3 wins
+    # the deterministic tiebreak, the appended copy must be present
+    top_ids = [r["vec_id"] for r in rows]
+    assert top_ids[0] == 3 and new_id in top_ids[:2], top_ids
+    assert abs(rows[1]["cosine"] - 1.0) < 1e-12
+    # pruning still holds on the appended snapshot (executed metrics)
+    metrics = {}
+    leaves = page._jdf.queryExecution().executedPlan().collectLeaves()
+    for i in range(leaves.size()):
+        it = leaves.apply(i).metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            metrics[kv._1()] = kv._2().value()
+    assert 0 < metrics["numPartitions"] <= 2, metrics
