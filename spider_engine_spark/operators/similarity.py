@@ -269,7 +269,9 @@ def build_ivf_index(
     return cents
 
 
-def ivf_append(io, name: str, df: DataFrame) -> int:
+def ivf_append(
+    io, name: str, df: DataFrame, batch_id: int | None = None
+) -> int | None:
     """Incrementally add vectors to a persisted IVF index — the
     streaming-ingest counterpart of build-once/probe-many: new rows are
     assigned to the EXISTING centroids (a map-only projection against
@@ -282,15 +284,46 @@ def ivf_append(io, name: str, df: DataFrame) -> int:
     the same centroids it assigns against), recall drifts only if the
     data distribution shifts, and then the answer is a build_ivf_index
     rebuild (watch per-list size skew via the table's partition dirs).
-    The index meta (centroids/k/key/vec) carries over unchanged."""
+    The index meta (centroids/k/key/vec) carries over unchanged.
+
+    Guards (one validation pass over the batch): an EMPTY batch is a
+    no-op returning None — a zero-row hive write commits a dir with no
+    parquet files, which bricks every subsequent read of the table —
+    and a vector whose dimension differs from the stored centroids
+    raises instead of being silently assigned list -1 (zip_with pads
+    with nulls → null cosines → the assign fallback), where no probe
+    would ever find it.  `batch_id` opts into the streaming idempotence
+    law (skip if the index meta already committed this id); without it
+    the caller owns retry discipline — a blind retry of a committed
+    append duplicates rows."""
     meta = io.meta(name)
+    if batch_id is not None and int(meta.get("batch_id", -1)) >= batch_id:
+        return None
     cents, key, vec = meta["centroids"], meta["key"], meta["vec"]
+    dim = len(cents[0])
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum((F.size(F.col(vec)) != dim).cast("int")), F.lit(0)
+        ).alias("bad"),
+    ).collect()[0]
+    if stats["n"] == 0:
+        return None
+    if stats["bad"]:
+        raise ValueError(
+            f"ivf_append: {stats['bad']} vector(s) have dim != {dim} "
+            f"(the index centroids' dimension) — they would be "
+            f"unsearchable; rebuild the index for a new dimension"
+        )
     assigned = ivf_assign(df.select(F.col(key), F.col(vec)), key, vec, cents)
+    new_meta = dict(meta)
+    if batch_id is not None:
+        new_meta["batch_id"] = batch_id
     return io.write(
         name,
         assigned.repartition("ivf_list"),
         mode="append",
-        meta=meta,
+        meta=new_meta,
         partition_by=["ivf_list"],
     )
 

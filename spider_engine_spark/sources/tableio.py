@@ -104,6 +104,10 @@ class TableIO:
                 "dirs": dirs,
                 "schema": df.schema.json(),
                 "meta": meta or {},
+                # recorded so compaction can rewrite WITH the table's
+                # hive layout — dropping it would silently trade the
+                # partition pruning the layout exists for
+                "partition_by": partition_by,
             }
         )
         self._commit_manifest(name, manifest)
@@ -167,8 +171,12 @@ class TableIO:
         """Rewrite the append chain into a single snapshot (the analogue of
         the reference's partition merge, table.go:874-971 / Iceberg
         rewrite_data_files)."""
+        entry = self._entry(name)
         df = self.read(spark, name)
-        return self.write(name, df, mode="overwrite", meta=meta)
+        return self.write(
+            name, df, mode="overwrite", meta=meta,
+            partition_by=entry.get("partition_by"),
+        )
 
     def _dir_bytes(self, d: str) -> int:
         total = 0
@@ -196,8 +204,12 @@ class TableIO:
         two undersized dirs exist (nothing to merge).
 
         transform: optional DataFrame->DataFrame applied to the merged
-        small-dir union (e.g. postings re-grouping)."""
+        small-dir union (e.g. postings re-grouping).  partition_by
+        defaults to the table's recorded hive layout so compaction
+        never silently flattens a partitioned table."""
         entry = self._entry(name)
+        if partition_by is None:
+            partition_by = entry.get("partition_by")
         small = [d for d in entry["dirs"] if self._dir_bytes(d) < max_bytes]
         big = [d for d in entry["dirs"] if d not in small]
         if len(small) <= 1:
@@ -219,6 +231,7 @@ class TableIO:
                 "dirs": big + [merged],
                 "schema": entry["schema"],
                 "meta": meta if meta is not None else dict(entry.get("meta", {})),
+                "partition_by": partition_by,
             }
         )
         self._commit_manifest(name, manifest)
@@ -282,6 +295,7 @@ class TableIO:
                 "dirs": list(entry["dirs"]),
                 "schema": entry["schema"],
                 "meta": meta,
+                "partition_by": entry.get("partition_by"),
             }
         )
         self._commit_manifest(name, manifest)

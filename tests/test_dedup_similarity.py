@@ -756,12 +756,105 @@ def test_ivf_append_incremental(spark, tmp_path_factory):
     top_ids = [r["vec_id"] for r in rows]
     assert top_ids[0] == 3 and new_id in top_ids[:2], top_ids
     assert abs(rows[1]["cosine"] - 1.0) < 1e-12
-    # pruning still holds on the appended snapshot (executed metrics)
-    metrics = {}
+    # pruning still holds on the appended snapshot: the union has TWO
+    # FileScan leaves (base dir + append dir) and EACH must prune to
+    # <= n_probe list partitions (a dict keyed on metric name would
+    # silently check only the last leaf)
     leaves = page._jdf.queryExecution().executedPlan().collectLeaves()
+    per_leaf = []
     for i in range(leaves.size()):
+        m = {}
         it = leaves.apply(i).metrics().iterator()
         while it.hasNext():
             kv = it.next()
-            metrics[kv._1()] = kv._2().value()
-    assert 0 < metrics["numPartitions"] <= 2, metrics
+            m[kv._1()] = kv._2().value()
+        if "numPartitions" in m:
+            per_leaf.append(m["numPartitions"])
+    assert len(per_leaf) == 2, per_leaf
+    assert all(0 < n <= 2 for n in per_leaf), per_leaf
+
+
+def test_ivf_append_guards(spark, tmp_path_factory):
+    """Empty batches are no-ops (a zero-row hive write commits a dir
+    with no parquet files and bricks the table), wrong-dimension
+    vectors raise instead of vanishing into list -1, and batch_id opts
+    into the replay-idempotence law."""
+    import pytest as _pytest
+
+    from spider_engine_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        ivf_probe_index,
+    )
+    from spider_engine_spark.sources.tableio import TableIO
+
+    tio = TableIO(str(tmp_path_factory.mktemp("ivf_guard")))
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    build_ivf_index(tio, "ivf", emb, "vec_id", "embedding", k=4, iters=1)
+    v0 = tio.versions("ivf")[-1]
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ivf_append(tio, "ivf", empty) is None
+    assert tio.versions("ivf")[-1] == v0  # no version committed
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    # the table still reads fine and probes work
+    assert ivf_probe_index(spark, tio, "ivf", qvec, k=3).count() == 3
+    with _pytest.raises(ValueError, match="dim"):
+        ivf_append(
+            tio, "ivf",
+            spark.createDataFrame(
+                [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+            ),
+        )
+    # batch_id idempotence: the second delivery of batch 0 is a no-op
+    one = spark.createDataFrame(
+        [(777, qvec)], "vec_id long, embedding array<float>"
+    )
+    assert ivf_append(tio, "ivf", one, batch_id=0) is not None
+    v1 = tio.versions("ivf")[-1]
+    assert ivf_append(tio, "ivf", one, batch_id=0) is None
+    assert tio.versions("ivf")[-1] == v1
+
+
+def test_compaction_preserves_hive_partitioning(spark, tmp_path_factory):
+    """compact/compact_small must rewrite WITH the table's recorded
+    hive layout: flattening ivf_list would silently trade away the
+    partition pruning the index exists for."""
+    from spider_engine_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        ivf_probe_index,
+    )
+    from spider_engine_spark.sources.tableio import TableIO
+
+    tio = TableIO(str(tmp_path_factory.mktemp("ivf_comp")))
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    build_ivf_index(tio, "ivf", emb, "vec_id", "embedding", k=4, iters=1)
+    qvec = list(emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"])
+    ivf_append(
+        tio, "ivf",
+        spark.createDataFrame(
+            [(5_000_000, [x * 2.0 for x in qvec])],
+            "vec_id long, embedding array<float>",
+        ),
+    )
+    meta = dict(tio.meta("ivf"))
+    tio.compact(spark, "ivf", meta=meta)  # fold the append chain
+    assert tio._entry("ivf")["partition_by"] == ["ivf_list"]
+    page = ivf_probe_index(spark, tio, "ivf", qvec, k=3, n_probe=2)
+    rows = page.collect()
+    assert rows[0]["vec_id"] == 5 and 5_000_000 in [
+        r["vec_id"] for r in rows[:2]
+    ]
+    # single compacted dir, pruned to n_probe list partitions
+    leaves = page._jdf.queryExecution().executedPlan().collectLeaves()
+    m = {}
+    it = leaves.apply(0).metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        m[kv._1()] = kv._2().value()
+    assert leaves.size() == 1
+    assert 0 < m["numPartitions"] <= 2, m
