@@ -416,3 +416,70 @@ def search_multi(
     stats = hydrated.agg(F.count(F.lit(1)).alias("total_"))
     with_total = hydrated.crossJoin(F.broadcast(stats))
     return _rank_clamp_page(with_total, "total_", offset, size, keep_total)
+
+
+def bm25_single_term(
+    docs: DataFrame,
+    key: str,
+    content: str,
+    keyword: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    size: int = 20,
+) -> DataFrame:
+    """Single-term BM25 ranking — the reference's TODO #2 ("更加智能的
+    排序规则，目前仅支持简单的DF-IDF算法", README.md:271-272) answered
+    Spark-side: Okapi BM25's TF saturation + length normalization over
+    the same whitespace token law the TF-IDF path uses.
+
+    Exactness design: for ONE query term the idf factor is a positive
+    constant across documents, so it is omitted — the ranking (and the
+    reported score) is the RATIONAL part tf*(k1+1) / (tf + k1*(1 - b +
+    b*dl/avgdl)).  Every operand is a BIGINT count or an IEEE division/
+    multiply of one (avgdl = sum(dl)/N), and (k1+1) is passed as one
+    literal, so the doubles are bit-identical to an ANSI-SQL oracle
+    evaluating the same expression tree — no transcendental (ln/log)
+    whose last-ulp rounding differs across engines.  Multi-term BM25
+    needs per-term idf weighting; route it through the postings df
+    statistics if needed.
+
+    Plan: one token explode feeds doc lengths and term frequencies (two
+    groupBys, map-side combined); avgdl is a 1-row broadcast; final
+    TakeOrdered(size) — no full-corpus sort.
+    """
+    from spider_engine_spark.operators.dedup import exploded_tokens
+
+    toks = exploded_tokens(docs, key, content)
+    dl = toks.groupBy(key).agg(F.count(F.lit(1)).alias("dl"))
+    avg = dl.agg(
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term") == keyword)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = tf.join(dl, key).crossJoin(F.broadcast(avg))
+    # literal (k1+1) precomputed ONCE in Python: 1.2+1.0 in double is
+    # not guaranteed to equal double("2.2"); both engines must receive
+    # the identical literal
+    score = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        scored.select(
+            F.col(key),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("dl").cast("long").alias("dl"),
+            score.alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(key))
+        .limit(size)
+    )

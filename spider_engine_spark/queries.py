@@ -1140,6 +1140,42 @@ def interleaved_spans_roundtrip(spark, sf_dir):
 
 
 @query(
+    "search_bm25",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    ad AS (SELECT sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl),
+    tf AS (SELECT doc_id, count(*) AS tf FROM tok
+           WHERE term = 'spark' GROUP BY doc_id)
+    SELECT tf.doc_id, tf.tf::BIGINT AS tf, dl.dl::BIGINT AS dl,
+      (tf.tf * 2.2::DOUBLE)
+        / (tf.tf + 1.2::DOUBLE
+            * (0.25::DOUBLE + 0.75::DOUBLE * (dl.dl / ad.avgdl))) AS score
+    FROM tf JOIN dl USING (doc_id) CROSS JOIN ad
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def search_bm25(spark, sf_dir):
+    """Okapi BM25 ranking for a single query term — the reference's own
+    TODO #2 asks for ranking beyond TF-IDF (README.md:271-272); this is
+    the Spark-side answer, hash-gate exact by construction: with one
+    term the idf factor is a per-query constant and is omitted, so the
+    score is the RATIONAL saturation/length-normalization core
+    tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) — BIGINT counts and IEEE
+    multiply/divide only, the identical expression tree on both
+    engines, no transcendental whose last-ulp rounding could differ
+    (1.2+1.0 == 2.2 and 1.0-0.75 == 0.25 exactly in doubles, so the
+    literals match too)."""
+    from spider_engine_spark.operators.search import bm25_single_term
+
+    return bm25_single_term(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "spark",
+        k1=1.2, b=0.75, size=20,
+    )
+
+
+@query(
     "search_multi_term_and",
     """
     WITH toks AS (
@@ -2515,6 +2551,14 @@ _DRIVER_GATE_CAP = 50
 #   asof_join_latest_order <-> range_join_value_buckets (non-equi-join
 #                               family; the range-join partner is never
 #                               demoted)
+# Round 5 (final) also registered search_bm25 (never gated — inside
+# the cap), so 13 entries sit out per round; one more 2-round-green
+# plan-family pair:
+#   search_multi_term_and <-> search_multi_term_or (multi-term postings
+#                               probe + per-doc aggregate; the
+#                               single/multi search family keeps
+#                               search_tfidf/search_pagination and now
+#                               search_bm25 as additional members)
 _GATE_ROTATION = [
     # even rounds (r4, r6, ...)
     [
@@ -2530,6 +2574,7 @@ _GATE_ROTATION = [
         "dedup_minhash_lsh",
         "rollup_lang_source",
         "events_sessionize",
+        "search_multi_term_and",
     ],
     # odd rounds (r5, r7, ...)
     [
@@ -2545,6 +2590,7 @@ _GATE_ROTATION = [
         "dedup_ngram_jaccard",
         "pivot_event_types",
         "asof_join_latest_order",
+        "search_multi_term_or",
     ],
 ]
 _GATE_ROUND = 5  # bump each round — picks the rotation slot

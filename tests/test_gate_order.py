@@ -30,6 +30,7 @@ NEVER_YET_GATED = [
     "dedup_clusters",
     "streaming_neardup_pairs",
     "token_rarity_scores",
+    "search_bm25",
 ]
 
 
@@ -97,6 +98,8 @@ def test_demoted_entries_have_a_gated_partner():
         "pivot_event_types": "rollup_lang_source",
         "events_sessionize": "events_running_sum",
         "asof_join_latest_order": "range_join_value_buckets",
+        "search_multi_term_and": "search_multi_term_or",
+        "search_multi_term_or": "search_multi_term_and",
     }
     order = list(QUERIES)
     for name in _GATE_OVERFLOW:

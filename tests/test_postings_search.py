@@ -463,3 +463,22 @@ def test_native_whole_semicolon_match_python(spark):
             if s is not None and tokenize(s, mode)
         }
         assert got == want
+
+
+def test_bm25_single_term_hand_computed(spark):
+    """BM25 saturation/length-normalization core on a tiny corpus:
+    d1 ("x x y"): tf=2, dl=3, avgdl=3 -> 4.4/3.2 = 1.375
+    d2 ("x z z z"): tf=1, dl=4 -> 2.2/(1+1.2*(0.25+0.75*4/3)) = 0.88
+    d3 ("y y"): no hit -> absent. Higher tf with shorter doc wins."""
+    from spider_engine_spark.operators.search import bm25_single_term
+
+    docs = spark.createDataFrame(
+        [("d1", "x x y"), ("d2", "x z z z"), ("d3", "y y")],
+        "doc_id string, text string",
+    )
+    rows = bm25_single_term(docs, "doc_id", "text", "x").collect()
+    assert [r.doc_id for r in rows] == ["d1", "d2"]
+    assert (rows[0].tf, rows[0].dl) == (2, 3)
+    assert rows[0].score == pytest.approx(1.375)
+    assert rows[1].score == pytest.approx(0.88)
+    assert rows[0].score > rows[1].score
