@@ -443,28 +443,33 @@ def bm25_single_term(
     needs per-term idf weighting; route it through the postings df
     statistics if needed.
 
-    Plan: one token explode feeds doc lengths and term frequencies (two
-    groupBys, map-side combined); avgdl is a 1-row broadcast; final
-    TakeOrdered(size) — no full-corpus sort.
+    avgdl is the mean length of documents with >= 1 token (empty/null
+    docs contribute no rows to the explode and are excluded — both
+    engines identically, so oracle parity holds; textbook BM25 averages
+    over the whole collection, document the difference to consumers).
+
+    Plan: ONE token explode into ONE groupBy producing (dl, tf) as a
+    conditional count per doc — no tf-to-dl join; avgdl aggregates the
+    same grouped frame (Spark reuses the exchange) into a 1-row
+    broadcast; final TakeOrdered(size) — no full-corpus sort.
     """
     from spider_engine_spark.operators.dedup import exploded_tokens
 
     toks = exploded_tokens(docs, key, content)
-    dl = toks.groupBy(key).agg(F.count(F.lit(1)).alias("dl"))
-    avg = dl.agg(
+    per_doc = toks.groupBy(key).agg(
+        F.count(F.lit(1)).alias("dl"),
+        F.count(F.when(F.col("term") == keyword, 1)).alias("tf"),
+    )
+    avg = per_doc.agg(
         (
             F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avgdl")
     )
-    tf = (
-        toks.filter(F.col("term") == keyword)
-        .groupBy(key)
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    scored = tf.join(dl, key).crossJoin(F.broadcast(avg))
-    # literal (k1+1) precomputed ONCE in Python: 1.2+1.0 in double is
-    # not guaranteed to equal double("2.2"); both engines must receive
-    # the identical literal
+    scored = per_doc.filter(F.col("tf") > 0).crossJoin(F.broadcast(avg))
+    # (k1+1) is folded ONCE in Python and must equal the oracle SQL's
+    # literal: for the defaults, 1.2+1.0 rounds to exactly double("2.2")
+    # and 1.0-0.75 is exactly 0.25 (asserted in the query docstring) —
+    # changing k1/b means re-deriving the oracle's folded literals
     score = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf")
         + F.lit(k1)

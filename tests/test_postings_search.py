@@ -482,3 +482,21 @@ def test_bm25_single_term_hand_computed(spark):
     assert rows[0].score == pytest.approx(1.375)
     assert rows[1].score == pytest.approx(0.88)
     assert rows[0].score > rows[1].score
+
+
+def test_bm25_plan_single_explode(spark):
+    """The corpus must be scanned/tokenized ONCE: a tf-vs-dl join shape
+    re-explodes the corpus per branch (measured 3 scans pre-fix)."""
+    from spider_engine_spark.operators.search import bm25_single_term
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        bm25_single_term(docs, "doc_id", "text", "spark")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_gen = plan.count("Generate explode")
+    assert 0 < n_gen <= 2, (
+        f"{n_gen} explodes in the BM25 plan — the avgdl branch may "
+        "re-derive the grouped frame once, but a third means the "
+        "tf/dl join shape is back"
+    )
