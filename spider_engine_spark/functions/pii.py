@@ -67,7 +67,16 @@ def scrub_pii(c: Column, kinds: tuple[str, ...] | None = None) -> Column:
     patterns in PII_PATTERNS order (a later pattern never sees text a
     previous one already redacted). kinds=None scrubs everything; an
     explicit empty tuple scrubs nothing (and counts nothing in the
-    DataFrame form) — the two surfaces always agree."""
+    DataFrame form) — the two surfaces always agree.
+
+    Known chained-replace artifact (identical in the SQL oracle, so
+    parity holds): an earlier redaction can CREATE a boundary that lets
+    a later pattern match text it would not have matched in the
+    original (e.g. an email match ending flush against digits exposes a
+    \\b for the ipv4 pass) — scrubbed output may then carry a token
+    whose pii_n_<kind> count is 0. Inherent to sequential replacement;
+    consumers needing positionally-exclusive matching should extract
+    spans instead of chaining replaces."""
     chosen = _validate_kinds(kinds)
     out = c
     for kind, pattern, token in PII_PATTERNS:
@@ -81,8 +90,15 @@ def with_pii_scrubbed(
     kinds: tuple[str, ...] | None = None,
 ):
     """DataFrame form: adds `out` = the scrubbed text plus one
-    `pii_n_<kind>` count column per kind (counted on the ORIGINAL text,
-    so the counts audit what was removed)."""
+    `pii_n_<kind>` count column per kind.
+
+    Counts are per-pattern matches on the ORIGINAL text, independently
+    per kind — they may OVERLAP across kinds (the digits inside an
+    email count as a phone match too, though only the email is
+    redacted) and so audit exposure per kind, NOT exactly what the
+    chained scrub removed. Exclusive what-was-removed accounting would
+    need positional span extraction; the overlap definition is what the
+    SQL oracle pins."""
     chosen = _validate_kinds(kinds)
     d = df
     for kind, _, _ in PII_PATTERNS:

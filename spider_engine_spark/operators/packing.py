@@ -53,10 +53,26 @@ def pack_sequences(
     counter defaults to the BPE-ish pre-tokenizer count
     (functions/text_analysis.bpe_ish_token_count); pass any Column
     function for a different token law. Zero-token documents still
-    consume their separator, so every doc has a well-defined position.
+    consume their separator, so every doc has a well-defined position
+    (which is why sep_tokens must be >= 1: with 0 a zero-token doc
+    would get an empty span and chunk_last < chunk_first).
+
+    Duplicate `key` values each receive their OWN non-overlapping span:
+    the cumsum runs over a ROWS frame ordered by (key, n_tok), so tied
+    keys never share a stream_end (a RANGE frame would assign
+    overlapping token positions to both rows — silent pack corruption);
+    rows identical in (key, n_tok) are interchangeable, so the layout
+    is still deterministic as a multiset.
     """
     if block <= 0:
         raise ValueError(f"block must be positive, got {block}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if sep_tokens < 1:
+        raise ValueError(
+            f"sep_tokens must be >= 1 (zero-token docs need the "
+            f"separator for a well-defined span), got {sep_tokens}"
+        )
     count_fn = counter or bpe_ish_token_count
     d = df.select(
         F.col(key),
@@ -71,7 +87,11 @@ def pack_sequences(
         .cast("int")
         .alias("bucket"),
     )
-    w = Window.partitionBy("bucket").orderBy(key)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(key, "n_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     d = d.withColumn("stream_end", F.sum("n_tok").over(w))
     d = d.withColumn("stream_start", F.col("stream_end") - F.col("n_tok"))
     block = int(block)

@@ -2416,12 +2416,18 @@ def pii_scrub_audit(spark, sf_dir):
             F.col("text"),
         ).alias("msg"),
     )
+    from spider_engine_spark.functions.pii import PII_PATTERNS
+
     out = with_pii_scrubbed(injected, "msg", out="msg_scrubbed")
+    # derive the select from PII_PATTERNS, like the oracle SQL — adding
+    # a kind in pii.py then updates both sides in lockstep (a
+    # hand-written list here would desync the schema compare)
     return out.select(
         "doc_id",
-        F.col("pii_n_email").cast("long").alias("pii_n_email"),
-        F.col("pii_n_ipv4").cast("long").alias("pii_n_ipv4"),
-        F.col("pii_n_phone").cast("long").alias("pii_n_phone"),
+        *[
+            F.col(f"pii_n_{kind}").cast("long").alias(f"pii_n_{kind}")
+            for kind, _, _ in PII_PATTERNS
+        ],
         "msg_scrubbed",
     )
 
@@ -2438,7 +2444,8 @@ def pii_scrub_audit(spark, sf_dir):
       FROM documents
     ), cum AS (
       SELECT doc_id, bucket, CAST(n_tok AS BIGINT) AS n_tok,
-        CAST(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id)
+        CAST(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id, n_tok
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           AS BIGINT) AS stream_end
       FROM base
     )

@@ -50,7 +50,11 @@ def test_layout_is_partitioning_independent(spark, packed):
         block=512,
         buckets=8,
     )
-    assert set(map(tuple, packed.collect())) == set(
+    # multiset, not set: set equality would mask a bug that duplicates
+    # or drops byte-identical rows under one partitioning
+    from collections import Counter
+
+    assert Counter(map(tuple, packed.collect())) == Counter(
         map(tuple, again.collect())
     )
 
@@ -112,4 +116,33 @@ def test_summary_report(packed):
 def test_block_must_be_positive(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, t string")
     with pytest.raises(ValueError):
+        pack_sequences(df, key="doc_id", content="t", block=0)
+
+
+def test_duplicate_keys_get_disjoint_spans(spark):
+    """Tied keys must never share a stream_end: a RANGE-framed cumsum
+    would assign overlapping token positions to both rows (silent pack
+    corruption); the ROWS frame + (key, n_tok) order gives each its own
+    span and keeps the per-bucket stream contiguous."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (1, "d e"), (2, "f")], "doc_id long, t string"
+    )
+    rows = pack_sequences(
+        df, key="doc_id", content="t", block=512, buckets=1
+    ).collect()
+    spans = sorted((r.stream_start, r.stream_end) for r in rows)
+    total = sum(r.n_tok for r in rows)
+    # disjoint, contiguous, covering [0, total)
+    assert spans[0][0] == 0 and spans[-1][1] == total
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 == s2, spans
+
+
+def test_parameter_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, t string")
+    with pytest.raises(ValueError, match="buckets"):
+        pack_sequences(df, key="doc_id", content="t", buckets=0)
+    with pytest.raises(ValueError, match="sep_tokens"):
+        pack_sequences(df, key="doc_id", content="t", sep_tokens=0)
+    with pytest.raises(ValueError, match="block"):
         pack_sequences(df, key="doc_id", content="t", block=0)
