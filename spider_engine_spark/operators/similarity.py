@@ -303,8 +303,16 @@ def ivf_append(
     dim = len(cents[0])
     stats = df.select(
         F.count(F.lit(1)).alias("n"),
+        # isNull check is load-bearing: size(NULL) is NULL, NULL != dim
+        # is NULL, and sum() skips NULLs — a NULL vector would otherwise
+        # sail through the guard straight into the list -1 fallback
         F.coalesce(
-            F.sum((F.size(F.col(vec)) != dim).cast("int")), F.lit(0)
+            F.sum(
+                (
+                    F.col(vec).isNull() | (F.size(F.col(vec)) != dim)
+                ).cast("int")
+            ),
+            F.lit(0),
         ).alias("bad"),
     ).collect()[0]
     if stats["n"] == 0:

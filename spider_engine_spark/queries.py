@@ -577,10 +577,15 @@ _BRUTE_NEARDUP_SQL = f"""
 @query("dedup_minhash_lsh", _BRUTE_NEARDUP_SQL)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16) + 8-band LSH candidates, exact 3-gram-shingle Jaccard
-    verification >= 0.8. Oracle is the brute-force pair scan; with r=2
-    rows/band the LSH miss probability at j>=0.8 is (1-j^2)^8 < 2e-6, so
-    candidate generation provably covers the oracle set on this corpus.
-    At 100 TB the same plan runs with r=4 and a band-bucket size cap."""
+    verification >= 0.8. Oracle is the brute-force pair scan. LSH recall
+    is probabilistic, not certain: with r=2 rows/band a pair at jaccard
+    j is missed with probability (1-j^2)^8 — ~2.8e-4 at the j=0.8
+    boundary, <2e-6 at j>=0.9. On the fixed test corpora the coverage is
+    AUDITED, not assumed: the LSH-verified pair set equals the exact
+    shared-shingle generator's (recall 1.0; sf0.01 pairs all have
+    j>=0.9, sf0.1 includes boundary pairs at j=0.8 and all 256 are
+    found — pinned by test_lsh_recall_matches_exact_generator). At
+    100 TB the same plan runs with r=4 and a band-bucket size cap."""
     from spider_engine_spark.operators.dedup import (
         jaccard_verify,
         minhash_lsh_pairs,
@@ -986,12 +991,15 @@ def streaming_neardup_pairs(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="drv_neardup_")
     io = TableIO(root)
     handler = make_neardup_batch_handler(io, "doc_id", "text", k=16, bands=8)
-    for i in range(4):
-        handler(docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i), i)
-    # pin the (tiny) pair set, then delete the temp state so repeated
-    # driver runs don't accumulate corpus-sized dirs under /tmp
-    pairs = io.read(spark, "pairs").localCheckpoint()
-    shutil.rmtree(root, ignore_errors=True)
+    try:
+        for i in range(4):
+            handler(docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i), i)
+        # pin the (tiny) pair set, then delete the temp state so
+        # repeated driver runs don't accumulate dirs under /tmp —
+        # finally: a mid-loop Spark failure must not leak the root
+        pairs = io.read(spark, "pairs").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return jaccard_verify(pairs, docs, "doc_id", "text", n=3).filter(
         F.col("jaccard") >= 0.8
     )
@@ -2416,17 +2424,16 @@ def pii_scrub_audit(spark, sf_dir):
             F.col("text"),
         ).alias("msg"),
     )
-    from spider_engine_spark.functions.pii import PII_PATTERNS
-
     out = with_pii_scrubbed(injected, "msg", out="msg_scrubbed")
-    # derive the select from PII_PATTERNS, like the oracle SQL — adding
-    # a kind in pii.py then updates both sides in lockstep (a
-    # hand-written list here would desync the schema compare)
+    # derive the select from _PII — the SAME module-level binding the
+    # oracle SQL is generated from — so adding a kind in pii.py updates
+    # both sides in lockstep (a hand-written list would desync the
+    # schema compare)
     return out.select(
         "doc_id",
         *[
             F.col(f"pii_n_{kind}").cast("long").alias(f"pii_n_{kind}")
-            for kind, _, _ in PII_PATTERNS
+            for kind, _, _ in _PII
         ],
         "msg_scrubbed",
     )

@@ -807,6 +807,16 @@ def test_ivf_append_guards(spark, tmp_path_factory):
                 [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
             ),
         )
+    # NULL vectors must hit the same guard: size(NULL) is NULL and
+    # sum() skips NULLs, so without the isNull term the row would slip
+    # through into the unsearchable list -1 fallback
+    with _pytest.raises(ValueError, match="dim"):
+        ivf_append(
+            tio, "ivf",
+            spark.createDataFrame(
+                [(2, None)], "vec_id long, embedding array<float>"
+            ),
+        )
     # batch_id idempotence: the second delivery of batch 0 is a no-op
     one = spark.createDataFrame(
         [(777, qvec)], "vec_id long, embedding array<float>"
@@ -858,3 +868,32 @@ def test_compaction_preserves_hive_partitioning(spark, tmp_path_factory):
         m[kv._1()] = kv._2().value()
     assert leaves.size() == 1
     assert 0 < m["numPartitions"] <= 2, m
+
+
+def test_lsh_recall_matches_exact_generator(spark):
+    """The dedup_minhash_lsh / dedup_clusters / streaming_neardup_pairs
+    oracles are brute-force scans, so they assume LSH recall 1.0 on the
+    test corpora. That is probabilistic in general ((1-j^2)^bands per
+    pair — ~2.8e-4 at the 0.8 boundary), so AUDIT it: the LSH-verified
+    pair set must equal the exact shared-shingle generator's verified
+    set. If new testdata ever breaks this, the oracle mismatch is a
+    recall miss, not a scoring bug — retune k/bands."""
+    from spider_engine_spark.operators.dedup import shared_shingle_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = minhash_signatures(docs, "doc_id", "text", k=16, n=3)
+    lsh = {
+        (r.a, r.b)
+        for r in jaccard_verify(
+            minhash_lsh_pairs(sigs, "doc_id", bands=8),
+            docs, "doc_id", "text", n=3,
+        ).filter(F.col("jaccard") >= 0.8).collect()
+    }
+    exact = {
+        (r.a, r.b)
+        for r in jaccard_verify(
+            shared_shingle_pairs(docs, "doc_id", "text", n=3, max_df=None),
+            docs, "doc_id", "text", n=3,
+        ).filter(F.col("jaccard") >= 0.8).collect()
+    }
+    assert lsh == exact
