@@ -897,3 +897,47 @@ def test_lsh_recall_matches_exact_generator(spark):
         ).filter(F.col("jaccard") >= 0.8).collect()
     }
     assert lsh == exact
+
+
+def test_stream_ivf_ingest_real_readstream(spark, tmp_path_factory):
+    """Embeddings stream into the persisted IVF index one file per
+    micro-batch; a planted scaled copy streamed in is immediately
+    probe-visible, and a checkpoint-resumed second query replays
+    nothing (version count stable)."""
+    from spider_engine_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_index,
+    )
+    from spider_engine_spark.sources.tableio import TableIO
+    from spider_engine_spark.streaming.vectors import stream_ivf_ingest
+
+    root = tmp_path_factory.mktemp("ivf_stream")
+    state, src, ckpt = str(root / "state"), str(root / "src"), str(root / "ck")
+    tio = TableIO(state)
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 400)
+    build_ivf_index(tio, "ivf", base, "vec_id", "embedding", k=4, iters=1)
+    qvec = list(emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"])
+    # two input files -> two micro-batches; the second plants a copy
+    emb.filter(F.col("vec_id") >= 400).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(
+        [(8_000_000, [x * 2.0 for x in qvec])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_ivf_ingest(spark, src, state, "ivf", ckpt)
+    assert q.awaitTermination(120), "availableNow drain timed out"
+    rows = ivf_probe_index(spark, tio, "ivf", qvec, k=3, n_probe=2).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert ids[0] == 7 and 8_000_000 in ids[:2], ids
+    # resume with no new files: the checkpoint replays nothing
+    v = tio.versions("ivf")[-1]
+    q2 = stream_ivf_ingest(spark, src, state, "ivf", ckpt)
+    assert q2.awaitTermination(120)
+    assert tio.versions("ivf")[-1] == v
+    # a missing index is refused up front
+    with pytest.raises(ValueError, match="build_ivf_index"):
+        stream_ivf_ingest(spark, src, state, "nope", str(root / "ck2"))
