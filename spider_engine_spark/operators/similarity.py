@@ -307,21 +307,21 @@ def ivf_append(
         # is NULL, and sum() skips NULLs — a NULL vector would otherwise
         # sail through the guard straight into the list -1 fallback
         F.coalesce(
-            F.sum(
-                (
-                    F.col(vec).isNull() | (F.size(F.col(vec)) != dim)
-                ).cast("int")
-            ),
-            F.lit(0),
-        ).alias("bad"),
+            F.sum(F.col(vec).isNull().cast("int")), F.lit(0)
+        ).alias("nulls"),
+        F.coalesce(
+            F.sum((F.size(F.col(vec)) != dim).cast("int")), F.lit(0)
+        ).alias("wrong_dim"),
     ).collect()[0]
     if stats["n"] == 0:
         return None
-    if stats["bad"]:
+    if stats["nulls"] or stats["wrong_dim"]:
         raise ValueError(
-            f"ivf_append: {stats['bad']} vector(s) have dim != {dim} "
-            f"(the index centroids' dimension) — they would be "
-            f"unsearchable; rebuild the index for a new dimension"
+            f"ivf_append: {stats['nulls']} NULL vector(s) and "
+            f"{stats['wrong_dim']} vector(s) with dim != {dim} (the "
+            f"index centroids' dimension) — both would be silently "
+            f"unsearchable (assigned list -1); rebuild the index for a "
+            f"new dimension"
         )
     assigned = ivf_assign(df.select(F.col(key), F.col(vec)), key, vec, cents)
     new_meta = dict(meta)

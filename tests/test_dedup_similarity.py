@@ -870,17 +870,22 @@ def test_compaction_preserves_hive_partitioning(spark, tmp_path_factory):
     assert 0 < m["numPartitions"] <= 2, m
 
 
-def test_lsh_recall_matches_exact_generator(spark):
+@pytest.mark.parametrize("sf", ["0.001", "0.1"])
+def test_lsh_recall_matches_exact_generator(spark, sf):
     """The dedup_minhash_lsh / dedup_clusters / streaming_neardup_pairs
     oracles are brute-force scans, so they assume LSH recall 1.0 on the
     test corpora. That is probabilistic in general ((1-j^2)^bands per
     pair — ~2.8e-4 at the 0.8 boundary), so AUDIT it: the LSH-verified
     pair set must equal the exact shared-shingle generator's verified
-    set. If new testdata ever breaks this, the oracle mismatch is a
-    recall miss, not a scoring bug — retune k/bands."""
+    set. sf0.1 is the leg that matters: its 256 pairs INCLUDE pairs at
+    jaccard exactly 0.8 (sf0.001/sf0.01 bottom out at ~0.89/0.9, where
+    the miss bound is <2e-6) — the boundary regime is the only place a
+    recall miss is plausible. If new testdata ever breaks this, the
+    oracle mismatch is a recall miss, not a scoring bug — retune
+    k/bands."""
     from spider_engine_spark.operators.dedup import shared_shingle_pairs
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"/root/testdata/sf{sf}/documents.parquet")
     sigs = minhash_signatures(docs, "doc_id", "text", k=16, n=3)
     lsh = {
         (r.a, r.b)
