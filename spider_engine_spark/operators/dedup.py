@@ -589,3 +589,27 @@ def _drop_checkpoint_blocks(spark, ids: set[int]) -> None:
         jrdd = jmap.get(i)
         if jrdd is not None:
             jrdd.unpersist(False)
+
+
+def canonical_corpus(
+    df: DataFrame, pairs: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """The end-to-end dedup materialization: given near-dup `pairs`
+    (from any generator, verified or not), keep exactly one row per
+    duplicate cluster — the MIN-key member — plus every non-duplicated
+    row, preserving all input columns.
+
+    Composition of connected_components + an anti-join: components are
+    computed only over PAIR ENDPOINTS (duplicates are a vanishing
+    fraction of a real corpus, so the label table is tiny relative to
+    df), non-canonical members are collected into a drop-list and
+    anti-joined against the corpus — one broadcast-sized join against
+    the full data, no corpus-wide shuffle.  The caller should
+    .unpersist() nothing: the component snapshot is dropped here once
+    the drop-list is derived... except the returned frame still needs
+    it lazily, so it is pinned like connected_components documents —
+    materialize (write/cache) then unpersist if the session is
+    long-lived."""
+    comp = connected_components(pairs, a="a", b="b", key=key)
+    drop = comp.filter(F.col(key) != F.col("comp")).select(key)
+    return df.join(F.broadcast(drop), key, "left_anti")

@@ -946,3 +946,26 @@ def test_stream_ivf_ingest_real_readstream(spark, tmp_path_factory):
     # a missing index is refused up front
     with pytest.raises(ValueError, match="build_ivf_index"):
         stream_ivf_ingest(spark, src, state, "nope", str(root / "ck2"))
+
+
+def test_canonical_corpus_keeps_one_per_cluster(spark, planted_docs):
+    """End-to-end dedup materialization: verified near-dup pairs in,
+    deduplicated corpus out — min doc_id per cluster survives, all
+    columns intact, non-duplicated docs untouched."""
+    from spider_engine_spark.operators.dedup import canonical_corpus
+
+    sigs = minhash_signatures(planted_docs, "doc_id", "text", k=16, n=3)
+    pairs = (
+        jaccard_verify(
+            minhash_lsh_pairs(sigs, "doc_id", bands=8),
+            planted_docs, "doc_id", "text", n=3,
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a", "b")
+    )
+    kept = canonical_corpus(planted_docs, pairs)
+    ids = sorted(r.doc_id for r in kept.collect())
+    # docs 0/1/2/5 form one near-dup cluster (>=0.5) -> keep 0 only;
+    # 3 and 4 are unrelated singletons
+    assert ids == [0, 3, 4]
+    assert kept.columns == planted_docs.columns
