@@ -600,16 +600,24 @@ def canonical_corpus(
     row, preserving all input columns.
 
     Composition of connected_components + an anti-join: components are
-    computed only over PAIR ENDPOINTS (duplicates are a vanishing
-    fraction of a real corpus, so the label table is tiny relative to
-    df), non-canonical members are collected into a drop-list and
-    anti-joined against the corpus — one broadcast-sized join against
-    the full data, no corpus-wide shuffle.  The caller should
-    .unpersist() nothing: the component snapshot is dropped here once
-    the drop-list is derived... except the returned frame still needs
-    it lazily, so it is pinned like connected_components documents —
-    materialize (write/cache) then unpersist if the session is
-    long-lived."""
+    computed only over PAIR ENDPOINTS (never the full corpus), and
+    non-canonical members become a drop-list anti-joined against the
+    corpus.  The anti-join carries NO join-strategy hint on purpose:
+    web-scale corpora routinely run 20-50% near-duplicates (that is why
+    the dedup stage exists at all), so the drop-list can be billions of
+    keys — a forced broadcast would OOM the driver/executors exactly on
+    the workloads this engine targets.  Unhinted, the join shuffles
+    both sides on `key` (the scale-safe plan), and AQE's runtime
+    stats downgrade it to a broadcast anti-join automatically whenever
+    the drop-list actually fits (spark.sql.adaptive.enabled +
+    autoBroadcastJoinThreshold) — the small-drop-list fast path is
+    preserved without baking in the unsafe assumption.
+
+    The caller should .unpersist() nothing: the component snapshot is
+    dropped here once the drop-list is derived... except the returned
+    frame still needs it lazily, so it is pinned like
+    connected_components documents — materialize (write/cache) then
+    unpersist if the session is long-lived."""
     comp = connected_components(pairs, a="a", b="b", key=key)
     drop = comp.filter(F.col(key) != F.col("comp")).select(key)
-    return df.join(F.broadcast(drop), key, "left_anti")
+    return df.join(drop, key, "left_anti")

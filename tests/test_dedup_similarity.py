@@ -969,3 +969,27 @@ def test_canonical_corpus_keeps_one_per_cluster(spark, planted_docs):
     # 3 and 4 are unrelated singletons
     assert ids == [0, 3, 4]
     assert kept.columns == planted_docs.columns
+
+
+def test_canonical_corpus_does_not_force_broadcast(spark):
+    """At web-scale dup fractions (20-50%+ of the corpus) the drop-list
+    is NOT broadcast-sized: the anti-join must carry no join-strategy
+    hint, letting AQE pick broadcast only when the runtime stats say it
+    fits.  Built at an artificially high dup fraction (80% of rows are
+    duplicates) to make the assumption explicit."""
+    from spider_engine_spark.operators.dedup import canonical_corpus
+
+    # 100 docs in 10 clusters of 10 -> drop-list = 90 rows (90%)
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), "id").alias("text")
+    )
+    pairs = spark.range(100).select(
+        ((F.col("id") / 10).cast("long") * 10).alias("a"),
+        F.col("id").alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    kept = canonical_corpus(docs, pairs)
+    analyzed = kept._jdf.queryExecution().analyzed().toString()
+    optimized = kept._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    assert "hint" not in optimized.lower(), optimized
+    assert sorted(r.doc_id for r in kept.collect()) == list(range(0, 100, 10))
