@@ -113,7 +113,15 @@ class CuckooFilter:
         buckets fill up — <10% even at the 0.84 design load — pays the
         per-item eviction walk.  Deterministic: placement depends only on
         (table state, input array order); the eviction walk keeps the
-        original fixed-seed LCG chain over the residue in array order."""
+        original fixed-seed LCG chain over the residue in array order.
+
+        Byte-format note: this law places ALL first-choice winners before
+        ANY second-choice placements, so for the same (table, input
+        order) the table bytes differ from the old per-item sequential
+        algorithm (which interleaved the choices).  Membership semantics
+        are identical; persisted filter bytes are only comparable within
+        one code version (see CrawlJob.migrate_layout's
+        byte-reproducibility docstring)."""
         if len(hashes) == 0:
             return 0
         fp_all, i1_all, i2_all = self._fp_idx(np.asarray(hashes))

@@ -522,7 +522,13 @@ class CrawlJob:
         resume, so the stored layout and the table sharding can never
         disagree. The rebuild sorts each shard's hashes
         (sort_within_shard), making the migrated filter bytes a
-        deterministic function of the URL set.
+        deterministic function of the URL set — WITHIN one code version:
+        the cuckoo bulk-insert placement law (all first-choice winners
+        placed before any second-choice placements since the vectorized
+        two-pass rewrite) is part of that function, so rebuilt-filter
+        bytes are only ever comparable when both rebuilds ran the same
+        cuckoo.py. Membership semantics are version-stable; byte-level
+        comparisons across code versions are not meaningful.
 
         Omitted parameters keep their current values. Returns a resumed
         CrawlJob on the new layout (a plain default-flags resume — pass
@@ -1061,27 +1067,38 @@ class CrawlJob:
             # every version meta (truthful epoch bookkeeping for the
             # migration crash-recovery scan)
             lmeta = {"step": step + 1, "layout_epoch": self.layout_epoch}
-            self.io.write(
-                "seen", admitted.select("url", "hash", "shard"),
-                mode="append", meta=lmeta,
-                partition_by=["shard"],
-            )
-            mark("seen_write")
-            # write ONLY dirty shards (those that admitted rows): the
-            # filter table is append-only with a step tag, resolved
-            # latest-per-shard at read time (seenset.latest_state). The
-            # former full-state rewrite round-tripped every shard's bytes
-            # through Arrow and onto disk each superstep (~32 GiB at the
-            # 10^10-URL sizing) even when one shard changed.
-            dirty = seenset.insert(
-                admitted, state, self.capacity, dirty_only=True
-            )
-            self.io.write(
-                "filter",
-                dirty.withColumn("step", F.lit(step + 1)),
-                mode="append",
-                meta=lmeta,
-            )
+            # an all-duplicates superstep (every discovered URL already
+            # seen) legitimately admits ZERO rows — skip both appends:
+            # an empty hive-partitioned write commits a parquet-less dir
+            # (the hazard ivf_append guards against; TableIO.read now
+            # also tolerates it), and with nothing admitted there are no
+            # dirty filter shards either. Recovery is unaffected: the
+            # commit point is the frontier snapshot, and a seen/filter
+            # meta step older than the committed step just means those
+            # steps added nothing.
+            if n_admitted > 0:
+                self.io.write(
+                    "seen", admitted.select("url", "hash", "shard"),
+                    mode="append", meta=lmeta,
+                    partition_by=["shard"],
+                )
+                mark("seen_write")
+                # write ONLY dirty shards (those that admitted rows):
+                # the filter table is append-only with a step tag,
+                # resolved latest-per-shard at read time
+                # (seenset.latest_state). The former full-state rewrite
+                # round-tripped every shard's bytes through Arrow and
+                # onto disk each superstep (~32 GiB at the 10^10-URL
+                # sizing) even when one shard changed.
+                dirty = seenset.insert(
+                    admitted, state, self.capacity, dirty_only=True
+                )
+                self.io.write(
+                    "filter",
+                    dirty.withColumn("step", F.lit(step + 1)),
+                    mode="append",
+                    meta=lmeta,
+                )
             if (step + 1) % self.compact_every == 0:
                 # fold ALL filter dirs (max_bytes=∞), not just undersized
                 # ones: the filter's garbage is defined by SUPERSESSION

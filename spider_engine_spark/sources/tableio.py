@@ -140,7 +140,20 @@ class TableIO:
         self, spark: SparkSession, name: str, version: int | None = None
     ) -> DataFrame:
         entry = self._entry(name, version)
-        dirs = entry["dirs"]
+        # a zero-row DYNAMIC-PARTITION write commits a dir with no
+        # parquet files at all (unpartitioned empty writes leave a
+        # schema-only file; partitioned ones leave nothing) — such dirs
+        # are legitimate empty snapshots, not corruption, and must not
+        # brick every later read with UNABLE_TO_INFER_SCHEMA. Skip them;
+        # the manifest schema reconstructs a true empty frame if the
+        # whole version is empty.
+        dirs = [d for d in entry["dirs"] if self._has_data_files(d)]
+        if not dirs:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(entry["schema"]))
+            )
         if len(dirs) == 1:
             return spark.read.parquet(dirs[0])
         # per-dir reads + union: hive-partitioned snapshot dirs cannot be
@@ -155,6 +168,13 @@ class TableIO:
                 spark.read.parquet(d), allowMissingColumns=True
             )
         return out
+
+    @staticmethod
+    def _has_data_files(d: str) -> bool:
+        for _base, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tdir(name), ignore_errors=True)
@@ -210,8 +230,12 @@ class TableIO:
         entry = self._entry(name)
         if partition_by is None:
             partition_by = entry.get("partition_by")
-        small = [d for d in entry["dirs"] if self._dir_bytes(d) < max_bytes]
-        big = [d for d in entry["dirs"] if d not in small]
+        # parquet-less dirs (empty dynamic-partition snapshots, see
+        # read()) hold nothing to merge and cannot be scanned — drop
+        # them from the fold AND from the new snapshot's dir list
+        dirs = [d for d in entry["dirs"] if self._has_data_files(d)]
+        small = [d for d in dirs if self._dir_bytes(d) < max_bytes]
+        big = [d for d in dirs if d not in small]
         if len(small) <= 1:
             return None
         df = spark.read.parquet(small[0])

@@ -762,3 +762,39 @@ def test_run_crawl_migration_flag_guard():
     ]
     got = migration_ignored_flags(ns(shards=16, vocab=100, no_index=True))
     assert got == ["--shards", "--vocab", "--no-index"]
+
+
+def test_all_duplicate_superstep_skips_empty_appends(spark, tmp_path_factory):
+    """A superstep where every discovered URL is already seen admits
+    ZERO rows. The durable path must then skip the seen/filter appends:
+    an empty hive-partitioned write commits a parquet-less dir, and the
+    skipped step must stay invisible to recovery (frontier snapshot is
+    the commit point). Forced with a 1-host, 2-path web where the URL
+    space saturates after the first step."""
+    cfg = wm.WebConfig(num_hosts=1, paths_per_host=2)
+    seeds = wm.seed_urls(3, cfg)
+    root = str(tmp_path_factory.mktemp("crawl_alldup"))
+    job = CrawlJob(
+        spark, root, seeds=seeds, num_shards=2, salts=2, index=False,
+        cfg=cfg, compact_every=100,
+    )
+    metrics = job.run(4)
+    empty_steps = [m for m in metrics if m.get("admitted") == 0]
+    assert empty_steps, (
+        "fixture no longer saturates — no all-duplicate superstep; "
+        f"metrics={metrics}"
+    )
+    # every seen/filter version belongs to a step that admitted rows
+    admitting = {m["step"] for m in metrics if m.get("admitted", 0) > 0}
+    for t in ("seen", "filter"):
+        for v in job.io._load_manifest(t)["versions"]:
+            step = v["meta"].get("step")
+            if step is not None and step > 1:
+                assert step in admitting, (t, v["meta"])
+    # the crawl still replays exactly and resumes cleanly
+    sim = ReplaySimulator(seeds, cfg)
+    sim.run(4)
+    assert seen_urls(job) == sim.seen
+    job2 = CrawlJob(spark, root, num_shards=2, salts=2, index=False, cfg=cfg)
+    assert job2.step_no == job.step_no
+    assert seen_urls(job2) == sim.seen

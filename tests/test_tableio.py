@@ -39,3 +39,34 @@ def test_missing_table_raises(spark, tmp_path):
     assert not io.exists("nope")
     with pytest.raises(FileNotFoundError):
         io.read(spark, "nope")
+
+
+def test_empty_partitioned_write_is_readable(spark, tmp_path):
+    """A zero-row dynamic-partition write commits a dir with NO parquet
+    files (unlike unpartitioned empty writes, which leave a schema-only
+    file). Such snapshots are legitimate — e.g. an all-duplicates crawl
+    superstep admits nothing — and must not brick every later read."""
+    from pyspark.sql import functions as F
+
+    io = TableIO(str(tmp_path))
+    full = spark.range(6).select(
+        F.col("id"), (F.col("id") % 2).cast("int").alias("shard")
+    )
+    empty = full.filter(F.lit(False))
+    # empty OVERWRITE: table reads back as a true empty frame w/ schema
+    io.write("t", empty, partition_by=["shard"])
+    got = io.read(spark, "t")
+    assert got.count() == 0
+    assert set(got.columns) == {"id", "shard"}
+    # empty APPEND onto real data: prior rows survive, no throw
+    io.write("t", full, mode="overwrite", partition_by=["shard"])
+    io.write("t", empty, mode="append", partition_by=["shard"])
+    assert io.read(spark, "t").count() == 6
+    # compaction skips (and drops) the parquet-less dir
+    io.write("t", full, mode="append", partition_by=["shard"])
+    v = io.compact_small(spark, "t", max_bytes=1 << 60,
+                         partition_by=["shard"])
+    assert v is not None
+    assert io.read(spark, "t").count() == 12
+    for d in io._entry("t")["dirs"]:
+        assert TableIO._has_data_files(d)
