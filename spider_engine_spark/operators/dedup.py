@@ -474,6 +474,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     key: str = "node",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (node, component) with
     component = MIN node id in the component (deterministic canonical
@@ -495,44 +496,61 @@ def connected_components(
     (1-2 rounds); even a pathological chain of length 10^6 converges in
     ~20.  Labels are monotone non-increasing, which makes the
     convergence test exact: a round with zero strictly-smaller labels is
-    a fixpoint.  Each round ends in localCheckpoint (lineage would grow
-    exponentially otherwise) — at cluster scale substitute reliable
-    checkpoints.  All JVM-native; AQE handles skewed hub nodes.
+    a fixpoint.  Each round ends in a checkpoint (lineage would grow
+    exponentially otherwise).  All JVM-native; AQE handles skewed hub
+    nodes.
+
+    checkpoint_dir=None (default) uses localCheckpoint: fastest, but
+    lossy on executor loss — fine for a single-box session or when the
+    caller retries the whole job.  At cluster scale pass a
+    checkpoint_dir (HDFS/S3 path): rounds then use RELIABLE
+    df.checkpoint() snapshots that survive executor loss, with no
+    block-manager bookkeeping at all.  The dir is set via
+    setCheckpointDir (session-global, like any Spark checkpoint user);
+    superseded round snapshots are plain files under it — the caller
+    owns the dir's lifecycle and deletes it once the returned labels
+    are materialized.
 
     `nodes` (single-column DataFrame named `key`) adds isolated nodes as
     singleton components; pair endpoints are always included regardless.
 
-    Every intermediate checkpoint's blocks are dropped as soon as the
-    next round supersedes it; only the RETURNED label snapshot stays
-    pinned (a localCheckpoint cannot recompute once its blocks are
-    dropped).  DataFrame.unpersist() is a NO-OP for localCheckpoint
-    blocks (they live at the RDD layer, not the Dataset cache manager),
-    so superseded snapshots are freed by RDD id via
-    _drop_checkpoint_blocks.
+    In localCheckpoint mode, every intermediate snapshot's blocks are
+    dropped as soon as the next round supersedes it; only the RETURNED
+    label snapshot stays pinned (a localCheckpoint cannot recompute
+    once its blocks are dropped).  DataFrame.unpersist() is a NO-OP for
+    localCheckpoint blocks (they live at the RDD layer, not the Dataset
+    cache manager), so superseded snapshots are freed by their own RDD
+    id — read off the checkpointed frame's LogicalRDD plan, never a
+    storage-info diff, so a concurrent job caching in a shared session
+    can never have its blocks captured and dropped by this loop.
     """
     spark = pairs.sparkSession
-    base_ids = _pinned_rdd_ids(spark)
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def snap(df: DataFrame) -> tuple[DataFrame, int | None]:
+            return df.checkpoint(), None
+
+    else:
+
+        def snap(df: DataFrame) -> tuple[DataFrame, int | None]:
+            d = df.localCheckpoint()
+            return d, _ckpt_rdd_id(d)
+
     und = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    und = (
+    # pin the edge list: it is re-joined EVERY round, and the pair
+    # generator feeding it (minhash/simhash verify) is the expensive
+    # part — without this the candidate pipeline re-runs per round
+    # (measured 11.1 s -> ~7 s for dedup_clusters at sf0.1)
+    und, und_id = snap(
         und.unionByName(
             und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        # pin the edge list: it is re-joined EVERY round, and the pair
-        # generator feeding it (minhash/simhash verify) is the expensive
-        # part — without this the candidate pipeline re-runs per round
-        # (measured 11.1 s -> ~7 s for dedup_clusters at sf0.1)
-        .localCheckpoint()
+        ).distinct()
     )
-    und_ids = _pinned_rdd_ids(spark) - base_ids
     endpoints = und.select(F.col("src").alias(key)).distinct()
     if nodes is not None:
         endpoints = nodes.select(key).unionByName(endpoints).distinct()
-    pre = _pinned_rdd_ids(spark)
-    lab = endpoints.select(
-        F.col(key), F.col(key).alias("comp")
-    ).localCheckpoint()
-    lab_ids = _pinned_rdd_ids(spark) - pre
+    lab, lab_id = snap(endpoints.select(F.col(key), F.col(key).alias("comp")))
     for _ in range(max_iter):
         msgs = und.join(
             lab.select(F.col(key).alias("dst"), "comp"), "dst"
@@ -544,28 +562,38 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
         )
         jump = upd.select(F.col(key).alias("_jk"), F.col("comp").alias("_jc"))
-        pre = _pinned_rdd_ids(spark)
-        upd = (
+        upd, upd_id = snap(
             upd.join(jump, upd["comp"] == jump["_jk"], "left")
             .select(F.col(key), F.coalesce("_jc", "comp").alias("comp"))
-            .localCheckpoint()
         )
-        upd_ids = _pinned_rdd_ids(spark) - pre
         changed = (
             upd.select(F.col(key), F.col("comp").alias("_new"))
             .join(lab, key)
             .filter(F.col("_new") < F.col("comp"))
             .count()
         )
-        _drop_checkpoint_blocks(spark, lab_ids)  # superseded snapshot
-        lab, lab_ids = upd, upd_ids
+        _drop_checkpoint_blocks(spark, {lab_id})  # superseded snapshot
+        lab, lab_id = upd, upd_id
         if changed == 0:
-            _drop_checkpoint_blocks(spark, und_ids)
+            _drop_checkpoint_blocks(spark, {und_id})
             return lab
-    _drop_checkpoint_blocks(spark, und_ids | lab_ids)
+    _drop_checkpoint_blocks(spark, {und_id, lab_id})
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
+
+
+def _ckpt_rdd_id(df: DataFrame) -> int:
+    """The block-manager RDD id behind a just-localCheckpointed frame.
+
+    A checkpointed Dataset's analyzed plan is a LogicalRDD wrapping
+    exactly the internal RDD whose blocks localCheckpoint pinned; the
+    case-class accessor exposes it through py4j.  Reading the id off
+    the frame ITSELF (rather than diffing getRDDStorageInfo around the
+    call) is safe in a shared SparkSession: concurrent jobs'
+    cache/checkpoint activity can never leak into the captured set.
+    """
+    return df._jdf.queryExecution().analyzed().rdd().id()
 
 
 def _pinned_rdd_ids(spark) -> set[int]:
@@ -575,17 +603,16 @@ def _pinned_rdd_ids(spark) -> set[int]:
     }
 
 
-def _drop_checkpoint_blocks(spark, ids: set[int]) -> None:
-    """Free the block-manager snapshots behind a localCheckpoint.
-
-    localCheckpoint pins its data as RDD-level persistence, invisible to
-    Dataset.unpersist(); the only handle is the RDD id, captured as the
-    getRDDStorageInfo delta around the checkpoint call (the driver loop
-    is single-threaded, so the delta is exactly the new snapshot).  The
-    frame is unusable afterwards — only superseded snapshots go here.
-    """
+def _drop_checkpoint_blocks(spark, ids: set[int | None]) -> None:
+    """Free the block-manager snapshots behind superseded
+    localCheckpoints, by RDD id (from _ckpt_rdd_id).  The frame is
+    unusable afterwards — only superseded snapshots go here.  None ids
+    (reliable-checkpoint mode, where nothing is block-pinned) are
+    ignored."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for i in ids:
+        if i is None:
+            continue
         jrdd = jmap.get(i)
         if jrdd is not None:
             jrdd.unpersist(False)

@@ -609,9 +609,16 @@ def _uf_components(pairs, nodes):
     return {n: min(members) for r, members in comp.items() for n in members}
 
 
-def test_connected_components_chain_clique_singleton(spark):
+@pytest.mark.parametrize("reliable", [False, True])
+def test_connected_components_chain_clique_singleton(
+    spark, tmp_path, reliable
+):
+    """Both checkpoint modes: localCheckpoint (single-box default) and
+    reliable df.checkpoint() into a caller-owned dir (the cluster-scale
+    option — survives executor loss, no block-manager bookkeeping)."""
     from spider_engine_spark.operators.dedup import connected_components
 
+    ckpt = str(tmp_path / "cc_ckpt") if reliable else None
     pairs = spark.createDataFrame(
         [(f"d{i}", f"d{i+1}") for i in range(9)]
         + [("x1", "x2"), ("x2", "x3"), ("x1", "x3")],
@@ -622,7 +629,16 @@ def test_connected_components_chain_clique_singleton(spark):
         + [("x1",), ("x2",), ("x3",)],
         "node string",
     )
-    got = {r.node: r.comp for r in connected_components(pairs, nodes=nodes).collect()}
+    got = {
+        r.node: r.comp
+        for r in connected_components(
+            pairs, nodes=nodes, checkpoint_dir=ckpt
+        ).collect()
+    }
+    if reliable:
+        import os
+
+        assert os.path.isdir(ckpt)  # rounds really went through the dir
     assert got["solo"] == "solo"
     assert all(got[f"d{i}"] == "d0" for i in range(10))  # chain: O(log d) rounds
     assert all(got[x] == "x1" for x in ("x1", "x2", "x3"))
