@@ -1780,13 +1780,21 @@ def events_lead_lag(spark, sf_dir):
     """,
 )
 def window_ntile_users(spark, sf_dir):
-    """NTILE bucketing of users by total event value. The global-order
-    window runs on the user DIMENSION (post-aggregation, cardinality =
-    |users|), never on the raw event stream."""
+    """NTILE bucketing of users by total event value — via the
+    DISTRIBUTED exact ntile (operators/ranking.py): |users| grows with
+    the corpus, so a global no-partition window (one task for every
+    user row) is a scale funnel even post-aggregation. The range
+    shuffle + per-partition rank + offset form is bit-identical to the
+    window (and the DuckDB oracle); the counts collect is O(shuffle
+    partitions). Like dedup_clusters, the result rides a pinned
+    localCheckpoint (released with the session)."""
+    from spider_engine_spark.operators.ranking import distributed_ntile
+
     e = load(spark, sf_dir, "events")
     u = e.groupBy("user_id").agg(_dsum(F.col("value"), "total"))
-    w = Window.orderBy(F.desc("total"), F.asc("user_id"))
-    return u.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+    return distributed_ntile(
+        u, 4, [F.desc("total"), F.asc("user_id")], out="quartile"
+    ).select("user_id", "total", "quartile")
 
 
 @query(
