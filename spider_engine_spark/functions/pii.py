@@ -17,6 +17,7 @@ fixtures.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -83,6 +84,71 @@ def scrub_pii(c: Column, kinds: tuple[str, ...] | None = None) -> Column:
         if kind in chosen:
             out = F.regexp_replace(out, pattern, token)
     return out
+
+
+def pii_spans(c: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Positionally-exclusive PII spans over the ORIGINAL text:
+    array<struct<kind,start,len>>, sorted by start.
+
+    The exact what-was-removed accounting that neither the chained
+    scrub (an earlier redaction can expose a boundary for a later
+    pattern — see scrub_pii's documented email-then-ipv4 artifact) nor
+    the per-kind counts (which may overlap across kinds) provide.  Law:
+    kinds are matched in PII_PATTERNS order against the UNMODIFIED
+    text; within a kind, matches are the regex engine's leftmost
+    non-overlapping set; across kinds, a match is accepted only if it
+    overlaps no already-accepted span (earlier kinds win).  Matches the
+    chained scrub's removals exactly whenever no cross-kind overlap or
+    redaction-created boundary occurs (pinned by tests/test_pii.py).
+
+    Arrow-vectorized pandas UDF (positional extraction has no JVM
+    Column form — regexp_instr reports only the first match).  The
+    Python `re` engine evaluates the same Java∩RE2-subset patterns the
+    JVM scrub uses; `start` is a 0-based Unicode CODE-POINT offset
+    (Python string law; Java consumers of non-BMP text would count
+    UTF-16 units — the corpus contract is code points).
+    """
+    import re
+
+    chosen = _validate_kinds(kinds)
+    compiled = [
+        (kind, re.compile(pattern))
+        for kind, pattern, _ in PII_PATTERNS
+        if kind in chosen
+    ]
+
+    @F.pandas_udf("array<struct<kind string, start int, len int>>")
+    def _spans(col: pd.Series) -> pd.Series:
+        out = []
+        for text in col:
+            if text is None:
+                out.append(None)
+                continue
+            accepted: list[tuple[int, int, str]] = []
+            for kind, rx in compiled:
+                for m in rx.finditer(text):
+                    s, e = m.start(), m.end()
+                    if all(e <= a or s >= a + n for a, n, _ in accepted):
+                        accepted.append((s, e - s, kind))
+            accepted.sort()
+            out.append(
+                [
+                    {"kind": kind, "start": s, "len": n}
+                    for s, n, kind in accepted
+                ]
+            )
+        return pd.Series(out)
+
+    return _spans(c)
+
+
+def with_pii_spans(
+    df, content: str, out: str = "pii_spans",
+    kinds: tuple[str, ...] | None = None,
+):
+    """DataFrame form of pii_spans: adds `out` = the exclusive span
+    array. Map-only (one Arrow round-trip), stateless, streaming-safe."""
+    return df.withColumn(out, pii_spans(F.col(content), kinds))
 
 
 def with_pii_scrubbed(
