@@ -112,6 +112,86 @@ def pack_sequences(
     )
 
 
+def materialize_blocks(
+    df: DataFrame,
+    packed: DataFrame,
+    key: str,
+    content: str,
+    block: int,
+    sep_token: str = "<|sep|>",
+    sep_tokens: int = 1,
+    tokenizer=None,
+) -> DataFrame:
+    """Emit the artifact a trainer actually consumes: one row per
+    (bucket, chunk_id) holding exactly `block` tokens (the last chunk
+    of each bucket ragged), assembled from the `packed` layout
+    (pack_sequences output) joined back to the content.
+
+    tokenizer (Column -> array<string>) must be the array form of the
+    `counter` used at pack time — default bpe_ish_tokens matches
+    pack_sequences' default bpe_ish_token_count; `block`/`sep_tokens`
+    likewise must repeat the pack call's values (the layout does not
+    embed them). `key` must be unique in df: the layout attributes
+    token spans by key, and duplicate keys cannot be re-attributed to
+    their content (pack them with a synthesized unique key instead).
+
+    Plan shape at 100 TB: one equi-join of corpus and layout on `key`
+    (co-partitioned if both sides are bucketed by key), a cheap
+    sequence-explode (a doc emits one row per SPANNED chunk — ~n_tok/
+    block + 1, so total explode output is ~corpus tokens / block), and
+    ONE groupBy (bucket, chunk_id) whose per-group payload is bounded
+    by `block` tokens regardless of corpus size. Chunk assembly is
+    order-exact: pieces carry their stream_start and are array_sort'ed
+    inside the group (stream positions are unique within a bucket), so
+    the result is reproducible across partitionings and cluster sizes,
+    like the layout itself.
+    """
+    from spider_engine_spark.functions.text_analysis import bpe_ish_tokens
+
+    if sep_tokens < 1:
+        raise ValueError(f"sep_tokens must be >= 1, got {sep_tokens}")
+    tok_fn = tokenizer or bpe_ish_tokens
+    toks = F.concat(
+        F.coalesce(
+            tok_fn(F.col(content)), F.array().cast("array<string>")
+        ),
+        F.array_repeat(F.lit(sep_token), sep_tokens),
+    )
+    d = (
+        df.select(F.col(key), toks.alias("_toks"))
+        .join(
+            packed.select(
+                key, "bucket", "stream_start", "stream_end",
+                "chunk_first", "chunk_last",
+            ),
+            key,
+        )
+        .withColumn(
+            "chunk_id", F.explode(F.sequence("chunk_first", "chunk_last"))
+        )
+    )
+    c0 = F.col("chunk_id") * block
+    ps = F.greatest(c0 - F.col("stream_start"), F.lit(0))
+    pe = F.least(c0 + block, F.col("stream_end")) - F.col("stream_start")
+    piece = F.slice(F.col("_toks"), (ps + 1).cast("int"), (pe - ps).cast("int"))
+    return (
+        d.select(
+            "bucket",
+            "chunk_id",
+            F.struct(F.col("stream_start"), piece.alias("piece")).alias("_p"),
+        )
+        .groupBy("bucket", "chunk_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list("_p")), lambda s: s["piece"]
+                )
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
+    )
+
+
 def packing_summary(packed: DataFrame) -> DataFrame:
     """Per-bucket packing report: docs, tokens and chunk count — the
     waste metric a mix designer tunes `block`/`buckets` against.

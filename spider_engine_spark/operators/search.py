@@ -488,3 +488,97 @@ def bm25_single_term(
         .orderBy(F.desc("score"), F.asc(key))
         .limit(size)
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    key: str,
+    content: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    size: int = 20,
+) -> DataFrame:
+    """Multi-term Okapi BM25 — the full form the reference's TODO #2
+    asks ranking to grow into (README.md:271-272): per-term idf
+    weighting summed over the query terms, not just the single-term
+    saturation core.
+
+    Exactness design (hash-gate exact like bm25_single_term): idf is
+    kept in its RATIONAL form idf_t = (N - df_t + 0.5) / (df_t + 0.5) —
+    the Robertson-Sparck-Jones odds ratio WITHOUT the log.  log is
+    monotone, so per-term ranking is unaffected; the cross-term SUM
+    weights terms differently than log-idf BM25 would (documented
+    engine law — consumers wanting the textbook curve apply ln to the
+    per-term factor downstream).  What this buys: every operand is a
+    BIGINT count or one IEEE divide/multiply of counts, the identical
+    expression tree on both engines, no transcendental whose last-ulp
+    rounding differs — so the driver's value-hash gate can pin it.
+
+    A term with tf = 0 contributes EXACTLY +0.0 (0/positive = +0.0,
+    idf * 0.0 = 0.0, x + 0.0 = x in IEEE), so no per-term CASE is
+    needed; terms are summed in list order (one fixed expression tree,
+    never a non-deterministic aggregate over per-term rows).  df_t
+    comes from the same token statistics tfidf_score's df uses — here
+    aggregated off the per-doc frame, 1-row broadcast.
+
+    Plan: ONE token explode -> ONE groupBy with per-term conditional
+    counts -> 1-row stats broadcast -> TakeOrdered(size).  avgdl
+    averages docs with >= 1 token (empty docs excluded — same law both
+    engines, bm25_single_term documents the difference from textbook).
+    """
+    from spider_engine_spark.operators.dedup import exploded_tokens
+
+    terms = list(terms)
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError(
+            f"terms must be a non-empty list of distinct terms: {terms}"
+        )
+    toks = exploded_tokens(docs, key, content)
+    per_doc = toks.groupBy(key).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, 1)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    matched = per_doc.filter(
+        F.greatest(*[F.col(f"tf_{i}") for i in range(len(terms))]) > 0
+        if len(terms) > 1
+        else F.col("tf_0") > 0
+    )
+    scored = matched.crossJoin(F.broadcast(stats))
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+    score = None
+    for i in range(len(terms)):
+        idf = (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5)) / (
+            F.col(f"df_{i}") + F.lit(0.5)
+        )
+        part = (F.col(f"tf_{i}") * F.lit(k1 + 1.0)) / (
+            F.col(f"tf_{i}") + F.lit(k1) * norm
+        )
+        s = idf * part
+        score = s if score is None else score + s
+    return (
+        scored.select(
+            F.col(key),
+            F.col("dl").cast("long").alias("dl"),
+            *[
+                F.col(f"tf_{i}").cast("long").alias(f"tf_{i}")
+                for i in range(len(terms))
+            ],
+            score.alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(key))
+        .limit(size)
+    )

@@ -1184,6 +1184,59 @@ def search_bm25(spark, sf_dir):
 
 
 @query(
+    "search_bm25_multi",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    per AS (
+      SELECT doc_id, count(*) AS dl,
+        count(*) FILTER (WHERE term = 'spark') AS tf0,
+        count(*) FILTER (WHERE term = 'vector') AS tf1
+      FROM tok GROUP BY doc_id
+    ),
+    st AS (
+      SELECT sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl,
+        count(*) AS n,
+        count(*) FILTER (WHERE tf0 > 0) AS df0,
+        count(*) FILTER (WHERE tf1 > 0) AS df1
+      FROM per
+    )
+    SELECT doc_id, dl::BIGINT AS dl,
+      tf0::BIGINT AS tf_0, tf1::BIGINT AS tf_1,
+      ((n - df0 + 0.5::DOUBLE) / (df0 + 0.5::DOUBLE))
+        * ((tf0 * 2.2::DOUBLE)
+           / (tf0 + 1.2::DOUBLE
+              * (0.25::DOUBLE + 0.75::DOUBLE * (dl / st.avgdl))))
+      + ((n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE))
+        * ((tf1 * 2.2::DOUBLE)
+           / (tf1 + 1.2::DOUBLE
+              * (0.25::DOUBLE + 0.75::DOUBLE * (dl / st.avgdl))))
+      AS score
+    FROM per CROSS JOIN st
+    WHERE tf0 > 0 OR tf1 > 0
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def search_bm25_multi(spark, sf_dir):
+    """Multi-term Okapi BM25 with per-term RATIONAL idf (odds ratio
+    without the log — monotone per term; the engine's documented
+    cross-term weighting law), summed over the query terms in list
+    order as ONE fixed expression tree.  Hash-gate exact: idf adds one
+    IEEE divide of (count±0.5) operands per term, a zero-tf term
+    contributes exactly +0.0 (0/positive, then *idf, then +x are all
+    exact), and the oracle spells the identical tree with ::DOUBLE
+    folded literals (1.2+1.0 == 2.2, 1.0-0.75 == 0.25 exactly).  This
+    closes the reference's TODO #2 (README.md:271-272) for multi-term
+    queries; operators/search.bm25_rank has the plan shape."""
+    from spider_engine_spark.operators.search import bm25_rank
+
+    return bm25_rank(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        ["spark", "vector"], k1=1.2, b=0.75, size=20,
+    )
+
+
+@query(
     "search_multi_term_and",
     """
     WITH toks AS (
@@ -2489,6 +2542,75 @@ def sequence_packing(spark, sf_dir):
     )
 
 
+@query(
+    "packing_blocks",
+    """
+    WITH base AS (
+      SELECT doc_id,
+        coalesce(regexp_extract_all(text,
+          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'), []) || ['<|sep|>'] AS toks,
+        CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8
+          AS INTEGER) AS bucket
+      FROM documents
+    ), cum AS (
+      SELECT bucket, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+        CAST(sum(len(toks)) OVER (PARTITION BY bucket
+          ORDER BY doc_id, len(toks)
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS stream_end
+      FROM base
+    ), spans AS (
+      SELECT bucket, toks, stream_end,
+        stream_end - n_tok AS ss,
+        unnest(generate_series((stream_end - n_tok) // 512,
+                               (stream_end - 1) // 512)) AS chunk_id
+      FROM cum
+    ), pieces AS (
+      SELECT bucket, chunk_id, ss,
+        toks[(greatest(chunk_id * 512 - ss, 0) + 1)
+             : (least((chunk_id + 1) * 512, stream_end) - ss)] AS piece
+      FROM spans
+    )
+    SELECT bucket, CAST(chunk_id AS BIGINT) AS chunk_id,
+      CAST(sum(len(piece)) AS BIGINT) AS n_tokens,
+      md5(string_agg(array_to_string(piece, ' '), ' ' ORDER BY ss))
+        AS chunk_md5
+    FROM pieces GROUP BY bucket, chunk_id
+    """,
+)
+def packing_blocks(spark, sf_dir):
+    """The materialized packing artifact a trainer consumes: every
+    (bucket, chunk_id) block of the sequence_packing layout assembled
+    from content — exactly 512 tokens per chunk (each bucket's last
+    chunk ragged).  Hashed for the gate as md5 over the
+    space-joined token stream (tokens never contain whitespace under
+    the BPE-ish law, so the join is unambiguous); the oracle rebuilds
+    the identical chunks with DuckDB list slicing + ordered string_agg.
+    Plan shape: one layout join + a cheap sequence-explode (~tokens/512
+    rows) + one groupBy whose per-group payload is bounded by the block
+    size (operators/packing.materialize_blocks docstring)."""
+    from spider_engine_spark.operators.packing import (
+        materialize_blocks,
+        pack_sequences,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, key="doc_id", content="text", block=512, buckets=8
+    )
+    blocks = materialize_blocks(
+        docs, packed, key="doc_id", content="text", block=512
+    )
+    return blocks.select(
+        "bucket",
+        "chunk_id",
+        "n_tokens",
+        F.md5(F.encode(F.concat_ws(" ", "tokens"), "UTF-8")).alias(
+            "chunk_md5"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order
 #
@@ -2581,6 +2703,17 @@ _DRIVER_GATE_CAP = 50
 #                               single/multi search family keeps
 #                               search_tfidf/search_pagination and now
 #                               search_bm25 as additional members)
+# Round 6 registered 2 more new queries (search_bm25_multi,
+# packing_blocks — both never gated, inside the cap), so 15 entries sit
+# out per round; two more plan-family pairs, both green in r4 AND r5
+# (CORRECTNESS_r04/r05):
+#   tpch_q4_semijoin   <-> tpch_q14_promo      (single-join filtered
+#                               aggregate over orders/lineitem)
+#   json_props_topk    <-> regex_priority_codes (string-extraction +
+#                               top-k aggregate)
+# The 10 round-5 additions (gopher..search_bm25 in NEVER_YET_GATED)
+# earn their second consecutive green THIS round and become
+# rotation-eligible in r7.
 _GATE_ROTATION = [
     # even rounds (r4, r6, ...)
     [
@@ -2597,6 +2730,8 @@ _GATE_ROTATION = [
         "rollup_lang_source",
         "events_sessionize",
         "search_multi_term_and",
+        "tpch_q4_semijoin",
+        "json_props_topk",
     ],
     # odd rounds (r5, r7, ...)
     [
@@ -2613,9 +2748,11 @@ _GATE_ROTATION = [
         "pivot_event_types",
         "asof_join_latest_order",
         "search_multi_term_or",
+        "tpch_q14_promo",
+        "regex_priority_codes",
     ],
 ]
-_GATE_ROUND = 5  # bump each round — picks the rotation slot
+_GATE_ROUND = 6  # bump each round — picks the rotation slot
 _GATE_OVERFLOW = _GATE_ROTATION[_GATE_ROUND % len(_GATE_ROTATION)]
 
 

@@ -31,6 +31,9 @@ NEVER_YET_GATED = [
     "streaming_neardup_pairs",
     "token_rarity_scores",
     "search_bm25",
+    # round-6 additions
+    "search_bm25_multi",
+    "packing_blocks",
 ]
 
 
@@ -100,6 +103,10 @@ def test_demoted_entries_have_a_gated_partner():
         "asof_join_latest_order": "range_join_value_buckets",
         "search_multi_term_and": "search_multi_term_or",
         "search_multi_term_or": "search_multi_term_and",
+        "tpch_q4_semijoin": "tpch_q14_promo",
+        "tpch_q14_promo": "tpch_q4_semijoin",
+        "json_props_topk": "regex_priority_codes",
+        "regex_priority_codes": "json_props_topk",
     }
     order = list(QUERIES)
     for name in _GATE_OVERFLOW:

@@ -146,3 +146,98 @@ def test_parameter_validation(spark):
         pack_sequences(df, key="doc_id", content="t", sep_tokens=0)
     with pytest.raises(ValueError, match="block"):
         pack_sequences(df, key="doc_id", content="t", block=0)
+
+
+# ---------------------------------------------------------------------------
+# materialize_blocks: the packed-chunk artifact
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark):
+    rows = [
+        ("d00", "alpha beta, gamma 42 delta!"),
+        ("d01", "one-two three"),
+        ("d02", ""),           # zero tokens: separator only
+        ("d03", None),         # null text: separator only
+        ("d04", "a b c d e f g h i j k l m n o p q r s t"),
+        ("d05", "x" * 5 + " 123 " + "y.z " * 7),
+        ("d06", "short"),
+        ("d07", "the quick brown fox jumps over 13 lazy dogs..."),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _py_tokens(text):
+    import re
+
+    if text is None:
+        return []
+    return re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+", text)
+
+
+def test_materialize_blocks_sizes_and_content(spark):
+    from spider_engine_spark.operators.packing import materialize_blocks
+
+    docs = _docs(spark)
+    block, buckets, sep = 7, 3, 1
+    packed = pack_sequences(
+        docs, key="doc_id", content="text", block=block, buckets=buckets
+    )
+    out = materialize_blocks(
+        docs, packed, key="doc_id", content="text", block=block
+    ).collect()
+    layout = {r["doc_id"]: r.asDict() for r in packed.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    # expected per-bucket stream: docs in (key, n_tok) order, tokens + sep
+    streams = {}
+    for did in sorted(layout, key=lambda k: (k, layout[k]["n_tok"])):
+        b = layout[did]["bucket"]
+        streams.setdefault(b, []).extend(_py_tokens(texts[did]) + ["<|sep|>"])
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], {})[r["chunk_id"]] = list(r["tokens"])
+        assert r["n_tokens"] == len(r["tokens"])
+    for b, stream in streams.items():
+        chunks = by_bucket.pop(b)
+        ids = sorted(chunks)
+        assert ids == list(range(len(ids))), ids  # contiguous from 0
+        for cid in ids[:-1]:
+            assert len(chunks[cid]) == block, (b, cid)
+        assert 1 <= len(chunks[ids[-1]]) <= block
+        flat = [t for cid in ids for t in chunks[cid]]
+        assert flat == stream, (b, flat, stream)
+    assert not by_bucket  # no chunks for absent buckets
+
+
+def test_materialize_blocks_reproducible_and_multisep(spark):
+    from spider_engine_spark.operators.packing import materialize_blocks
+
+    docs = _docs(spark)
+    packed = pack_sequences(
+        docs, key="doc_id", content="text", block=5, buckets=2,
+        sep_tokens=2,
+    )
+    a = materialize_blocks(
+        docs, packed, key="doc_id", content="text", block=5, sep_tokens=2
+    )
+    b = materialize_blocks(
+        docs.repartition(7), packed, key="doc_id", content="text",
+        block=5, sep_tokens=2,
+    )
+    ka = {(r["bucket"], r["chunk_id"]): list(r["tokens"]) for r in a.collect()}
+    kb = {(r["bucket"], r["chunk_id"]): list(r["tokens"]) for r in b.collect()}
+    assert ka == kb
+    n_sep = sum(t == "<|sep|>" for toks in ka.values() for t in toks)
+    assert n_sep == 2 * docs.count()
+
+
+def test_materialize_blocks_validates_sep(spark):
+    from spider_engine_spark.operators.packing import materialize_blocks
+
+    docs = _docs(spark)
+    packed = pack_sequences(docs, key="doc_id", content="text", block=5)
+    with pytest.raises(ValueError, match="sep_tokens"):
+        materialize_blocks(
+            docs, packed, key="doc_id", content="text", block=5,
+            sep_tokens=0,
+        )

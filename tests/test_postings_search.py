@@ -500,3 +500,61 @@ def test_bm25_plan_single_explode(spark):
         "re-derive the grouped frame once, but a third means the "
         "tf/dl join shape is back"
     )
+
+
+def test_bm25_multi_term_hand_computed(spark):
+    """Full multi-term Okapi with rational idf, IEEE-exact: expected
+    scores replicated operand-for-operand in Python doubles."""
+    from spider_engine_spark.operators.search import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "spark spark vector x"),
+            ("d2", "spark y z"),
+            ("d3", "a b"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = bm25_rank(docs, "doc_id", "text", ["spark", "vector"]).collect()
+    # N=3, sumdl=9, avgdl=3.0, df_spark=2, df_vector=1
+    def expect(tf0, tf1, dl, n=3, avgdl=3.0, df0=2, df1=1, k1=1.2, b=0.75):
+        s = 0.0
+        norm = (1.0 - b) + b * (dl / avgdl)
+        for tf, df in ((tf0, df0), (tf1, df1)):
+            idf = (n - df + 0.5) / (df + 0.5)
+            part = (tf * (k1 + 1.0)) / (tf + k1 * norm)
+            s = s + idf * part if s else idf * part
+        return s
+
+    got = {r.doc_id: (r.tf_0, r.tf_1, r.dl, r.score) for r in rows}
+    assert set(got) == {"d1", "d2"}  # d3 matches nothing
+    assert got["d1"][:3] == (2, 1, 4)
+    assert got["d2"][:3] == (1, 0, 3)
+    # bit-exact, not approx: the whole design claim
+    assert got["d1"][3] == expect(2, 1, 4)
+    assert got["d2"][3] == expect(1, 0, 3)
+    assert got["d1"][3] > got["d2"][3]
+    # zero-tf term contributes exactly +0.0: d2's score equals the
+    # single-term law for 'spark' with its idf factor
+    idf0 = (3 - 2 + 0.5) / (2 + 0.5)
+    part = (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * (3 / 3.0)))
+    assert got["d2"][3] == idf0 * part
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distinct"):
+        bm25_rank(docs, "doc_id", "text", ["spark", "spark"])
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_rank(docs, "doc_id", "text", [])
+
+
+def test_bm25_multi_plan_single_explode(spark):
+    from spider_engine_spark.operators.search import bm25_rank
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        bm25_rank(docs, "doc_id", "text", ["spark", "vector", "index"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_gen = plan.count("Generate explode")
+    assert 0 < n_gen <= 2, f"{n_gen} explodes in the multi-term BM25 plan"
