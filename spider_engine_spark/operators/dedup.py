@@ -648,3 +648,112 @@ def canonical_corpus(
     comp = connected_components(pairs, a="a", b="b", key=key)
     drop = comp.filter(F.col(key) != F.col("comp")).select(key)
     return df.join(drop, key, "left_anti")
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    key: str,
+    content: str,
+    n: int = 8,
+    out: str = "text_dedup",
+    pos_bits: int = 20,
+) -> DataFrame:
+    """Exact substring (n-token span) deduplication — the ExactSubstr
+    law of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better"), re-expressed for Spark: every occurrence of any
+    n-token window that appears more than once in the corpus is REMOVED
+    except the globally-first occurrence; kept tokens are re-joined.
+    Intra-document repeats dedup too (they are occurrences like any
+    other).  The paper builds one suffix array over the concatenated
+    corpus — inherently single-machine; the n-gram-window form
+    distributes as plain relational algebra with the same
+    any-duplicated-window-loses-its-copies semantics at n-token
+    granularity.
+
+    Law (oracle-exact, driver query `dedup_exact_substrings`):
+    tokens = whitespace split; windows at positions 0..L-n (docs with
+    L < n untouched); window id = md5 60-bit of the space-joined gram;
+    the kept occurrence of a duplicated window is min(key*2^pos_bits +
+    pos) — (key, pos) lexicographic via one BIGINT, so `key` must be
+    numeric and positions must fit pos_bits (~1M tokens/doc at the
+    default; raise pos_bits for longer docs — the law, not a limit of
+    the plan).  A token is removed iff some non-kept duplicated-window
+    occurrence of its document covers it.
+
+    Plan shape at 100 TB: one posexplode of precomputed gram hashes
+    (~one row per corpus token; the hash array is a materialized ladder
+    column so the generator cannot re-expand the tokenize — PLANS.md
+    round-5 trap), one groupBy(gram) keeping (count, min packed id) —
+    hot boilerplate grams are bounded by AQE skew handling and carry
+    only two aggregates, one join back of DUPLICATED occurrences only
+    (proportional to duplicated content, not the corpus), one
+    groupBy(key) collecting removal starts (bounded by the doc's own
+    window count), and a map-side rebuild.  The rebuild's token mask is
+    O(L * removals) per doc worst case — fine while removal lists are
+    doc-bounded; a pathological fully-boilerplate doc costs O(L^2/n)
+    there, the documented trade for a pure-Column rebuild.
+    """
+    if n < 2:
+        raise ValueError(f"span length n must be >= 2, got {n}")
+    from spider_engine_spark.functions.hashes import md5_h60_col
+    from spider_engine_spark.functions.text_analysis import (
+        _pos_ngrams,
+        tokens,
+    )
+
+    toks = "_xs_toks"
+    # ladder: tokens, then the positional gram-hash array, materialized
+    # as columns so the explode below references attributes
+    d = df.select(
+        F.col(key), F.col(content).alias("_xs_text"),
+    ).withColumn(
+        # NULL text = zero tokens (size(NULL) is -1, not 0)
+        toks,
+        F.coalesce(
+            tokens(F.col("_xs_text")), F.array().cast("array<string>")
+        ),
+    ).withColumn(
+        "_xs_grams", F.transform(_pos_ngrams(F.col(toks), n), md5_h60_col)
+    )
+    occ = d.select(
+        F.col(key),
+        F.posexplode_outer("_xs_grams").alias("pos", "g"),
+    ).filter(F.col("g").isNotNull())
+    packed = (
+        F.col(key).cast("long") * F.lit(1 << pos_bits).cast("long")
+        + F.col("pos")
+    )
+    occ = occ.select(key, "pos", "g", packed.alias("_xs_id"))
+    dup = occ.groupBy("g").agg(
+        F.count(F.lit(1)).alias("_xs_c"),
+        F.min("_xs_id").alias("_xs_first"),
+    ).filter(F.col("_xs_c") > 1)
+    removed = (
+        occ.join(dup, "g")
+        .filter(F.col("_xs_id") != F.col("_xs_first"))
+        .groupBy(key)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_xs_starts"))
+    )
+    r = d.join(removed, key, "left")
+    starts = F.col("_xs_starts")
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda t: F.size(
+            F.filter(starts, lambda s: (s <= t) & (t < s + F.lit(n)))
+        )
+        == 0,
+    )
+    rebuilt = F.concat_ws(
+        " ", F.transform(kept_idx, lambda t: F.element_at(toks, t + 1))
+    )
+    return r.select(
+        F.col(key),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.when(starts.isNotNull(), F.size(kept_idx))
+        .otherwise(F.size(toks))
+        .cast("long")
+        .alias("n_kept"),
+        F.when(starts.isNotNull(), rebuilt)
+        .otherwise(F.col("_xs_text"))
+        .alias(out),
+    )

@@ -1651,6 +1651,63 @@ def dedup_clusters(spark, sf_dir):
 
 
 @query(
+    "dedup_exact_substrings",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+        coalesce(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> ''), []) AS toks
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, unnest(range(0, greatest(len(toks) - 8 + 1, 0)))
+        AS pos, toks
+      FROM t
+    ), h AS (
+      SELECT doc_id, pos,
+        ('0x' || substring(md5(array_to_string(toks[pos+1:pos+8], ' ')),
+         1, 15))::BIGINT AS g,
+        doc_id * 1048576 + pos AS packed
+      FROM occ
+    ), dup AS (
+      SELECT g, min(packed) AS first FROM h GROUP BY g HAVING count(*) > 1
+    ), removed AS (
+      SELECT doc_id, list_sort(list(pos)) AS starts
+      FROM h JOIN dup USING (g) WHERE packed <> first GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(CASE WHEN starts IS NOT NULL THEN
+        len(list_filter(range(0, len(toks)),
+            i -> len(list_filter(starts, s -> s <= i AND i < s + 8)) = 0))
+        ELSE len(toks) END AS BIGINT) AS n_kept,
+      CASE WHEN starts IS NOT NULL THEN
+        coalesce(array_to_string(list_transform(
+          list_filter(range(0, len(toks)),
+            i -> len(list_filter(starts, s -> s <= i AND i < s + 8)) = 0),
+          i -> toks[i+1]), ' '), '')
+        ELSE d.text END AS text_dedup
+    FROM documents d
+    JOIN t USING (doc_id)
+    LEFT JOIN removed USING (doc_id)
+    """,
+)
+def dedup_exact_substrings(spark, sf_dir):
+    """Exact substring (n-token span) dedup — the ExactSubstr law of
+    Lee et al. 2021 distributed as relational algebra: every occurrence
+    of any 8-token window appearing >1 time in the corpus is removed
+    except the (doc_id,pos)-min one; kept tokens re-joined.  The oracle
+    rebuilds the FULL deduped string per document (hash-gates the
+    removal law, the first-occurrence law and the rebuild order
+    corpus-wide), via the same md5-60-bit window ids and packed
+    (doc_id,pos) ordering.  operators/dedup.exact_substring_dedup has
+    the 100 TB plan shape (one posexplode ~= one row per corpus token,
+    one gram groupBy, duplicated-occurrences-only join back)."""
+    from spider_engine_spark.operators.dedup import exact_substring_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_substring_dedup(docs, "doc_id", "text", n=8)
+
+
+@query(
     "token_rarity_scores",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -2714,6 +2771,11 @@ _DRIVER_GATE_CAP = 50
 # The 10 round-5 additions (gopher..search_bm25 in NEVER_YET_GATED)
 # earn their second consecutive green THIS round and become
 # rotation-eligible in r7.
+# Round 6 (late) registered dedup_exact_substrings (never gated, inside
+# the cap), so 16 entries sit out per round; one more pair, green since
+# r1 and r4+r5-green (CORRECTNESS_r04/r05):
+#   value_percentiles  <-> agg_distinct_users   (single-pass scan
+#                               aggregate over the events table)
 _GATE_ROTATION = [
     # even rounds (r4, r6, ...)
     [
@@ -2732,6 +2794,7 @@ _GATE_ROTATION = [
         "search_multi_term_and",
         "tpch_q4_semijoin",
         "json_props_topk",
+        "value_percentiles",
     ],
     # odd rounds (r5, r7, ...)
     [
@@ -2750,6 +2813,7 @@ _GATE_ROTATION = [
         "search_multi_term_or",
         "tpch_q14_promo",
         "regex_priority_codes",
+        "agg_distinct_users",
     ],
 ]
 _GATE_ROUND = 6  # bump each round — picks the rotation slot

@@ -1009,3 +1009,84 @@ def test_canonical_corpus_does_not_force_broadcast(spark):
     assert "ResolvedHint" not in analyzed, analyzed
     assert "hint" not in optimized.lower(), optimized
     assert sorted(r.doc_id for r in kept.collect()) == list(range(0, 100, 10))
+
+
+# ---------------------------------------------------------------------------
+# exact substring (n-token span) dedup — Lee et al. 2021 law
+# ---------------------------------------------------------------------------
+
+
+def _xs_reference(docs, n):
+    """Pure-Python reference of the exact-substring law: occurrences of
+    any >1-count n-gram are removed except the (key,pos)-min one."""
+    toks = {k: (t.split() if t else []) for k, t in docs}
+    occ = {}
+    for k, t in sorted(toks.items()):
+        for p in range(max(len(t) - n + 1, 0)):
+            occ.setdefault(tuple(t[p: p + n]), []).append((k, p))
+    removed = {}
+    for g, lst in occ.items():
+        if len(lst) > 1:
+            for k, p in sorted(lst)[1:]:
+                removed.setdefault(k, set()).update(range(p, p + n))
+    out = {}
+    for k, t in toks.items():
+        keep = [w for i, w in enumerate(t) if i not in removed.get(k, ())]
+        out[k] = (len(t), len(keep), " ".join(keep) if t else None)
+    return out
+
+
+def test_exact_substring_dedup_hand_computed(spark):
+    from spider_engine_spark.operators.dedup import exact_substring_dedup
+
+    docs = [
+        (1, "a b c d e"),
+        (2, "x a b c y"),        # shares "a b c" -> loses tokens 1..3
+        (3, "p q p q p q"),      # intra-doc repeats dedup too
+        (4, "u v"),              # < n tokens: untouched
+        (5, None),               # null: untouched
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.text_dedup)
+        for r in exact_substring_dedup(df, "doc_id", "text", n=3).collect()
+    }
+    assert got[1] == (5, 5, "a b c d e")
+    assert got[2] == (5, 2, "x y")
+    assert got[3] == (6, 2, "p q")
+    assert got[4] == (2, 2, "u v")
+    assert got[5] == (0, 0, None)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="span length"):
+        exact_substring_dedup(df, "doc_id", "text", n=1)
+
+
+def test_exact_substring_dedup_matches_python_reference(spark):
+    """Random corpus with planted copied spans vs the pure-Python law,
+    plus determinism under repartition."""
+    import random
+
+    from spider_engine_spark.operators.dedup import exact_substring_dedup
+
+    rng = random.Random(20260818)
+    vocab = [f"w{i}" for i in range(12)]
+    base = [
+        (k, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for k in range(30)
+    ]
+    # plant copied spans: doc 30..34 embed doc k's middle into fresh text
+    docs = list(base)
+    for j in range(5):
+        src = base[j][1].split()
+        span = src[1: 1 + min(12, len(src) - 1)]
+        filler = [rng.choice(vocab) for _ in range(5)]
+        docs.append((30 + j, " ".join(filler + span + filler)))
+    expect = _xs_reference(docs, n=6)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for d in (df, df.repartition(13)):
+        got = {
+            r.doc_id: (r.n_tokens, r.n_kept, r.text_dedup)
+            for r in exact_substring_dedup(d, "doc_id", "text", n=6).collect()
+        }
+        assert got == expect

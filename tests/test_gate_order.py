@@ -34,6 +34,7 @@ NEVER_YET_GATED = [
     # round-6 additions
     "search_bm25_multi",
     "packing_blocks",
+    "dedup_exact_substrings",
 ]
 
 
@@ -107,6 +108,8 @@ def test_demoted_entries_have_a_gated_partner():
         "tpch_q14_promo": "tpch_q4_semijoin",
         "json_props_topk": "regex_priority_codes",
         "regex_priority_codes": "json_props_topk",
+        "value_percentiles": "agg_distinct_users",
+        "agg_distinct_users": "value_percentiles",
     }
     order = list(QUERIES)
     for name in _GATE_OVERFLOW:
