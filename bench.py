@@ -54,6 +54,14 @@ HEADLINE = [
     "pii_scrub_audit",
     "sequence_packing",
     "dedup_clusters",
+    # round-6 additions (absent from BENCH_r<=5; same accounting rule —
+    # BENCH/BASELINE.md §4b). window_ntile_users is NOT new but changed
+    # plan (distributed ntile replaced the global-window funnel), so it
+    # joins the headline to carry a per-round perf signal going forward.
+    "window_ntile_users",
+    "search_bm25_multi",
+    "packing_blocks",
+    "dedup_exact_substrings",
 ]
 
 

@@ -619,7 +619,10 @@ def _drop_checkpoint_blocks(spark, ids: set[int | None]) -> None:
 
 
 def canonical_corpus(
-    df: DataFrame, pairs: DataFrame, key: str = "doc_id"
+    df: DataFrame,
+    pairs: DataFrame,
+    key: str = "doc_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The end-to-end dedup materialization: given near-dup `pairs`
     (from any generator, verified or not), keep exactly one row per
@@ -644,8 +647,12 @@ def canonical_corpus(
     dropped here once the drop-list is derived... except the returned
     frame still needs it lazily, so it is pinned like
     connected_components documents — materialize (write/cache) then
-    unpersist if the session is long-lived."""
-    comp = connected_components(pairs, a="a", b="b", key=key)
+    unpersist if the session is long-lived.  checkpoint_dir passes
+    through to connected_components (reliable executor-loss-safe round
+    snapshots for cluster runs)."""
+    comp = connected_components(
+        pairs, a="a", b="b", key=key, checkpoint_dir=checkpoint_dir
+    )
     drop = comp.filter(F.col(key) != F.col("comp")).select(key)
     return df.join(drop, key, "left_anti")
 
@@ -695,6 +702,18 @@ def exact_substring_dedup(
     """
     if n < 2:
         raise ValueError(f"span length n must be >= 2, got {n}")
+    from pyspark.sql.types import IntegralType
+
+    key_type = df.schema[key].dataType
+    if not isinstance(key_type, IntegralType):
+        # a string key would cast('long') to NULL, making every packed
+        # id NULL and the `!= first` filter silently remove NOTHING —
+        # wrong output with no error. Fail loudly instead.
+        raise TypeError(
+            f"exact_substring_dedup needs a numeric key (the packed "
+            f"(key,pos) ordering law); {key!r} is {key_type.simpleString()}"
+            f" — pre-map string keys to a BIGINT (e.g. xxhash64)"
+        )
     from spider_engine_spark.functions.hashes import md5_h60_col
     from spider_engine_spark.functions.text_analysis import (
         _pos_ngrams,
@@ -719,9 +738,29 @@ def exact_substring_dedup(
         F.col(key),
         F.posexplode_outer("_xs_grams").alias("pos", "g"),
     ).filter(F.col("g").isNotNull())
-    packed = (
+    # per-row overflow guard: a pos bleeding into the key bits would
+    # corrupt the (key,pos) order and keep the WRONG occurrence — fail
+    # loudly (vectorized predicate; raise_error only fires on overflow)
+    packed = F.when(
+        F.col("pos") < F.lit(1 << pos_bits),
         F.col(key).cast("long") * F.lit(1 << pos_bits).cast("long")
-        + F.col("pos")
+        + F.col("pos"),
+    ).when(
+        # the outer-explode NULL row of a short/empty doc: Catalyst may
+        # hoist this projection above the g-isNotNull filter, so the
+        # guard must not fire on it (the row is dropped regardless)
+        F.col("pos").isNull(),
+        F.lit(None).cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"exact_substring_dedup: token position exceeds "
+                    f"pos_bits={pos_bits} (raise pos_bits) in doc "
+                ),
+                F.col(key).cast("string"),
+            )
+        ).cast("long")
     )
     occ = occ.select(key, "pos", "g", packed.alias("_xs_id"))
     dup = occ.groupBy("g").agg(

@@ -39,17 +39,28 @@ def with_global_ranks(
     order_by: list[Column],
     out: str = "rank",
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, int]:
     """All input columns + `out` = exact 1-based global row_number under
     `order_by`, computed without a single-partition window.  Returns
-    (frame, total row count).  The frame is localCheckpoint-backed;
-    callers with long-lived sessions should materialize and release it
-    like any checkpointed result.
+    (frame, total row count).
+
+    Snapshot lifecycle (same contract as connected_components):
+    checkpoint_dir=None pins ONE localCheckpoint per call (the ranked
+    frame the result reads lazily); its RDD id rides on the returned
+    frame as `_spider_pinned_rdd_id`, and release_global_ranks(frame)
+    frees the blocks once the result is materialized — long-lived
+    shared sessions (REST controller) should call it.  Passing a
+    checkpoint_dir uses reliable df.checkpoint() instead: nothing is
+    block-pinned and the snapshot survives executor loss; the caller
+    owns the dir's lifecycle.
 
     Ties across `order_by` are split arbitrarily-but-deterministically
     within a partition (row_number semantics); pass a tiebreak column
     (as the global-window form needs anyway) for full determinism.
     """
+    from spider_engine_spark.operators.dedup import _ckpt_rdd_id
+
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -58,11 +69,16 @@ def with_global_ranks(
         df.repartitionByRange(num_partitions, *order_by)
         .withColumn(_PID, F.spark_partition_id())
         .withColumn(_LRN, F.row_number().over(w))
-        # pin the partitioning: range boundaries are sampled, so the
-        # counts pass below and the final compute must see one frozen
-        # assignment of rows to partitions
-        .localCheckpoint()
     )
+    # pin the partitioning: range boundaries are sampled, so the counts
+    # pass below and the final compute must see one frozen assignment
+    # of rows to partitions
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        ranked, pinned = ranked.checkpoint(), None
+    else:
+        ranked = ranked.localCheckpoint()
+        pinned = _ckpt_rdd_id(ranked)
     counts = {
         r[_PID]: r["cnt"]
         for r in ranked.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()
@@ -73,15 +89,31 @@ def with_global_ranks(
         offsets.append((pid, acc))
         acc += counts[pid]
     if not offsets:
-        return ranked.withColumn(out, F.lit(None).cast("long")).drop(
+        res = ranked.withColumn(out, F.lit(None).cast("long")).drop(
             _PID, _LRN
-        ), 0
+        )
+        res._spider_pinned_rdd_id = pinned
+        return res, 0
     off = spark.createDataFrame(offsets, f"{_PID} int, __rank_off long")
-    return (
+    res = (
         ranked.join(F.broadcast(off), _PID)
         .withColumn(out, (F.col("__rank_off") + F.col(_LRN)).cast("long"))
         .drop(_PID, _LRN, "__rank_off")
-    ), total
+    )
+    res._spider_pinned_rdd_id = pinned
+    return res, total
+
+
+def release_global_ranks(frame: DataFrame) -> None:
+    """Free the localCheckpoint blocks behind a with_global_ranks /
+    distributed_ntile result.  Call AFTER materializing (collect/write)
+    — the frame is unusable afterwards.  No-op for reliable-checkpoint
+    results and frames from other sources."""
+    from spider_engine_spark.operators.dedup import _drop_checkpoint_blocks
+
+    pinned = getattr(frame, "_spider_pinned_rdd_id", None)
+    if pinned is not None:
+        _drop_checkpoint_blocks(frame.sparkSession, {pinned})
 
 
 def distributed_ntile(
@@ -90,6 +122,7 @@ def distributed_ntile(
     order_by: list[Column],
     out: str = "bucket",
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact `ntile(n) OVER (ORDER BY order_by)` at scale: same results
     as the global window, no single-task funnel.
@@ -105,7 +138,8 @@ def distributed_ntile(
     if n < 1:
         raise ValueError(f"ntile buckets must be >= 1, got {n}")
     ranked, total = with_global_ranks(
-        df, order_by, out="__rank_r", num_partitions=num_partitions
+        df, order_by, out="__rank_r", num_partitions=num_partitions,
+        checkpoint_dir=checkpoint_dir,
     )
     q, rem = divmod(total, n)
     r = F.col("__rank_r")
@@ -124,4 +158,9 @@ def distributed_ntile(
         ).otherwise(
             F.expr(f"{rem} + (__rank_r - {head} + {q - 1}) DIV {q}")
         )
-    return ranked.withColumn(out, bucket.cast("long")).drop("__rank_r")
+    res = ranked.withColumn(out, bucket.cast("long")).drop("__rank_r")
+    # propagate the snapshot handle (see with_global_ranks docstring)
+    res._spider_pinned_rdd_id = getattr(
+        ranked, "_spider_pinned_rdd_id", None
+    )
+    return res

@@ -96,12 +96,19 @@ class TableIO:
         final = self._new_data_dir(name, df, new_version, partition_by)
         if mode == "append" and vs:
             dirs = list(vs[-1]["dirs"]) + [final]
+            empty = self._known_empty(vs[-1])
         else:
-            dirs = [final]
+            dirs, empty = [final], set()
+        if not self._has_data_files(final):
+            empty.add(final)
         vs.append(
             {
                 "version": new_version,
                 "dirs": dirs,
+                # parquet-less dirs (zero-row dynamic-partition writes)
+                # recorded at COMMIT time so read() never has to walk
+                # the data dirs to rediscover them
+                "empty_dirs": sorted(empty & set(dirs)),
                 "schema": df.schema.json(),
                 "meta": meta or {},
                 # recorded so compaction can rewrite WITH the table's
@@ -112,6 +119,17 @@ class TableIO:
         )
         self._commit_manifest(name, manifest)
         return new_version
+
+    def _known_empty(self, entry: dict) -> set[str]:
+        """Parquet-less dirs of a version entry. Entries committed by
+        this code record them ("empty_dirs"); older manifests are
+        upgraded by walking their dirs once here (write-time), so reads
+        stay listing-free either way."""
+        if "empty_dirs" in entry:
+            return set(entry["empty_dirs"])
+        return {
+            d for d in entry["dirs"] if not self._has_data_files(d)
+        }
 
     def _new_data_dir(
         self,
@@ -144,10 +162,13 @@ class TableIO:
         # parquet files at all (unpartitioned empty writes leave a
         # schema-only file; partitioned ones leave nothing) — such dirs
         # are legitimate empty snapshots, not corruption, and must not
-        # brick every later read with UNABLE_TO_INFER_SCHEMA. Skip them;
-        # the manifest schema reconstructs a true empty frame if the
-        # whole version is empty.
-        dirs = [d for d in entry["dirs"] if self._has_data_files(d)]
+        # brick every later read with UNABLE_TO_INFER_SCHEMA. Skip them
+        # via the manifest's commit-time record (no per-read filesystem
+        # walks on the crawl hot path; _known_empty walks only for
+        # pre-upgrade manifests); the manifest schema reconstructs a
+        # true empty frame if the whole version is empty.
+        empty = self._known_empty(entry)
+        dirs = [d for d in entry["dirs"] if d not in empty]
         if not dirs:
             from pyspark.sql.types import StructType
 
@@ -233,7 +254,8 @@ class TableIO:
         # parquet-less dirs (empty dynamic-partition snapshots, see
         # read()) hold nothing to merge and cannot be scanned — drop
         # them from the fold AND from the new snapshot's dir list
-        dirs = [d for d in entry["dirs"] if self._has_data_files(d)]
+        empty = self._known_empty(entry)
+        dirs = [d for d in entry["dirs"] if d not in empty]
         small = [d for d in dirs if self._dir_bytes(d) < max_bytes]
         big = [d for d in dirs if d not in small]
         if len(small) <= 1:
@@ -253,6 +275,9 @@ class TableIO:
             {
                 "version": new_version,
                 "dirs": big + [merged],
+                "empty_dirs": (
+                    [] if self._has_data_files(merged) else [merged]
+                ),
                 "schema": entry["schema"],
                 "meta": meta if meta is not None else dict(entry.get("meta", {})),
                 "partition_by": partition_by,

@@ -1090,3 +1090,40 @@ def test_exact_substring_dedup_matches_python_reference(spark):
             for r in exact_substring_dedup(d, "doc_id", "text", n=6).collect()
         }
         assert got == expect
+
+
+def test_exact_substring_dedup_validates_key_and_pos(spark):
+    """A string key would make every packed id NULL and silently remove
+    NOTHING (review finding) — must raise; a position overflowing
+    pos_bits would corrupt the (key,pos) order — must raise per-row."""
+    from pyspark.sql.utils import AnalysisException
+
+    from spider_engine_spark.operators.dedup import exact_substring_dedup
+
+    sdocs = spark.createDataFrame(
+        [("d1", "a b c d e f g h a b c d e f g h")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(TypeError, match="numeric key"):
+        exact_substring_dedup(sdocs, "doc_id", "text", n=3)
+    ldocs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="pos_bits"):
+        exact_substring_dedup(
+            ldocs, "doc_id", "text", n=3, pos_bits=2
+        ).collect()
+
+
+def test_canonical_corpus_reliable_checkpoint_mode(spark, tmp_path):
+    from spider_engine_spark.operators.dedup import canonical_corpus
+
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), "id").alias("text")
+    )
+    pairs = spark.createDataFrame([(0, 5), (5, 10)], "a long, b long")
+    kept = canonical_corpus(
+        docs, pairs, checkpoint_dir=str(tmp_path / "cc")
+    )
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == sorted(set(range(20)) - {5, 10})

@@ -96,3 +96,31 @@ def test_window_ntile_users_has_no_global_window(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_global_ranks_release_and_reliable_modes(spark, tmp_path):
+    """The pinned localCheckpoint behind a ranks result is released by
+    release_global_ranks (handle rides the frame); reliable mode pins
+    nothing in the block manager."""
+    from spider_engine_spark.operators.dedup import _pinned_rdd_ids
+    from spider_engine_spark.operators.ranking import release_global_ranks
+
+    df = _mkdf(spark, 200)
+    order = [F.desc("total"), F.asc("user_id")]
+    before = _pinned_rdd_ids(spark)
+    out = distributed_ntile(df, 4, order, out="q")
+    assert out.count() == 200
+    pinned = _pinned_rdd_ids(spark) - before
+    assert len(pinned) == 1
+    assert getattr(out, "_spider_pinned_rdd_id") in pinned
+    release_global_ranks(out)
+    assert not (_pinned_rdd_ids(spark) - before)
+    # reliable mode: nothing block-pinned, results identical
+    before = _pinned_rdd_ids(spark)
+    out2 = distributed_ntile(
+        df, 4, order, out="q", checkpoint_dir=str(tmp_path / "rk")
+    )
+    got = {r.user_id: r.q for r in out2.collect()}
+    assert not (_pinned_rdd_ids(spark) - before)
+    expect = {r.user_id: r.q for r in distributed_ntile(df, 4, order, out="q").collect()}
+    assert got == expect

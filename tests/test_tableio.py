@@ -70,3 +70,40 @@ def test_empty_partitioned_write_is_readable(spark, tmp_path):
     assert io.read(spark, "t").count() == 12
     for d in io._entry("t")["dirs"]:
         assert TableIO._has_data_files(d)
+
+
+def test_empty_dirs_recorded_in_manifest_not_rewalked(spark, tmp_path, monkeypatch):
+    """Parquet-less dirs are recorded at COMMIT time (empty_dirs);
+    read() must not walk data dirs when the manifest carries the record
+    (the crawl reads frontier/seen/filter every superstep). Legacy
+    manifests without the key still work via the one-time write-side
+    upgrade walk."""
+    from pyspark.sql import functions as F
+
+    io = TableIO(str(tmp_path))
+    full = spark.range(4).select(
+        F.col("id"), (F.col("id") % 2).cast("int").alias("shard")
+    )
+    empty = full.filter(F.lit(False))
+    io.write("t", full, partition_by=["shard"])
+    io.write("t", empty, mode="append", partition_by=["shard"])
+    entry = io._entry("t")
+    assert len(entry["empty_dirs"]) == 1
+    assert entry["empty_dirs"][0] == entry["dirs"][-1]
+    # upgraded manifest: read() needs no filesystem walk at all
+    monkeypatch.setattr(
+        TableIO, "_has_data_files",
+        staticmethod(lambda d: (_ for _ in ()).throw(AssertionError("walked"))),
+    )
+    assert io.read(spark, "t").count() == 4
+    monkeypatch.undo()
+    # legacy manifest (no key): falls back to walking, still correct
+    m = io._load_manifest("t")
+    for v in m["versions"]:
+        v.pop("empty_dirs", None)
+    io._commit_manifest("t", m)
+    assert io.read(spark, "t").count() == 4
+    # and the next append upgrades it back
+    io.write("t", full, mode="append", partition_by=["shard"])
+    assert "empty_dirs" in io._entry("t")
+    assert io.read(spark, "t").count() == 8
