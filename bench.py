@@ -62,6 +62,8 @@ HEADLINE = [
     "search_bm25_multi",
     "packing_blocks",
     "dedup_exact_substrings",
+    "semdedup_corpus",
+    "mixture_resample_counts",
 ]
 
 

@@ -796,3 +796,84 @@ def exact_substring_dedup(
         .otherwise(F.col("_xs_text"))
         .alias(out),
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    key: str,
+    vec: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    embeddings are coarse-quantized to their nearest centroid
+    (similarity.ivf_assign — the same JVM argmax-cosine the IVF index
+    uses) and exact cosine runs only WITHIN each cluster; a pair is
+    (a, b), a < b, with cosine >= threshold.
+
+    Scale shape: one shuffle on the cluster id, then a per-cluster
+    self-join. The within-cluster work is quadratic in cluster size BY
+    DESIGN — SemDeDup's contract is that k is chosen so clusters hold
+    ~10^3-10^4 points (k ≈ N / desired_cluster_size), which bounds each
+    task at millions of JVM-native cosines, embarrassingly parallel
+    across clusters. `max_cluster` guards the skew failure mode (one
+    degenerate centroid swallowing the corpus): clusters above the cap
+    are EXCLUDED from pairing (documented recall trade, mirroring
+    shared_shingle_pairs' hot-shingle cap) — at web scale prefer
+    re-fitting with larger k over raising the cap. The size side of
+    that join is <= k rows, hence broadcast."""
+    from spider_engine_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(df.select(key, vec), key, vec, centroids)
+    if max_cluster is not None:
+        sizes = assigned.groupBy("ivf_list").agg(
+            F.count(F.lit(1)).alias("_sz")
+        )
+        assigned = (
+            assigned.join(F.broadcast(sizes), "ivf_list")
+            .filter(F.col("_sz") <= F.lit(int(max_cluster)))
+            .drop("_sz")
+        )
+    a = assigned.select(
+        "ivf_list", F.col(key).alias("a"), F.col(vec).alias("_va")
+    )
+    b = assigned.select(
+        "ivf_list", F.col(key).alias("b"), F.col(vec).alias("_vb")
+    )
+    return (
+        a.join(b, "ivf_list")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            cosine_col(F.col("_va"), F.col("_vb"))
+            >= F.lit(float(threshold))
+        )
+        .select("a", "b")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    key: str,
+    vec: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    max_cluster: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Semantic deduplication end-to-end: SemDeDup within-cluster pairs
+    -> connected components -> keep one row per semantic-duplicate
+    group. Returns the kept rows of `df` (all columns).
+
+    Representative law: the MIN key of each component survives — the
+    same deterministic rule as the rest of the dedup family
+    (canonical_corpus), deviating from the paper's keep-lowest-
+    centroid-similarity heuristic so results are reproducible
+    independent of the fitted centroids. checkpoint_dir as in
+    connected_components (reliable snapshots for cluster runs)."""
+    pairs = semantic_dedup_pairs(
+        df, key, vec, centroids, threshold, max_cluster
+    )
+    return canonical_corpus(
+        df, pairs, key=key, checkpoint_dir=checkpoint_dir
+    )

@@ -115,3 +115,88 @@ def stratified_sample(
             rate
         )
     return df.filter(uniform_unit(F.col(key), salt, law) < rate)
+
+
+def normalize_weights(weights: dict[str, float]) -> dict[str, float]:
+    """Target mixture shares scaled to sum to 1. Weights must be > 0 and
+    finite (a zero-share stratum belongs OUT of the dict — mixture math
+    would divide by it). math.fsum keeps the total exact regardless of
+    dict order, so the normalized shares are reproducible."""
+    import math
+
+    for k, v in weights.items():
+        if not (v > 0.0) or math.isinf(v):
+            raise ValueError(
+                f"mixture weight for {k!r} must be a finite positive "
+                f"number, got {v}"
+            )
+    total = math.fsum(weights.values())
+    return {k: v / total for k, v in weights.items()}
+
+
+def mixture_rates(
+    counts: dict[str, int], shares: dict[str, float]
+) -> dict[str, float]:
+    """Per-stratum keep rates for the LARGEST downsample-only corpus
+    with exactly the target mixture `shares` (normalized, summing to 1):
+
+        n_star  = min_s counts[s] / shares[s]   (feasible total size)
+        rate[s] = min(1, shares[s] * n_star / counts[s])
+
+    The binding stratum (the argmin) keeps everything (rate 1); every
+    other stratum downsamples to match. This is the standard "mix to
+    target proportions without upsampling" law of training-data
+    recipes (Pile/Dolma-style source mixing). Strata absent from
+    `shares` get no rate (callers drop them); a share whose stratum has
+    zero rows makes the mixture infeasible and raises.
+
+    IEEE note: the arithmetic is division/multiply/min only — no
+    accumulation — so any engine that stores counts exactly (they are
+    integers < 2^53) reproduces these rates bit-for-bit with the same
+    op order: n/w per stratum, min, then (w * n_star) / n. The SQL
+    oracle of the driver query mirrors exactly that order.
+    """
+    for s in shares:
+        if counts.get(s, 0) <= 0:
+            raise ValueError(
+                f"mixture stratum {s!r} has no rows — target share "
+                f"unreachable by downsampling"
+            )
+    n_star = min(counts[s] / shares[s] for s in shares)
+    return {
+        s: min(1.0, shares[s] * n_star / counts[s]) for s in shares
+    }
+
+
+def mixture_resample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    weights: dict[str, float],
+    salt: int = 0,
+    law: str = "xxhash64",
+) -> DataFrame:
+    """Rebalance a corpus to target mixture `weights` (relative shares
+    over `stratum` values, e.g. {'web': 6, 'code': 3, 'books': 1}) by
+    deterministic downsampling: the largest corpus with exactly those
+    proportions that needs no upsampling (see mixture_rates). Strata
+    outside the mixture are dropped.
+
+    One counting aggregation (the per-stratum counts collect is bounded
+    by the number of strata — mixtures are over sources/languages, a
+    handful to a few thousand groups) plus one stateless filter pass;
+    membership is the hash law of this module, so the result is exactly
+    reproducible and a re-run over a grown corpus keeps a superset
+    decision per surviving row only where rates rose."""
+    shares = normalize_weights(weights)
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(stratum).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["s"] is not None
+    }
+    rates = mixture_rates(counts, shares)
+    return stratified_sample(
+        df, key, stratum, rates, default_rate=0.0, salt=salt, law=law
+    )

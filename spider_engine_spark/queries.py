@@ -2668,6 +2668,147 @@ def packing_blocks(spark, sf_dir):
     )
 
 
+@query(
+    "semdedup_corpus",
+    f"""
+    WITH RECURSIVE {_PLANTED_SQL},
+    pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    ), und AS (
+      SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+    ), reach(n, r) AS (
+      SELECT vec_id, vec_id FROM all_v
+      UNION
+      SELECT reach.n, und.v FROM reach JOIN und ON reach.r = und.u
+    ), comp AS (
+      SELECT n AS vec_id, min(r) AS comp FROM reach GROUP BY n
+    )
+    SELECT vec_id FROM comp WHERE vec_id = comp
+    """,
+)
+def semdedup_corpus(spark, sf_dir):
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
+    coarse clusters -> exact cosine only WITHIN clusters -> connected
+    components -> keep the min-key representative of every semantic-dup
+    group.  Returns the kept vec_ids.
+
+    Oracle-checkable despite the within-cluster restriction: the only
+    pairs at cosine >= 0.95 are the planted power-of-two scaled copies
+    (natural pairs top out at ~0.6), and a scaled copy's cosine to EVERY
+    centroid is bit-identical to its source's (power-of-two scaling is
+    exact in IEEE), so copies provably land in the source's cluster and
+    the within-cluster pair set equals the oracle's brute-force pair
+    set.  The oracle then closes the pairs with a recursive CTE and
+    keeps each component's min — verifying the clustering + keep law,
+    not just the pairs."""
+    from spider_engine_spark.operators.dedup import semantic_dedup
+    from spider_engine_spark.operators.similarity import kmeans_centroids
+
+    emb = _scaled_copies(load(spark, sf_dir, "embeddings"))
+    cents = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2)
+    kept = semantic_dedup(
+        emb, "vec_id", "embedding", cents, threshold=0.95
+    )
+    return kept.select("vec_id")
+
+
+_MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+
+
+def _mix_shares() -> dict[str, float]:
+    from spider_engine_spark.operators.sampling import normalize_weights
+
+    return normalize_weights(_MIX_WEIGHTS)
+
+
+def _mix_values_sql() -> str:
+    return ", ".join(
+        f"('{k}', CAST({v!r} AS DOUBLE))"
+        for k, v in sorted(_mix_shares().items())
+    )
+
+
+@query(
+    "mixture_resample_counts",
+    lambda: f"""
+    WITH w(source, w) AS (VALUES {_mix_values_sql()}),
+    cnt AS (
+      SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
+    ), j AS (
+      SELECT w.source, w.w, cnt.n FROM w JOIN cnt USING (source)
+    ), ns AS (
+      SELECT min(n::DOUBLE / w) AS n_star FROM j
+    ), r AS (
+      SELECT source, n,
+        LEAST(CAST(1.0 AS DOUBLE),
+              w * (SELECT n_star FROM ns) / n::DOUBLE) AS rate
+      FROM j
+    ), u AS (
+      SELECT source, doc_id,
+        (('0x' || substring(md5(doc_id::VARCHAR || ':11'), 1, 15))::BIGINT
+          % 9007199254740992) / 9007199254740992.0 AS u
+      FROM documents
+    )
+    SELECT r.source, r.n AS n_total, r.rate,
+      CAST(count(*) AS BIGINT) AS n_kept
+    FROM u JOIN r USING (source) WHERE u.u < r.rate
+    GROUP BY r.source, r.n, r.rate
+    """,
+)
+def mixture_resample_counts(spark, sf_dir):
+    """Training-mix rebalancing: downsample the corpus to target source
+    shares 4:2:1:1 over src0..src3 (everything else dropped) — the
+    largest corpus with exactly those proportions that needs no
+    upsampling (operators/sampling.mixture_rates).  Output = per-source
+    total, computed keep rate, and kept count.
+
+    The oracle recomputes the WHOLE law independently: per-source
+    counts, the feasible-total min, the keep rates (same IEEE op order
+    — divide / min / multiply / divide, no accumulation, so the doubles
+    hash-gate exactly), and row membership under the md5 sampling law.
+    Normalized shares are inlined as exact repr literals (they, not the
+    raw weights, are the cross-engine contract — Python normalizes with
+    fsum)."""
+    from spider_engine_spark.operators.sampling import (
+        mixture_rates,
+        mixture_resample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    kept = mixture_resample(
+        docs, "doc_id", "source", _MIX_WEIGHTS, salt=11, law="md5"
+    )
+    # recompute the rates the operator derived so the gate hashes the
+    # LAW itself (rate + totals as columns), not just the row decisions
+    shares = _mix_shares()
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["source"] in shares
+    }
+    rates = mixture_rates(counts, shares)
+    n_total = F.lit(None).cast("long")
+    rate = F.lit(None).cast("double")
+    for s in sorted(shares):
+        n_total = F.when(
+            F.col("source") == F.lit(s), F.lit(counts[s]).cast("long")
+        ).otherwise(n_total)
+        rate = F.when(
+            F.col("source") == F.lit(s), F.lit(rates[s])
+        ).otherwise(rate)
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .withColumn("n_total", n_total)
+        .withColumn("rate", rate)
+        .select("source", "n_total", "rate", "n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order
 #
@@ -2776,6 +2917,13 @@ _DRIVER_GATE_CAP = 50
 # r1 and r4+r5-green (CORRECTNESS_r04/r05):
 #   value_percentiles  <-> agg_distinct_users   (single-pass scan
 #                               aggregate over the events table)
+# Round 6 (final) registered semdedup_corpus and mixture_resample_counts
+# (never gated, inside the cap), so 18 entries sit out per round; two
+# more pairs, both members r4+r5-green (CORRECTNESS_r04/r05):
+#   text_quality       <-> doc_fingerprint      (per-row JVM text-feature
+#                               scan over documents, no shuffle)
+#   lang_id_counts     <-> token_count_by_source (tokenize -> groupBy
+#                               aggregate over documents)
 _GATE_ROTATION = [
     # even rounds (r4, r6, ...)
     [
@@ -2795,6 +2943,8 @@ _GATE_ROTATION = [
         "tpch_q4_semijoin",
         "json_props_topk",
         "value_percentiles",
+        "doc_fingerprint",
+        "token_count_by_source",
     ],
     # odd rounds (r5, r7, ...)
     [
@@ -2814,6 +2964,8 @@ _GATE_ROTATION = [
         "tpch_q14_promo",
         "regex_priority_codes",
         "agg_distinct_users",
+        "text_quality",
+        "lang_id_counts",
     ],
 ]
 _GATE_ROUND = 6  # bump each round — picks the rotation slot

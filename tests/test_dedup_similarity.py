@@ -1127,3 +1127,97 @@ def test_canonical_corpus_reliable_checkpoint_mode(spark, tmp_path):
     )
     ids = sorted(r.doc_id for r in kept.collect())
     assert ids == sorted(set(range(20)) - {5, 10})
+
+
+def test_semantic_dedup_pairs_and_keep_law(spark):
+    """Hand-built clusters: two exact-dup groups on opposite axes +
+    singletons. Pairs form only within clusters; the min key of each
+    dup group survives; singletons always survive."""
+    from spider_engine_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    rows = [
+        # group A: colinear with +x (pairwise cosine exactly 1.0)
+        (1, [1.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0]),
+        (3, [0.5, 0.0, 0.0]),
+        # group B: colinear with +y
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 4.0, 0.0]),
+        # singletons: near +x / +y but below threshold, and +z
+        (20, [1.0, 0.5, 0.0]),
+        (21, [0.0, 1.0, 1.0]),
+        (30, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    pairs = {
+        (r["a"], r["b"])
+        for r in semantic_dedup_pairs(
+            df, "vec_id", "embedding", cents, threshold=0.99
+        ).collect()
+    }
+    assert pairs == {(1, 2), (1, 3), (2, 3), (10, 11)}
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", cents, threshold=0.99
+        ).collect()
+    }
+    assert kept == {1, 10, 20, 21, 30}
+
+
+def test_semantic_dedup_max_cluster_excludes_oversized(spark):
+    """A degenerate cluster above the cap is excluded from pairing
+    (documented recall trade) — its members all survive."""
+    from spider_engine_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    rows = [(k, [1.0 * (k + 1), 0.0]) for k in range(5)] + [
+        (10, [0.0, 1.0]),
+        (11, [0.0, 2.0]),
+    ]
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    pairs = semantic_dedup_pairs(
+        df, "vec_id", "embedding", cents, threshold=0.99, max_cluster=3
+    )
+    assert {(r["a"], r["b"]) for r in pairs.collect()} == {(10, 11)}
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", cents, threshold=0.99, max_cluster=3
+        ).collect()
+    }
+    assert kept == {0, 1, 2, 3, 4, 10}
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    """A high-cosine pair SPLIT across clusters is not paired — the
+    within-cluster restriction is the SemDeDup contract (recall comes
+    from fitting k to the data, not from cross-cluster search)."""
+    from spider_engine_spark.operators.dedup import semantic_dedup_pairs
+
+    # two near-identical vectors straddling the 45° bisector of the two
+    # centroids: each assigns to a different centroid
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.9, 0.0]), (2, [0.9, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    assert (
+        semantic_dedup_pairs(
+            df, "vec_id", "embedding", cents, threshold=0.9
+        ).count()
+        == 0
+    )

@@ -35,6 +35,8 @@ NEVER_YET_GATED = [
     "search_bm25_multi",
     "packing_blocks",
     "dedup_exact_substrings",
+    "semdedup_corpus",
+    "mixture_resample_counts",
 ]
 
 
@@ -110,6 +112,10 @@ def test_demoted_entries_have_a_gated_partner():
         "regex_priority_codes": "json_props_topk",
         "value_percentiles": "agg_distinct_users",
         "agg_distinct_users": "value_percentiles",
+        "text_quality": "doc_fingerprint",
+        "doc_fingerprint": "text_quality",
+        "lang_id_counts": "token_count_by_source",
+        "token_count_by_source": "lang_id_counts",
     }
     order = list(QUERIES)
     for name in _GATE_OVERFLOW:

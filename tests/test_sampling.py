@@ -148,3 +148,72 @@ def test_weighted_sample_drops_nan_and_null_weights(spark):
     )
     kept = _ids(weighted_sample(df, "doc_id", F.col("score")))
     assert kept == {3}  # p=1 keeps, p=0 / NaN / NULL drop
+
+
+def test_mixture_rates_law_hand_computed():
+    """4:2:1:1 over equal counts: the heaviest stratum binds (rate 1),
+    the rest downsample to the exact target ratios."""
+    from spider_engine_spark.operators.sampling import (
+        mixture_rates,
+        normalize_weights,
+    )
+
+    shares = normalize_weights(
+        {"a": 4.0, "b": 2.0, "c": 1.0, "d": 1.0}
+    )
+    assert shares == {"a": 0.5, "b": 0.25, "c": 0.125, "d": 0.125}
+    rates = mixture_rates({"a": 100, "b": 100, "c": 100, "d": 100}, shares)
+    assert rates == {"a": 1.0, "b": 0.5, "c": 0.25, "d": 0.25}
+    # a scarce heavy stratum binds harder: n_star = 40/0.5 = 80
+    rates = mixture_rates({"a": 40, "b": 100, "c": 100, "d": 100}, shares)
+    assert rates == {"a": 1.0, "b": 0.2, "c": 0.1, "d": 0.1}
+
+
+def test_mixture_rates_validation():
+    from spider_engine_spark.operators.sampling import (
+        mixture_rates,
+        normalize_weights,
+    )
+
+    with pytest.raises(ValueError, match="positive"):
+        normalize_weights({"a": 1.0, "b": 0.0})
+    with pytest.raises(ValueError, match="positive"):
+        normalize_weights({"a": 1.0, "b": -2.0})
+    with pytest.raises(ValueError, match="no rows"):
+        mixture_rates({"a": 10}, {"a": 0.5, "b": 0.5})
+
+
+def test_mixture_resample_hits_exact_proportions(docs):
+    """Kept counts follow the deterministic hash law; the binding
+    stratum keeps everything and strata outside the mix are dropped."""
+    from spider_engine_spark.operators.sampling import (
+        mixture_rates,
+        mixture_resample,
+        normalize_weights,
+        uniform_unit,
+    )
+
+    weights = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+    kept = mixture_resample(docs, "doc_id", "source", weights, salt=11)
+    got = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(got) <= set(weights)  # everything else dropped
+    # binding stratum (src0, share 0.5 over equal counts) keeps all rows
+    n0 = docs.filter(F.col("source") == "src0").count()
+    assert got["src0"] == n0
+    # expected counts recomputed row-by-row from the same law
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    rates = mixture_rates(
+        {s: counts[s] for s in weights}, normalize_weights(weights)
+    )
+    for s, rate in rates.items():
+        expect = docs.filter(
+            (F.col("source") == s)
+            & (uniform_unit(F.col("doc_id"), 11) < F.lit(rate))
+        ).count()
+        assert got.get(s, 0) == expect
