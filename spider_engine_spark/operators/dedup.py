@@ -825,7 +825,14 @@ def semantic_dedup_pairs(
     that join is <= k rows, hence broadcast."""
     from spider_engine_spark.operators.similarity import ivf_assign
 
-    assigned = ivf_assign(df.select(key, vec), key, vec, centroids)
+    # the assignment pass (k cosine folds per row) feeds BOTH sides of
+    # the self-join (plus the sizes agg under max_cluster) — persist it
+    # so it computes once. Plain evictable cache, lineage retained
+    # (executor-loss-safe); riding on the returned frame so
+    # semantic_dedup can release it once the components are snapped.
+    assigned = ivf_assign(
+        df.select(key, vec), key, vec, centroids
+    ).persist()
     if max_cluster is not None:
         sizes = assigned.groupBy("ivf_list").agg(
             F.count(F.lit(1)).alias("_sz")
@@ -841,7 +848,7 @@ def semantic_dedup_pairs(
     b = assigned.select(
         "ivf_list", F.col(key).alias("b"), F.col(vec).alias("_vb")
     )
-    return (
+    pairs = (
         a.join(b, "ivf_list")
         .filter(F.col("a") < F.col("b"))
         .filter(
@@ -850,6 +857,8 @@ def semantic_dedup_pairs(
         )
         .select("a", "b")
     )
+    pairs._spider_assigned = assigned
+    return pairs
 
 
 def semantic_dedup(
@@ -874,6 +883,12 @@ def semantic_dedup(
     pairs = semantic_dedup_pairs(
         df, key, vec, centroids, threshold, max_cluster
     )
-    return canonical_corpus(
+    kept = canonical_corpus(
         df, pairs, key=key, checkpoint_dir=checkpoint_dir
     )
+    # connected_components snapped the edge list EAGERLY inside
+    # canonical_corpus, so the assignment cache has served its purpose
+    # — release it (the returned frame reads only df + the component
+    # snapshot, never the pairs pipeline)
+    pairs._spider_assigned.unpersist()
+    return kept

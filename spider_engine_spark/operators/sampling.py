@@ -124,6 +124,8 @@ def normalize_weights(weights: dict[str, float]) -> dict[str, float]:
     dict order, so the normalized shares are reproducible."""
     import math
 
+    if not weights:
+        raise ValueError("mixture weights must be non-empty")
     for k, v in weights.items():
         if not (v > 0.0) or math.isinf(v):
             raise ValueError(
@@ -168,6 +170,20 @@ def mixture_rates(
     }
 
 
+def stratum_counts(df: DataFrame, stratum: str) -> dict[str, int]:
+    """Per-stratum row counts as a dict (NULL stratum excluded). One
+    aggregation; the collect is bounded by the number of strata —
+    mixtures are over sources/languages, a handful to a few thousand
+    groups."""
+    return {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(stratum).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["s"] is not None
+    }
+
+
 def mixture_resample(
     df: DataFrame,
     key: str,
@@ -175,6 +191,7 @@ def mixture_resample(
     weights: dict[str, float],
     salt: int = 0,
     law: str = "xxhash64",
+    counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """Rebalance a corpus to target mixture `weights` (relative shares
     over `stratum` values, e.g. {'web': 6, 'code': 3, 'books': 1}) by
@@ -182,20 +199,14 @@ def mixture_resample(
     proportions that needs no upsampling (see mixture_rates). Strata
     outside the mixture are dropped.
 
-    One counting aggregation (the per-stratum counts collect is bounded
-    by the number of strata — mixtures are over sources/languages, a
-    handful to a few thousand groups) plus one stateless filter pass;
-    membership is the hash law of this module, so the result is exactly
-    reproducible and a re-run over a grown corpus keeps a superset
-    decision per surviving row only where rates rose."""
+    One counting aggregation (stratum_counts — pass `counts` to reuse
+    an already-collected dict and skip it) plus one stateless filter
+    pass; membership is the hash law of this module, so the result is
+    exactly reproducible and a re-run over a grown corpus keeps a
+    superset decision per surviving row only where rates rose."""
     shares = normalize_weights(weights)
-    counts = {
-        r["s"]: r["n"]
-        for r in df.groupBy(F.col(stratum).alias("s"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-        if r["s"] is not None
-    }
+    if counts is None:
+        counts = stratum_counts(df, stratum)
     rates = mixture_rates(counts, shares)
     return stratified_sample(
         df, key, stratum, rates, default_rate=0.0, salt=salt, law=law

@@ -2774,22 +2774,18 @@ def mixture_resample_counts(spark, sf_dir):
     from spider_engine_spark.operators.sampling import (
         mixture_rates,
         mixture_resample,
+        stratum_counts,
     )
 
     docs = load(spark, sf_dir, "documents")
+    # one counts pass, shared between the operator and the output's
+    # rate/total columns so the gate hashes the LAW itself
+    counts = stratum_counts(docs, "source")
     kept = mixture_resample(
-        docs, "doc_id", "source", _MIX_WEIGHTS, salt=11, law="md5"
+        docs, "doc_id", "source", _MIX_WEIGHTS, salt=11, law="md5",
+        counts=counts,
     )
-    # recompute the rates the operator derived so the gate hashes the
-    # LAW itself (rate + totals as columns), not just the row decisions
     shares = _mix_shares()
-    counts = {
-        r["source"]: r["n"]
-        for r in docs.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-        if r["source"] in shares
-    }
     rates = mixture_rates(counts, shares)
     n_total = F.lit(None).cast("long")
     rate = F.lit(None).cast("double")

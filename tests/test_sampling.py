@@ -217,3 +217,23 @@ def test_mixture_resample_hits_exact_proportions(docs):
             & (uniform_unit(F.col("doc_id"), 11) < F.lit(rate))
         ).count()
         assert got.get(s, 0) == expect
+
+
+def test_mixture_empty_weights_and_counts_reuse(docs):
+    from spider_engine_spark.operators.sampling import (
+        mixture_resample,
+        normalize_weights,
+        stratum_counts,
+    )
+
+    with pytest.raises(ValueError, match="non-empty"):
+        normalize_weights({})
+    weights = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+    counts = stratum_counts(docs, "source")
+    a = _ids(mixture_resample(docs, "doc_id", "source", weights, salt=11))
+    b = _ids(
+        mixture_resample(
+            docs, "doc_id", "source", weights, salt=11, counts=counts
+        )
+    )
+    assert a == b
