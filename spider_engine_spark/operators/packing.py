@@ -203,3 +203,84 @@ def packing_summary(packed: DataFrame) -> DataFrame:
         F.sum("n_tok").cast("long").alias("n_tokens"),
         (F.max("chunk_last") + 1).cast("long").alias("n_chunks"),
     )
+
+
+def interleaved_token_cost(
+    spans: Column,
+    media_tokens: dict[str, int],
+    text_kind: str = "text",
+    counter=None,
+) -> Column:
+    """Token cost of an interleaved span sequence (the input_hint's
+    array<struct<kind,text,media_ref,offset>> shape): text spans cost
+    their token count (BPE-ish law by default, `counter` overrides),
+    media spans a fixed per-kind budget — the placeholder/patch-token
+    cost a multimodal trainer reserves per image/link/frame. Unknown
+    kinds raise PER ROW (fail loud: a silently-free span kind would
+    corrupt every downstream block boundary); a NULL spans array yields
+    NULL (pack_sequences coalesces it to 0, same as NULL text).
+
+    One aggregate over the span array — per-row JVM algebra, no
+    explode, no shuffle."""
+    count_fn = counter or bpe_ish_token_count
+
+    def span_cost(s):
+        cost = F.when(
+            s["kind"] == F.lit(text_kind),
+            F.coalesce(
+                count_fn(s["text"]).cast("long"), F.lit(0).cast("long")
+            ),
+        )
+        for k, v in sorted(media_tokens.items()):
+            if int(v) < 0:
+                raise ValueError(
+                    f"media token budget for {k!r} must be >= 0, got {v}"
+                )
+            cost = cost.when(
+                s["kind"] == F.lit(k), F.lit(int(v)).cast("long")
+            )
+        return cost.otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("interleaved_token_cost: unknown span kind "),
+                    F.coalesce(s["kind"], F.lit("NULL")),
+                )
+            ).cast("long")
+        )
+
+    return F.aggregate(
+        spans,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + span_cost(s),
+    )
+
+
+def pack_interleaved(
+    df: DataFrame,
+    key: str,
+    spans: str = "spans",
+    block: int = 512,
+    buckets: int = 32,
+    media_tokens: dict[str, int] | None = None,
+    sep_tokens: int = 1,
+) -> DataFrame:
+    """Sequence packing for interleaved text+media documents: identical
+    bucket/cumsum/chunk law to pack_sequences — documents stay atomic —
+    with the interleaved cost law as the counter (per-span text token
+    counts + fixed media budgets; default {'image': 64, 'link': 1}).
+    Returns the same layout columns; join back on `key` to materialize.
+    """
+    mt = (
+        {"image": 64, "link": 1}
+        if media_tokens is None
+        else dict(media_tokens)
+    )
+    return pack_sequences(
+        df,
+        key,
+        spans,
+        block=block,
+        buckets=buckets,
+        sep_tokens=sep_tokens,
+        counter=lambda c: interleaved_token_cost(c, mt),
+    )

@@ -2805,6 +2805,77 @@ def mixture_resample_counts(spark, sf_dir):
     )
 
 
+def _interleaved_pack_oracle() -> str:
+    """Pure-Python webmodel replay inlined as a span VALUES fixture; the
+    COST law (BPE-ish counts for text spans, fixed budgets for media)
+    and the pack law (md5 bucket, ROWS-frame cumsum, integer chunk DIV)
+    are both recomputed in SQL."""
+    from spider_engine_spark import webmodel as wm
+
+    rows = []
+    for u in wm.seed_urls(40):
+        doc = wm.make_doc(u)
+        for s in doc["spans"]:
+            rows.append((doc["doc_id"], s["kind"], s["text"]))
+    vals = ", ".join(
+        f"('{d}', '{k}', '{t}')" for d, k, t in rows
+    )
+    return f"""
+    WITH spans(doc_id, kind, text) AS (VALUES {vals}),
+    costs AS (
+      SELECT doc_id,
+        CASE kind
+          WHEN 'text' THEN len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+          WHEN 'image' THEN 64
+          WHEN 'link' THEN 1
+        END AS c
+      FROM spans
+    ), base AS (
+      SELECT doc_id, CAST(sum(c) + 1 AS BIGINT) AS n_tok,
+        CAST(('0x' || substring(md5(doc_id), 1, 15))::BIGINT % 4
+          AS INTEGER) AS bucket
+      FROM costs GROUP BY doc_id
+    ), cum AS (
+      SELECT doc_id, bucket, n_tok,
+        CAST(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id, n_tok
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS stream_end
+      FROM base
+    )
+    SELECT doc_id, bucket, n_tok,
+      stream_end - n_tok AS stream_start,
+      stream_end,
+      CAST((stream_end - n_tok) // 512 AS BIGINT) AS chunk_first,
+      CAST((stream_end - 1) // 512 AS BIGINT) AS chunk_last
+    FROM cum
+    """
+
+
+@query("interleaved_packing", _interleaved_pack_oracle)
+def interleaved_packing(spark, sf_dir):
+    """Sequence packing over the input_hint's interleaved text+media
+    span shape: text spans cost their BPE-ish token count, media spans
+    a fixed trainer budget (image 64 placeholder/patch tokens, link 1),
+    documents stay atomic under the same md5-bucket cumsum law as
+    sequence_packing.  The spans come from the fetch simulator
+    (mapInPandas over a seed frame — the same surface
+    interleaved_spans_roundtrip pins); the oracle replays the webmodel
+    driver-side in pure Python and recomputes BOTH laws (span cost and
+    pack layout) in SQL over the inlined spans."""
+    from spider_engine_spark import webmodel as wm
+    from spider_engine_spark.operators.frontier import fetch_docs
+    from spider_engine_spark.operators.packing import pack_interleaved
+
+    seeds = spark.createDataFrame(
+        [(u,) for u in wm.seed_urls(40)], "url string"
+    )
+    docs = fetch_docs(seeds, 0)
+    return pack_interleaved(
+        docs, key="doc_id", spans="spans", block=512, buckets=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order
 #
@@ -2920,6 +2991,11 @@ _DRIVER_GATE_CAP = 50
 #                               scan over documents, no shuffle)
 #   lang_id_counts     <-> token_count_by_source (tokenize -> groupBy
 #                               aggregate over documents)
+# Round 6 (final) also registered interleaved_packing (never gated,
+# inside the cap), so 19 entries sit out per round; one more pair, both
+# members r4+r5-green (CORRECTNESS_r04/r05):
+#   update_latest      <-> delete_antijoin      (tombstone anti-join
+#                               mutation reads over the catalog table)
 _GATE_ROTATION = [
     # even rounds (r4, r6, ...)
     [
@@ -2941,6 +3017,7 @@ _GATE_ROTATION = [
         "value_percentiles",
         "doc_fingerprint",
         "token_count_by_source",
+        "delete_antijoin",
     ],
     # odd rounds (r5, r7, ...)
     [
@@ -2962,6 +3039,7 @@ _GATE_ROTATION = [
         "agg_distinct_users",
         "text_quality",
         "lang_id_counts",
+        "update_latest",
     ],
 ]
 _GATE_ROUND = 6  # bump each round — picks the rotation slot

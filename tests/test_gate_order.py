@@ -37,6 +37,7 @@ NEVER_YET_GATED = [
     "dedup_exact_substrings",
     "semdedup_corpus",
     "mixture_resample_counts",
+    "interleaved_packing",
 ]
 
 
@@ -116,6 +117,8 @@ def test_demoted_entries_have_a_gated_partner():
         "doc_fingerprint": "text_quality",
         "lang_id_counts": "token_count_by_source",
         "token_count_by_source": "lang_id_counts",
+        "update_latest": "delete_antijoin",
+        "delete_antijoin": "update_latest",
     }
     order = list(QUERIES)
     for name in _GATE_OVERFLOW:

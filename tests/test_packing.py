@@ -241,3 +241,110 @@ def test_materialize_blocks_validates_sep(spark):
             docs, packed, key="doc_id", content="text", block=5,
             sep_tokens=0,
         )
+
+
+_SPAN_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def _span(kind, text="", ref="", off=0):
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+
+def test_interleaved_cost_law_hand_computed(spark):
+    """text spans cost their BPE-ish count ('w12' = 2 tokens: letters +
+    digits), media spans their fixed budget; +1 separator."""
+    from spider_engine_spark.operators.packing import pack_interleaved
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [
+                    _span("text", "hello w12 x", off=0),  # 1+2+1 = 4
+                    _span("image", ref="m1", off=1),  # 64
+                    _span("text", "a b", off=2),  # 2
+                    _span("link", ref="u1", off=3),  # 1
+                ],
+            ),
+            ("d2", [_span("image", ref="m2", off=0)]),  # 64
+            ("d3", []),  # 0 tokens, separator only
+            ("d4", None),  # NULL spans == 0 tokens (same as NULL text)
+        ],
+        _SPAN_SCHEMA,
+    )
+    got = {
+        r["doc_id"]: r["n_tok"]
+        for r in pack_interleaved(
+            docs, key="doc_id", spans="spans", block=16, buckets=2
+        ).collect()
+    }
+    assert got == {"d1": 4 + 64 + 2 + 1 + 1, "d2": 65, "d3": 1, "d4": 1}
+
+
+def test_interleaved_unknown_kind_raises(spark):
+    from spider_engine_spark.operators.packing import pack_interleaved
+
+    docs = spark.createDataFrame(
+        [("d1", [_span("video", ref="v1")])], _SPAN_SCHEMA
+    )
+    with pytest.raises(Exception, match="unknown span kind"):
+        pack_interleaved(docs, key="doc_id", spans="spans").collect()
+    # ...and a custom budget admits it
+    from spider_engine_spark.operators.packing import interleaved_token_cost
+
+    got = docs.select(
+        interleaved_token_cost(
+            F.col("spans"), {"image": 64, "link": 1, "video": 256}
+        ).alias("c")
+    ).collect()
+    assert got[0]["c"] == 256
+
+
+def test_interleaved_layout_matches_pack_sequences_law(spark):
+    """Interleaved packing is the SAME layout law as pack_sequences —
+    only the counter differs. Feeding pack_sequences a synthetic text
+    whose BPE count equals each doc's interleaved cost must reproduce
+    the identical layout."""
+    from spider_engine_spark.operators.packing import (
+        interleaved_token_cost,
+        pack_interleaved,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", [_span("text", "x y z"), _span("image")]),
+            ("b", [_span("link"), _span("link")]),
+            ("c", [_span("text", "one two")]),
+        ],
+        _SPAN_SCHEMA,
+    )
+    costs = {
+        r["doc_id"]: r["c"]
+        for r in docs.select(
+            "doc_id",
+            interleaved_token_cost(
+                F.col("spans"), {"image": 64, "link": 1}
+            ).alias("c"),
+        ).collect()
+    }
+    assert costs == {"a": 3 + 64, "b": 2, "c": 2}
+    synth = spark.createDataFrame(
+        [(k, " ".join(["t"] * v)) for k, v in costs.items()],
+        "doc_id string, text string",
+    )
+    expect = {
+        tuple(r)
+        for r in pack_sequences(
+            synth, key="doc_id", content="text", block=32, buckets=2
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in pack_interleaved(
+            docs, key="doc_id", spans="spans", block=32, buckets=2
+        ).collect()
+    }
+    assert got == expect
