@@ -1221,3 +1221,25 @@ def test_semantic_dedup_within_cluster_only(spark):
         ).count()
         == 0
     )
+
+
+def test_semantic_dedup_plan_shapes(spark):
+    """The sizes guard joins <= k rows — must be a broadcast; the
+    self-join must be an equi-join on the cluster id, never a
+    nested-loop/cartesian all-pairs."""
+    from spider_engine_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).selectExpr("vec_id", "embedding")
+    cents = [[float(i == j) for j in range(64)] for i in range(4)]
+    pairs = semantic_dedup_pairs(
+        emb, "vec_id", "embedding", cents, threshold=0.95, max_cluster=100
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    try:
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        pairs._spider_assigned.unpersist()

@@ -348,3 +348,18 @@ def test_interleaved_layout_matches_pack_sequences_law(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_interleaved_pack_plan_has_no_explode(spark):
+    """The cost law is ONE aggregate over the span array — a Generate
+    (explode) in the plan would mean per-span row blowup crept in."""
+    from spider_engine_spark.operators.packing import pack_interleaved
+
+    docs = spark.createDataFrame(
+        [("d", [_span("text", "a b"), _span("image")])], _SPAN_SCHEMA
+    )
+    plan = (
+        pack_interleaved(docs, key="doc_id", spans="spans")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" not in plan

@@ -237,3 +237,17 @@ def test_mixture_empty_weights_and_counts_reuse(docs):
         )
     )
     assert a == b
+
+
+def test_mixture_resample_plan_is_shuffle_free(docs):
+    """The returned frame is a stateless filter over the scan — no
+    Exchange, no UDF (the counts pass is a separate bounded job)."""
+    from spider_engine_spark.operators.sampling import mixture_resample
+
+    weights = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+    plan = (
+        mixture_resample(docs, "doc_id", "source", weights)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF on the data path
