@@ -64,6 +64,7 @@ HEADLINE = [
     "dedup_exact_substrings",
     "semdedup_corpus",
     "mixture_resample_counts",
+    "collocations_pmi_topk",
 ]
 
 

@@ -519,3 +519,81 @@ def token_rarity(df, key: str, content: str):
             ).alias("avg_df"),
         )
     )
+
+
+def exploded_bigrams(df: DataFrame, key: str, content: str) -> DataFrame:
+    """(key, w1, w2) rows — one adjacent token pair per corpus bigram.
+    The token array is materialized as a column and exploded with
+    explode_outer + a generator-output filter (the round-5 pushdown
+    lesson: a plain explode's inferred size>0 filter re-splits the text
+    a second time per row); the zip pads the trailing token's pair with
+    NULL, which the same filter drops."""
+    d = df.withColumn("_big_toks", tokens(F.col(content)))
+    t = F.col("_big_toks")
+    d = d.withColumn(
+        "_big_pairs",
+        F.arrays_zip(
+            t.alias("w1"), F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("w2")
+        ),
+    )
+    return (
+        d.select(key, F.explode_outer("_big_pairs").alias("_p"))
+        .filter(F.col("_p.w2").isNotNull())
+        .select(key, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+
+
+# the PMI core, monotone-equivalent rational form (no log — cross-engine
+# log rounding is not IEEE-pinned; ranking and the hash gate use the
+# rational score). Kept as ONE expression string so the Spark plan and
+# the SQL oracle evaluate the IDENTICAL IEEE op sequence.
+PMI_SCORE_SQL = (
+    "(CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE))"
+    " / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE) * CAST(n_bi AS DOUBLE))"
+)
+
+
+def collocations_pmi(
+    df: DataFrame, key: str, content: str, min_count: int = 5
+) -> DataFrame:
+    """Corpus collocations by pointwise mutual information: bigram
+    (w1, w2) scored by the rational PMI core
+    c_xy * N_uni^2 / (c_x * c_y * N_bi) — the argument of the log, so
+    the RANKING is exactly PMI's while every operand stays an exact
+    integer count fed through a fixed IEEE op sequence (PMI_SCORE_SQL;
+    consumers wanting nats take log(score) themselves).
+
+    Plan shape at 100 TB: one bigram explode -> groupBy(w1, w2) count
+    (one shuffle, map-side partial), one token explode -> groupBy(w)
+    count, a 1-row totals aggregate broadcast, and two equi-joins of
+    the min_count-filtered bigram table against the unigram table (AQE
+    broadcasts the unigram side when the vocab fits). min_count prunes
+    the hapax tail BEFORE the joins — at web scale that is the
+    difference between |vocab|^2 and the short head."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    bi = exploded_bigrams(df, key, content)
+    cxy = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= F.lit(int(min_count)))
+    )
+    toks = df.select(token_count(F.col(content)).alias("_n"))
+    totals = toks.agg(
+        F.sum("_n").alias("n_uni"),
+        F.sum(F.greatest(F.col("_n") - 1, F.lit(0))).alias("n_bi"),
+    )
+    from spider_engine_spark.operators.dedup import exploded_tokens
+
+    uni = (
+        exploded_tokens(df, key, content)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    return (
+        cxy.join(uni.select(F.col("term").alias("w1"), F.col("c_w").alias("c_x")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("c_w").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("pmi_score", F.expr(PMI_SCORE_SQL))
+        .select("w1", "w2", "c_xy", "c_x", "c_y", "pmi_score")
+    )

@@ -2876,6 +2876,60 @@ def interleaved_packing(spark, sf_dir):
     )
 
 
+def _pmi_oracle() -> str:
+    from spider_engine_spark.functions.text_analysis import PMI_SCORE_SQL
+
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    z AS (SELECT unnest(list_zip(toks, toks[2:])) AS p FROM t),
+    bi AS (SELECT p[1] AS w1, p[2] AS w2 FROM z WHERE p[2] IS NOT NULL),
+    cxy AS (
+      SELECT w1, w2, count(*)::BIGINT AS c_xy FROM bi
+      GROUP BY w1, w2 HAVING count(*) >= 5
+    ),
+    cw AS (
+      SELECT w, count(*)::BIGINT AS c_w
+      FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+    ),
+    tot AS (
+      SELECT sum(len(toks))::BIGINT AS n_uni,
+             sum(greatest(len(toks) - 1, 0))::BIGINT AS n_bi
+      FROM t
+    ),
+    j AS (
+      SELECT cxy.w1, cxy.w2, cxy.c_xy,
+             a.c_w AS c_x, b.c_w AS c_y, tot.n_uni, tot.n_bi
+      FROM cxy
+      JOIN cw a ON a.w = cxy.w1
+      JOIN cw b ON b.w = cxy.w2
+      CROSS JOIN tot
+    )
+    SELECT w1, w2, c_xy, {PMI_SCORE_SQL} AS pmi_score
+    FROM j ORDER BY pmi_score DESC, w1, w2 LIMIT 20
+    """
+
+
+@query("collocations_pmi_topk", _pmi_oracle)
+def collocations_pmi_topk(spark, sf_dir):
+    """Top-20 corpus collocations by PMI (rational core — the log's
+    argument, exact integer counts through ONE shared IEEE expression
+    string, functions/text_analysis.PMI_SCORE_SQL — so the DOUBLE
+    scores hash-gate).  Plan: one bigram explode + one token explode,
+    two count aggregates, min_count prunes the hapax tail before the
+    unigram joins, totals as a 1-row broadcast."""
+    from spider_engine_spark.functions.text_analysis import (
+        collocations_pmi,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    scored = collocations_pmi(docs, "doc_id", "text", min_count=5)
+    return (
+        scored.orderBy(F.desc("pmi_score"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+        .select("w1", "w2", "c_xy", "pmi_score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order
 #
@@ -2996,6 +3050,16 @@ _DRIVER_GATE_CAP = 50
 # members r4+r5-green (CORRECTNESS_r04/r05):
 #   update_latest      <-> delete_antijoin      (tombstone anti-join
 #                               mutation reads over the catalog table)
+# Round 6 (final) also registered collocations_pmi_topk (never gated,
+# inside the cap), so 20 entries sit out per round; one more pair, both
+# members r4+r5-green (CORRECTNESS_r04/r05):
+#   dedup_simhash      <-> embedding_near_dups_lsh (signature-bucketed
+#                               near-dup pair generation with exact
+#                               verify — bit-signature hamming vs
+#                               sign-LSH cosine; the near-dup family
+#                               additionally keeps never-demoted
+#                               dedup_clusters + streaming_neardup_pairs
+#                               under a current-round signal)
 _GATE_ROTATION = [
     # even rounds (r4, r6, ...)
     [
@@ -3018,6 +3082,7 @@ _GATE_ROTATION = [
         "doc_fingerprint",
         "token_count_by_source",
         "delete_antijoin",
+        "dedup_simhash",
     ],
     # odd rounds (r5, r7, ...)
     [
@@ -3040,6 +3105,7 @@ _GATE_ROTATION = [
         "text_quality",
         "lang_id_counts",
         "update_latest",
+        "embedding_near_dups_lsh",
     ],
 ]
 _GATE_ROUND = 6  # bump each round — picks the rotation slot

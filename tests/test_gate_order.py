@@ -38,6 +38,7 @@ NEVER_YET_GATED = [
     "semdedup_corpus",
     "mixture_resample_counts",
     "interleaved_packing",
+    "collocations_pmi_topk",
 ]
 
 
@@ -119,6 +120,8 @@ def test_demoted_entries_have_a_gated_partner():
         "token_count_by_source": "lang_id_counts",
         "update_latest": "delete_antijoin",
         "delete_antijoin": "update_latest",
+        "dedup_simhash": "embedding_near_dups_lsh",
+        "embedding_near_dups_lsh": "dedup_simhash",
     }
     order = list(QUERIES)
     for name in _GATE_OVERFLOW:
