@@ -830,9 +830,10 @@ def semantic_dedup_pairs(
     # so it computes once. Plain evictable cache, lineage retained
     # (executor-loss-safe); riding on the returned frame so
     # semantic_dedup can release it once the components are snapped.
-    assigned = ivf_assign(
+    cached = ivf_assign(
         df.select(key, vec), key, vec, centroids
     ).persist()
+    assigned = cached
     if max_cluster is not None:
         sizes = assigned.groupBy("ivf_list").agg(
             F.count(F.lit(1)).alias("_sz")
@@ -857,7 +858,9 @@ def semantic_dedup_pairs(
         )
         .select("a", "b")
     )
-    pairs._spider_assigned = assigned
+    # attach the PERSISTED frame (under max_cluster `assigned` rebinds
+    # to an unpersisted derived frame — unpersisting that is a no-op)
+    pairs._spider_assigned = cached
     return pairs
 
 

@@ -1241,5 +1241,9 @@ def test_semantic_dedup_plan_shapes(spark):
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+        # the attached handle must be the frame that actually holds the
+        # cache (under max_cluster the join+filter rebind used to leak)
+        assert pairs._spider_assigned.storageLevel.useMemory
     finally:
         pairs._spider_assigned.unpersist()
+        assert not pairs._spider_assigned.storageLevel.useMemory
