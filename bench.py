@@ -65,6 +65,7 @@ HEADLINE = [
     "semdedup_corpus",
     "mixture_resample_counts",
     "collocations_pmi_topk",
+    "paragraph_dedup_docs",
 ]
 
 

@@ -597,3 +597,63 @@ def collocations_pmi(
         .withColumn("pmi_score", F.expr(PMI_SCORE_SQL))
         .select("w1", "w2", "c_xy", "c_x", "c_y", "pmi_score")
     )
+
+
+# C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
+# Limits of Transfer Learning", appendix: the C4 heuristics). The exact
+# terminal-punctuation set of the paper; the word-count and
+# javascript/lorem-ipsum/brace rules are the published ones, with the
+# paper's 5-sentence page floor generalized to `min_lines` KEPT lines.
+C4_TERMINAL_CHARS = (".", "!", "?", '"')
+
+
+def c4_line_kept(line: Column, min_words: int = 3) -> Column:
+    """The C4 line-keep predicate: ends in terminal punctuation, has at
+    least `min_words` whitespace words, and does not mention
+    `javascript` (case-sensitive — the corpus law here is lowercase
+    text; callers with mixed case lower() first)."""
+    last = F.substring(line, -1, 1)
+    words = F.size(F.filter(F.split(line, r"\s+"), lambda t: t != ""))
+    return (
+        last.isin(*C4_TERMINAL_CHARS)
+        & (words >= F.lit(int(min_words)))
+        & ~line.contains("javascript")
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    key: str,
+    content: str,
+    min_words: int = 3,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4 page cleaning: drop lines failing c4_line_kept, drop WHOLE
+    pages containing 'lorem ipsum' or '{' (the paper's code/boilerplate
+    page rules) or ending with fewer than `min_lines` kept lines.
+    Returns (key, n_lines, n_kept, page_kept, cleaned) where `cleaned`
+    is the surviving lines re-joined with newlines ('' for dropped
+    pages).
+
+    Scale shape: pure per-row Column algebra — no shuffle, no UDF; at
+    100 TB this fuses into the parquet scan. The line array and the
+    kept-line array are materialized as ladder columns so each is
+    computed once (trees-not-DAGs; PLANS.md round-3 lesson)."""
+    c = F.col(content)
+    d = df.withColumn("_c4_ls", F.split(c, "\n")).withColumn(
+        "_c4_kept",
+        F.filter(F.col("_c4_ls"), lambda x: c4_line_kept(x, min_words)),
+    )
+    page_ok = ~c.contains("lorem ipsum") & ~c.contains("{")
+    page_kept = page_ok & (
+        F.size("_c4_kept") >= F.lit(int(min_lines))
+    )
+    return d.select(
+        F.col(key),
+        F.size("_c4_ls").alias("n_lines"),
+        F.size("_c4_kept").alias("n_kept"),
+        page_kept.alias("page_kept"),
+        F.when(page_kept, F.array_join("_c4_kept", "\n"))
+        .otherwise(F.lit(""))
+        .alias("cleaned"),
+    )

@@ -895,3 +895,109 @@ def semantic_dedup(
     # snapshot, never the pairs pipeline)
     pairs._spider_assigned.unpersist()
     return kept
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    key: str,
+    content: str,
+    sep: str = "\n",
+    pos_bits: int = 20,
+) -> DataFrame:
+    """Corpus-level exact duplicated-paragraph removal — the
+    paragraph-granularity member of the exact-dedup family (C4 dedups
+    three-sentence spans, RefinedWeb/Dolma dedup paragraphs; this is
+    the same keep-the-first-occurrence law at separator-delimited
+    granularity, complementing exact_substring_dedup's n-token
+    windows). A paragraph occurring more than once ACROSS THE CORPUS
+    survives only at its globally-first occurrence — smallest
+    (key, position), packed into one BIGINT exactly as
+    exact_substring_dedup does (numeric key required, positions must
+    fit pos_bits; both guarded loudly). Unique paragraphs always
+    survive. Documents are reassembled in original order; a document
+    whose every paragraph loses comes back as ''.
+
+    Returns (key, n_lines, n_kept, text_deduped).
+
+    Scale shape at 100 TB: one posexplode (map-side), one
+    groupBy(paragraph-hash) keeping (count, min packed id) — map-side
+    combinable, so viral boilerplate paragraphs reduce to one row per
+    partition before the shuffle — then a join back of DUPLICATED
+    occurrences only (proportional to duplicated content, not the
+    corpus; AQE skew-join bounds hot paragraphs), and one groupBy(key)
+    rebuild. Grouping is on a 60-bit md5 of the paragraph so shuffle
+    rows carry 8-byte keys, not page-length strings."""
+    from pyspark.sql.types import IntegralType
+
+    key_type = df.schema[key].dataType
+    if not isinstance(key_type, IntegralType):
+        raise TypeError(
+            f"paragraph_dedup needs a numeric key (the packed (key,pos)"
+            f" first-occurrence law); {key!r} is "
+            f"{key_type.simpleString()} — pre-map string keys to BIGINT"
+        )
+    from spider_engine_spark.functions.hashes import md5_h60_col
+
+    d = df.select(F.col(key), F.col(content).alias("_pd_text"))
+    occ = d.select(
+        F.col(key),
+        F.posexplode(F.split("_pd_text", sep)).alias("pos", "line"),
+    ).withColumn("_pd_g", md5_h60_col(F.col("line")))
+    packed = F.when(
+        F.col("pos") < F.lit(1 << pos_bits),
+        F.col(key).cast("long") * F.lit(1 << pos_bits).cast("long")
+        + F.col("pos"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"paragraph_dedup: paragraph position exceeds "
+                    f"pos_bits={pos_bits} (raise pos_bits) in doc "
+                ),
+                F.col(key).cast("string"),
+            )
+        ).cast("long")
+    )
+    occ = occ.withColumn("_pd_id", packed)
+    dup = (
+        occ.groupBy("_pd_g")
+        .agg(
+            F.count(F.lit(1)).alias("_pd_c"),
+            F.min("_pd_id").alias("_pd_first"),
+        )
+        .filter(F.col("_pd_c") > 1)
+    )
+    losers = (
+        occ.select(key, "pos", "_pd_g", "_pd_id")
+        .join(dup, "_pd_g")
+        .filter(F.col("_pd_id") != F.col("_pd_first"))
+        .select(key, "pos")
+    )
+    # drop is exact row identity, so a left_anti on (key, pos) is the
+    # whole removal — no per-doc removal arrays needed (contrast
+    # exact_substring_dedup, where windows COVER neighboring tokens)
+    r = occ.join(losers, [key, "pos"], "left_anti")
+    rebuilt = r.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda p: p["line"],
+            ),
+            sep,
+        ).alias("text_deduped"),
+    )
+    base = d.select(
+        F.col(key),
+        F.size(F.split("_pd_text", sep)).alias("n_lines"),
+    )
+    return base.join(rebuilt, key, "left").select(
+        F.col(key),
+        F.col("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias(
+            "n_kept"
+        ),
+        F.coalesce(F.col("text_deduped"), F.lit("")).alias(
+            "text_deduped"
+        ),
+    )

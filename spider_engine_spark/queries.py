@@ -2931,6 +2931,232 @@ def collocations_pmi_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# C4 cleaning + corpus paragraph dedup over deterministically LINED docs
+#
+# The corpus text is a single-line word stream (no newlines, no
+# punctuation), so — exactly as pii_scrub_audit injects PII to make the
+# scrub law observable — both queries below first give every document a
+# deterministic doc_id-derived LINE structure: tokens chunked
+# _LINE_W per line; terminal-punctuation / short-line / javascript
+# decorations keyed by (doc_id*31 + line_index); page-level boilerplate
+# (cross-doc duplicate paragraphs), lorem-ipsum and brace lines on fixed
+# doc_id residues.  The construction lives ONCE per engine (the Spark
+# ladder in _lined_docs, the _LINED_SQL CTE for DuckDB) with every
+# literal shared from the constants below, and the full-string value
+# hash pins both operators' complete rule set corpus-wide.
+# ---------------------------------------------------------------------------
+
+_BOILER_LINES = (
+    "subscribe to our newsletter now.",
+    "follow us on social media today.",
+    "all rights reserved by the author.",
+)
+_LOREM_LINE = "lorem ipsum dolor sit amet."
+_BRACE_LINE = "config data { nested } end."
+_LINE_W = 8  # tokens per synthetic line
+
+
+def _lined_docs(spark, sf_dir):
+    """documents with the deterministic injected line structure — the
+    Spark half of the shared lined-docs law (_LINED_SQL mirrors it)."""
+    from spider_engine_spark.functions.text_analysis import tokens
+
+    did = F.col("doc_id")
+    empty = F.array().cast("array<string>")
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    d = d.select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.ceil(
+                        F.size("_toks") / F.lit(float(_LINE_W))
+                    ).cast("int"),
+                    F.lit(1),
+                )
+                - F.lit(1),
+            ),
+            lambda i: F.array_join(
+                F.slice(F.col("_toks"), i * _LINE_W + 1, _LINE_W), " "
+            ),
+        ).alias("_raw"),
+    )
+
+    def _dec(line, i):
+        h = did * 31 + i.cast("long")
+        return (
+            F.when(h % 17 == 0, F.lit("ok."))
+            .when(
+                h % 13 == 0,
+                F.concat(line, F.lit(" javascript enabled.")),
+            )
+            .when(h % 10 <= 5, F.concat(line, F.lit(".")))
+            .when(h % 10 == 6, F.concat(line, F.lit("!")))
+            .when(h % 10 == 7, F.concat(line, F.lit("?")))
+            .otherwise(line)
+        )
+
+    d = d.select("doc_id", F.transform("_raw", _dec).alias("_dec"))
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.concat(
+                F.col("_dec"),
+                F.when(did % 5 == 0, F.array(F.lit(_BOILER_LINES[0])))
+                .when(did % 5 == 1, F.array(F.lit(_BOILER_LINES[1])))
+                .when(did % 5 == 2, F.array(F.lit(_BOILER_LINES[2])))
+                .otherwise(empty),
+                F.when(did % 23 == 0, F.array(F.lit(_LOREM_LINE)))
+                .otherwise(empty),
+                F.when(did % 29 == 0, F.array(F.lit(_BRACE_LINE)))
+                .otherwise(empty),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+
+
+_LINED_SQL = f"""
+    _lt AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), _lb AS (
+      SELECT doc_id, list_transform(
+        range(0, greatest(CAST(ceil(len(toks) / {_LINE_W}.0) AS INT), 1)),
+        i -> array_to_string(
+          toks[i*{_LINE_W}+1 : i*{_LINE_W}+{_LINE_W}], ' ')) AS raw
+      FROM _lt
+    ), _ld AS (
+      SELECT doc_id, list_transform(
+        list_zip(raw, range(0, len(raw))),
+        p -> CASE
+          WHEN (doc_id * 31 + p[2]) % 17 = 0 THEN 'ok.'
+          WHEN (doc_id * 31 + p[2]) % 13 = 0
+            THEN p[1] || ' javascript enabled.'
+          WHEN (doc_id * 31 + p[2]) % 10 <= 5 THEN p[1] || '.'
+          WHEN (doc_id * 31 + p[2]) % 10 = 6 THEN p[1] || '!'
+          WHEN (doc_id * 31 + p[2]) % 10 = 7 THEN p[1] || '?'
+          ELSE p[1] END) AS ls
+      FROM _lb
+    ), lined AS (
+      SELECT doc_id, array_to_string(
+        ls
+        || (CASE doc_id % 5
+             WHEN 0 THEN ['{_BOILER_LINES[0]}']
+             WHEN 1 THEN ['{_BOILER_LINES[1]}']
+             WHEN 2 THEN ['{_BOILER_LINES[2]}']
+             ELSE [] END)
+        || (CASE WHEN doc_id % 23 = 0 THEN ['{_LOREM_LINE}']
+             ELSE [] END)
+        || (CASE WHEN doc_id % 29 = 0 THEN ['{_BRACE_LINE}']
+             ELSE [] END),
+        chr(10)) AS text
+      FROM _ld
+    )"""
+
+
+def _c4_oracle() -> str:
+    return f"""
+    WITH {_LINED_SQL}
+    , _cl AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls, text FROM lined
+    ), _cf AS (
+      SELECT doc_id, ls,
+        list_filter(ls, x ->
+          right(x, 1) IN ('.', '!', '?', '"')
+          AND len(list_filter(regexp_split_to_array(x, '\\s+'),
+                              y -> y <> '')) >= 3
+          AND NOT contains(x, 'javascript')) AS kept,
+        (NOT contains(text, 'lorem ipsum')
+         AND NOT contains(text, '{{')) AS page_ok
+      FROM _cl
+    )
+    SELECT doc_id,
+      CAST(len(ls) AS INT) AS n_lines,
+      CAST(len(kept) AS INT) AS n_kept,
+      (page_ok AND len(kept) >= 3) AS page_kept,
+      md5(CASE WHEN page_ok AND len(kept) >= 3
+           THEN array_to_string(kept, chr(10)) ELSE '' END) AS cleaned_md5
+    FROM _cf
+    """
+
+
+@query("c4_clean_audit", _c4_oracle)
+def c4_clean_audit(spark, sf_dir):
+    """C4-style page cleaning audit (Raffel et al. 2020): line-level
+    terminal-punctuation / >=3-words / javascript rules plus the
+    lorem-ipsum / brace / min-kept-lines page rules, over documents
+    given the deterministic injected line structure (corpus text has no
+    lines — the pii_scrub_audit pattern).  The md5 of the full cleaned
+    string pins every rule corpus-wide.  Map-only: at 100 TB this fuses
+    into the scan."""
+    from spider_engine_spark.functions.text_analysis import c4_clean
+
+    lined = _lined_docs(spark, sf_dir)
+    out = c4_clean(lined, "doc_id", "text", min_words=3, min_lines=3)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "page_kept",
+        F.md5("cleaned").alias("cleaned_md5"),
+    )
+
+
+def _paragraph_dedup_oracle() -> str:
+    return f"""
+    WITH {_LINED_SQL}
+    , _pl AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined
+    ), _px AS (
+      SELECT doc_id, p[1] AS line, CAST(p[2] AS INT) AS pos,
+        doc_id * {1 << 20} + p[2] AS ord,
+        ('0x' || substring(md5(p[1]), 1, 15))::BIGINT AS g
+      FROM _pl, unnest(list_zip(ls, range(0, len(ls)))) AS u(p)
+    ), _pk AS (
+      SELECT doc_id, line, pos,
+        ord = min(ord) OVER (PARTITION BY g) AS keep
+      FROM _px
+    ), _pr AS (
+      SELECT doc_id,
+        count(*) AS n_kept,
+        string_agg(line, chr(10) ORDER BY pos) AS text_deduped
+      FROM _pk WHERE keep GROUP BY doc_id
+    )
+    SELECT l.doc_id,
+      CAST(len(string_split(l.text, chr(10))) AS INT) AS n_lines,
+      coalesce(r.n_kept, 0) AS n_kept,
+      md5(coalesce(r.text_deduped, '')) AS dedup_md5
+    FROM lined l LEFT JOIN _pr r USING (doc_id)
+    """
+
+
+@query("paragraph_dedup_docs", _paragraph_dedup_oracle)
+def paragraph_dedup_docs(spark, sf_dir):
+    """Corpus-level exact duplicated-paragraph removal (the RefinedWeb /
+    Dolma paragraph-dedup law; C4's duplicated-span rule at paragraph
+    granularity): a paragraph occurring more than once across the corpus
+    survives only at its globally-first (doc_id, position) occurrence.
+    The injected boilerplate lines (_BOILER_LINES, one per doc_id%5
+    residue class) give ~100 cross-doc duplicates per class at sf0.01,
+    so the law is observable; the md5 of each rebuilt document pins
+    order-preserving reassembly corpus-wide.  Plan: posexplode ->
+    min-agg on the 60-bit paragraph hash (map-side combinable) ->
+    duplicated-occurrences-only anti-join -> one groupBy rebuild."""
+    from spider_engine_spark.operators.dedup import paragraph_dedup
+
+    lined = _lined_docs(spark, sf_dir)
+    out = paragraph_dedup(lined, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5("text_deduped").alias("dedup_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate registration order
 #
 # The correctness driver emits at most 50 rows and takes queries in
@@ -3060,6 +3286,20 @@ _DRIVER_GATE_CAP = 50
 #                               additionally keeps never-demoted
 #                               dedup_clusters + streaming_neardup_pairs
 #                               under a current-round signal)
+# Round 6 (final) also registered c4_clean_audit and
+# paragraph_dedup_docs (never gated, inside the cap), so 22 entries sit
+# out per round; two more pairs, both members r4+r5-green
+# (CORRECTNESS_r04/r05):
+#   term_doc_freq      <-> bpe_token_count_by_lang (members 3+4 of the
+#                               tokenize -> groupBy count-aggregate
+#                               family with lang_id_counts <->
+#                               token_count_by_source)
+#   filter_sentinel_semantics <-> point_lookup (pinned single-row
+#                               predicate probes through the catalog
+#                               forward-index scan — MaxInt64 sentinel
+#                               law vs PK equality; the filter-dispatch
+#                               family keeps filters_all_ops <->
+#                               search_filtered in rotation as well)
 _GATE_ROTATION = [
     # even rounds (r4, r6, ...)
     [
@@ -3083,6 +3323,8 @@ _GATE_ROTATION = [
         "token_count_by_source",
         "delete_antijoin",
         "dedup_simhash",
+        "term_doc_freq",
+        "filter_sentinel_semantics",
     ],
     # odd rounds (r5, r7, ...)
     [
@@ -3106,6 +3348,8 @@ _GATE_ROTATION = [
         "lang_id_counts",
         "update_latest",
         "embedding_near_dups_lsh",
+        "bpe_token_count_by_lang",
+        "point_lookup",
     ],
 ]
 _GATE_ROUND = 6  # bump each round — picks the rotation slot

@@ -1247,3 +1247,64 @@ def test_semantic_dedup_plan_shapes(spark):
     finally:
         pairs._spider_assigned.unpersist()
         assert not pairs._spider_assigned.storageLevel.useMemory
+
+
+def test_paragraph_dedup_first_occurrence_law(spark):
+    """Cross-doc and intra-doc duplicated paragraphs survive only at
+    the smallest (doc_id, pos); docs reassemble in original order; a
+    fully-duplicated doc comes back empty."""
+    from spider_engine_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (10, "alpha beta.\nshared boiler line.\ngamma delta."),
+            # intra-doc repeat: pos 0 wins globally? no — (10,1) is
+            # smaller; both of doc 11's copies lose
+            (11, "shared boiler line.\nunique here.\nshared boiler line."),
+            (12, "only unique content.\nshared boiler line."),
+            (13, "shared boiler line."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    assert rows[10]["text_deduped"] == (
+        "alpha beta.\nshared boiler line.\ngamma delta."
+    )
+    assert rows[11]["text_deduped"] == "unique here."
+    assert (rows[11]["n_lines"], rows[11]["n_kept"]) == (3, 1)
+    assert rows[12]["text_deduped"] == "only unique content."
+    assert rows[13]["text_deduped"] == "" and rows[13]["n_kept"] == 0
+
+
+def test_paragraph_dedup_guards(spark):
+    from spider_engine_spark.operators.dedup import paragraph_dedup
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    sdf = spark.createDataFrame(
+        [("a", "x.\ny.")], "doc_id string, text string"
+    )
+    with _pt.raises(TypeError, match="numeric key"):
+        paragraph_dedup(sdf, "doc_id", "text")
+
+    # pos overflowing pos_bits must fail loudly, not corrupt the order
+    big = spark.createDataFrame(
+        [(1, "a.\nb.\nc.\nd."), (2, "b.\nz.")], "doc_id long, text string"
+    )
+    with _pt.raises((Py4JJavaError, SparkRuntimeException)):
+        paragraph_dedup(big, "doc_id", "text", pos_bits=1).collect()
+
+
+def test_paragraph_dedup_unique_corpus_is_identity(spark):
+    from spider_engine_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b.\nc d."), (2, "e f.\ng h.")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in paragraph_dedup(df, "doc_id", "text").collect()}
+    assert rows[1]["text_deduped"] == "a b.\nc d."
+    assert rows[2]["text_deduped"] == "e f.\ng h."

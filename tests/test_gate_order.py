@@ -39,6 +39,8 @@ NEVER_YET_GATED = [
     "mixture_resample_counts",
     "interleaved_packing",
     "collocations_pmi_topk",
+    "c4_clean_audit",
+    "paragraph_dedup_docs",
 ]
 
 
@@ -122,6 +124,10 @@ def test_demoted_entries_have_a_gated_partner():
         "delete_antijoin": "update_latest",
         "dedup_simhash": "embedding_near_dups_lsh",
         "embedding_near_dups_lsh": "dedup_simhash",
+        "term_doc_freq": "bpe_token_count_by_lang",
+        "bpe_token_count_by_lang": "term_doc_freq",
+        "filter_sentinel_semantics": "point_lookup",
+        "point_lookup": "filter_sentinel_semantics",
     }
     order = list(QUERIES)
     for name in _GATE_OVERFLOW:

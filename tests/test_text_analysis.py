@@ -37,3 +37,63 @@ def test_collocations_pmi_hand_computed(spark):
 
     with _pt.raises(ValueError, match="min_count"):
         collocations_pmi(docs, "doc_id", "text", min_count=0)
+
+
+def test_c4_clean_hand_computed(spark):
+    """Every rule observable on a hand fixture: terminal punctuation,
+    <3 words, javascript lines, lorem-ipsum / brace / min-kept pages,
+    plus the quoted-line terminal and empty-page reassembly."""
+    from spider_engine_spark.functions.text_analysis import c4_clean
+
+    df = spark.createDataFrame(
+        [
+            # line-level rules: punct keeps, short drops, no-punct drops
+            (1, "good line with words.\nshort.\nno terminal punct here"
+                "\nanother fine long line!\nthird keeper is here?"),
+            # javascript line dropped, page survives on the other 3
+            (2, "uses javascript heavily today.\nok good line stays here."
+                "\nsecond keeper line here.\nthird keeper line too."),
+            # lorem ipsum kills the page even with keepable lines
+            (3, "lorem ipsum dolor sit amet.\nthis page dies entirely "
+                "now.\nmore lines do not matter!"),
+            # brace kills the page
+            (4, "brace { page\nkiller here line.\nx y z."),
+            # quote is a terminal; exactly min_lines keepers
+            (5, 'quoted line ends well "\ntwo more keepers needed now.'
+                "\nhere is the third one."),
+            # fewer than min_lines kept -> page dropped
+            (6, "only one keeper line here.\nshort.\nnope"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in c4_clean(df, "doc_id", "text").collect()
+    }
+    assert (rows[1]["n_lines"], rows[1]["n_kept"], rows[1]["page_kept"]) == (5, 3, True)
+    assert rows[1]["cleaned"] == (
+        "good line with words.\nanother fine long line!\nthird keeper is here?"
+    )
+    assert (rows[2]["n_kept"], rows[2]["page_kept"]) == (3, True)
+    assert "javascript" not in rows[2]["cleaned"]
+    assert rows[3]["page_kept"] is False and rows[3]["cleaned"] == ""
+    assert rows[4]["page_kept"] is False
+    assert rows[5]["page_kept"] is True and rows[5]["cleaned"].startswith(
+        'quoted line ends well "'
+    )
+    assert rows[6]["page_kept"] is False and rows[6]["n_kept"] == 1
+
+
+def test_c4_clean_min_params(spark):
+    from spider_engine_spark.functions.text_analysis import c4_clean
+
+    df = spark.createDataFrame(
+        [(1, "one keeper line stays.\ntiny pair.")],
+        "doc_id long, text string",
+    )
+    # default min_words=3 drops the 2-word line; min_words=2 keeps it
+    r3 = c4_clean(df, "doc_id", "text", min_lines=1).collect()[0]
+    assert (r3["n_kept"], r3["page_kept"]) == (1, True)
+    r2 = c4_clean(df, "doc_id", "text", min_words=2, min_lines=1).collect()[0]
+    assert (r2["n_kept"], r2["page_kept"]) == (2, True)
+    assert r2["cleaned"] == "one keeper line stays.\ntiny pair."
