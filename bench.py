@@ -66,6 +66,7 @@ HEADLINE = [
     "mixture_resample_counts",
     "collocations_pmi_topk",
     "paragraph_dedup_docs",
+    "cms_term_counts",
 ]
 
 

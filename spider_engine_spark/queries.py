@@ -3156,6 +3156,127 @@ def paragraph_dedup_docs(spark, sf_dir):
     )
 
 
+def _hll_oracle() -> str:
+    from spider_engine_spark.operators.sketches import (
+        hll_raw_estimate_sql,
+    )
+
+    # bucket_bits=8: m=256, w=52, rho = 53 - bit_length(h >> 8)
+    return f"""
+    WITH _hh AS (
+      SELECT ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))
+        ::BIGINT AS h
+      FROM events
+    ), _hx AS (
+      SELECT h % 256 AS bucket,
+        53 - len(list_filter(range(0, 52),
+                             k -> (h >> 8) >= (1::BIGINT << k))) AS rho
+      FROM _hh
+    ), _ho AS (
+      SELECT bucket, max(rho) AS max_rho FROM _hx GROUP BY bucket
+    ), _hf AS (
+      SELECT u AS bucket FROM unnest(range(0, 256)) AS t(u)
+    ), _hr AS (
+      SELECT f.bucket, coalesce(o.max_rho, 0) AS max_rho
+      FROM _hf f LEFT JOIN _ho o USING (bucket)
+    ), _hs AS (
+      SELECT CAST(sum(1::BIGINT << (53 - max_rho)) AS BIGINT) AS s
+      FROM _hr
+    ), _hn AS (
+      SELECT count(DISTINCT event_id) AS n_exact FROM events
+    )
+    SELECT r.bucket, CAST(r.max_rho AS INT) AS max_rho, _hs.s,
+      {hll_raw_estimate_sql(8)} AS raw_est, _hn.n_exact
+    FROM _hr r CROSS JOIN _hs CROSS JOIN _hn
+    """
+
+
+@query("hll_distinct_events", _hll_oracle)
+def hll_distinct_events(spark, sf_dir):
+    """HyperLogLog cardinality sketch over event ids — the
+    bounded-state distinct counter a 10^10-URL seen-set needs where
+    exact count-distinct stops fitting (256 registers vs 10^10 keys).
+    The register law is INTEGER end-to-end (md5-h60 bucket split +
+    power-of-two comparison ladder; no log2) and the harmonic-mean
+    denominator stays a BIGINT sum of dyadic weights, so every value —
+    including the one-division raw estimate — hash-gates exactly.
+    Output: all 256 registers plus (s, raw_est, exact distinct) on
+    each row.  Plan: one map-side-combinable groupBy bounded at m rows
+    per partition; merging shards is cell-wise MAX of registers."""
+    from spider_engine_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("k")
+    )
+    regs = hll_registers(ev, "k", bucket_bits=8)
+    est = hll_estimate(regs, bucket_bits=8)
+    n = load(spark, sf_dir, "events").agg(
+        F.countDistinct("event_id").alias("n_exact")
+    )
+    return regs.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(n)).select(
+        "bucket", "max_rho", "s", "raw_est", "n_exact"
+    )
+
+
+def _cms_oracle() -> str:
+    return f"""
+    WITH _ct AS (
+      SELECT unnest({_TOKS}) AS term FROM documents
+    ), _cc AS (
+      SELECT s.seed, ('0x' || substring(md5(term || ':' ||
+          CAST(s.seed AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket,
+        count(*)::BIGINT AS cnt
+      FROM _ct CROSS JOIN (SELECT unnest(range(0, 4)) AS seed) s
+      GROUP BY s.seed, bucket
+    ), _ctrue AS (
+      SELECT term, count(*)::BIGINT AS true_cnt FROM _ct GROUP BY term
+      ORDER BY true_cnt DESC, term LIMIT 20
+    ), _cp AS (
+      SELECT t.term, t.true_cnt, s.seed,
+        ('0x' || substring(md5(t.term || ':' ||
+          CAST(s.seed AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket
+      FROM _ctrue t CROSS JOIN (SELECT unnest(range(0, 4)) AS seed) s
+    )
+    SELECT p.term, p.true_cnt,
+      min(coalesce(c.cnt, 0)) AS cms_est
+    FROM _cp p LEFT JOIN _cc c
+      ON c.seed = p.seed AND c.bucket = p.bucket
+    GROUP BY p.term, p.true_cnt
+    """
+
+
+@query("cms_term_counts", _cms_oracle)
+def cms_term_counts(spark, sf_dir):
+    """Count-Min Sketch frequency estimation over corpus tokens: a
+    depth-4 x width-256 integer counter table (bounded state however
+    many tokens feed it; merge = cell-wise sum), probed for the 20
+    most frequent terms.  est >= true always (collisions only add);
+    both the counter law and the min-probe are exact integer
+    arithmetic, so estimates hash-gate.  Plan: one explode -> one
+    bounded groupBy for the sketch; the probe joins a broadcast
+    counter table."""
+    from spider_engine_spark.operators.dedup import exploded_tokens
+    from spider_engine_spark.operators.sketches import (
+        cms_counters,
+        cms_lookup,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = exploded_tokens(docs, "doc_id", "text")
+    counters = cms_counters(toks, "term", width=256, depth=4)
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("term"))
+        .limit(20)
+    )
+    est = cms_lookup(counters, top.select("term"), "term", 256, 4)
+    return top.join(est, "term").select("term", "true_cnt", "cms_est")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order
 #
@@ -3300,6 +3421,24 @@ _DRIVER_GATE_CAP = 50
 #                               law vs PK equality; the filter-dispatch
 #                               family keeps filters_all_ops <->
 #                               search_filtered in rotation as well)
+# Round 6 (final) also registered hll_distinct_events and
+# cms_term_counts (never gated, inside the cap), so 24 entries sit out
+# per round; two more pairs, all members r4+r5-green
+# (CORRECTNESS_r04/r05):
+#   set_ops_docs       <-> dedup_exact         (exact content-identity
+#                               semantics over documents — INTERSECT/
+#                               EXCEPT row equality vs md5-content
+#                               grouping)
+#   ann_lsh            <-> ann_ivf             (bucketed ANN top-k probe
+#                               with exact cosine re-rank — sign-LSH
+#                               hamming probe vs IVF n_probe lists.
+#                               This amends the older "production ANN
+#                               paths never demoted" note: the family
+#                               now has 5 members, and one bucketed
+#                               production path stays in-gate every
+#                               round — ann_ivf in even rounds, ann_lsh
+#                               in odd — alongside the never-demoted
+#                               embedding_near_dups_lsh)
 _GATE_ROTATION = [
     # even rounds (r4, r6, ...)
     [
@@ -3325,6 +3464,8 @@ _GATE_ROTATION = [
         "dedup_simhash",
         "term_doc_freq",
         "filter_sentinel_semantics",
+        "set_ops_docs",
+        "ann_lsh",
     ],
     # odd rounds (r5, r7, ...)
     [
@@ -3350,6 +3491,8 @@ _GATE_ROTATION = [
         "embedding_near_dups_lsh",
         "bpe_token_count_by_lang",
         "point_lookup",
+        "dedup_exact",
+        "ann_ivf",
     ],
 ]
 _GATE_ROUND = 6  # bump each round — picks the rotation slot

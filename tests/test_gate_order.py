@@ -41,6 +41,8 @@ NEVER_YET_GATED = [
     "collocations_pmi_topk",
     "c4_clean_audit",
     "paragraph_dedup_docs",
+    "hll_distinct_events",
+    "cms_term_counts",
 ]
 
 
@@ -128,6 +130,10 @@ def test_demoted_entries_have_a_gated_partner():
         "bpe_token_count_by_lang": "term_doc_freq",
         "filter_sentinel_semantics": "point_lookup",
         "point_lookup": "filter_sentinel_semantics",
+        "set_ops_docs": "dedup_exact",
+        "dedup_exact": "set_ops_docs",
+        "ann_lsh": "ann_ivf",
+        "ann_ivf": "ann_lsh",
     }
     order = list(QUERIES)
     for name in _GATE_OVERFLOW:

@@ -1,0 +1,171 @@
+"""CMS / HLL sketch tests: pure-Python law parity, the overestimate
+guarantee, merge laws, and accuracy sanity in the raw-HLL regime."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_engine_spark.operators.sketches import (
+    cms_counters,
+    cms_lookup,
+    hll_alpha,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def word_df(spark):
+    words = [f"w{i % 37}" for i in range(1000)] + ["hot"] * 200
+    return (
+        spark.createDataFrame([(w,) for w in words], "term string"),
+        words,
+    )
+
+
+def test_cms_counters_match_pure_python(word_df):
+    df, words = word_df
+    W, D = 64, 4
+    expect: dict = {}
+    for w in words:
+        for s in range(D):
+            b = _h60(f"{w}:{s}") % W
+            expect[(s, b)] = expect.get((s, b), 0) + 1
+    got = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in cms_counters(df, "term", W, D).collect()
+    }
+    assert got == expect
+
+
+def test_cms_estimate_law_and_overestimate(word_df):
+    df, words = word_df
+    W, D = 64, 4
+    counters = cms_counters(df, "term", W, D)
+    est = {
+        r["term"]: r["cms_est"]
+        for r in cms_lookup(
+            counters, df.distinct(), "term", W, D
+        ).collect()
+    }
+    true: dict = {}
+    for w in words:
+        true[w] = true.get(w, 0) + 1
+    py_counters: dict = {}
+    for w in words:
+        for s in range(D):
+            b = _h60(f"{w}:{s}") % W
+            py_counters[(s, b)] = py_counters.get((s, b), 0) + 1
+    for w, t in true.items():
+        assert est[w] >= t  # collisions only ADD
+        assert est[w] == min(
+            py_counters[(s, _h60(f"{w}:{s}") % W)] for s in range(D)
+        )
+
+
+def test_cms_absent_term_estimates_from_zero_cells(spark, word_df):
+    df, _ = word_df
+    counters = cms_counters(df, "term", width=4096, depth=4)
+    ghost = spark.createDataFrame(
+        [("never-seen-term-xyzzy",)], "term string"
+    )
+    [r] = cms_lookup(counters, ghost, "term", 4096, 4).collect()
+    # wide sketch, tiny corpus: all 4 cells almost surely untouched
+    assert r["cms_est"] == 0
+
+
+def test_cms_merge_is_cellwise_sum(spark):
+    a = spark.createDataFrame([("x",), ("y",), ("x",)], "term string")
+    b = spark.createDataFrame([("x",), ("z",)], "term string")
+    W, D = 32, 2
+    whole = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in cms_counters(a.union(b), "term", W, D).collect()
+    }
+    ca, cb = cms_counters(a, "term", W, D), cms_counters(b, "term", W, D)
+    merged = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in ca.union(cb)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == whole
+
+
+def test_cms_validation():
+    with pytest.raises(ValueError, match="width/depth"):
+        cms_counters(None, "term", width=0)
+
+
+def test_hll_registers_match_pure_python(word_df):
+    df, words = word_df
+    B, m, w = 8, 256, 52
+    regs = [0] * m
+    for x in set(words):
+        h = _h60(x)
+        rho = w - (h >> B).bit_length() + 1
+        regs[h % m] = max(regs[h % m], rho)
+    got = {
+        r["bucket"]: r["max_rho"]
+        for r in hll_registers(df, "term", B).collect()
+    }
+    assert got == {i: regs[i] for i in range(m)}
+    # exact integer denominator + the one-division estimate
+    S = sum(1 << (w + 1 - M) for M in regs)
+    [row] = hll_estimate(hll_registers(df, "term", B), B).collect()
+    assert row["s"] == S
+    assert row["raw_est"] == hll_alpha(m) * m * m * float(
+        1 << (w + 1)
+    ) / float(S)
+
+
+def test_hll_merge_is_cellwise_max(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], "k string")
+    whole = {
+        r["bucket"]: r["max_rho"]
+        for r in hll_registers(a.union(b), "k", 8).collect()
+    }
+    merged = {
+        r["bucket"]: r["max_rho"]
+        for r in hll_registers(a, "k", 8)
+        .union(hll_registers(b, "k", 8))
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .collect()
+    }
+    assert merged == whole
+
+
+def test_hll_accuracy_in_raw_regime(spark):
+    """Raw HLL (no corrections) holds its ~1.04/sqrt(m) error once
+    n >> 2.5m: 10k distinct keys on m=256 must land within 10%."""
+    n = 10_000
+    df = spark.range(n).select(F.concat(F.lit("key"), "id").alias("k"))
+    [row] = hll_estimate(hll_registers(df, "k", 8), 8).collect()
+    assert abs(row["raw_est"] - n) / n < 0.10
+
+
+def test_hll_empty_input_gives_all_zero_registers(spark):
+    df = spark.createDataFrame([], "k string")
+    regs = hll_registers(df, "k", 8)
+    assert regs.count() == 256
+    assert regs.filter("max_rho <> 0").count() == 0
+    [row] = hll_estimate(regs, 8).collect()
+    # S = m * 2^(w+1): the documented raw-estimate floor alpha*m
+    assert row["s"] == 256 * (1 << 53)
+    assert row["raw_est"] == pytest.approx(hll_alpha(256) * 256)
+
+
+def test_hll_validation(spark):
+    df = spark.createDataFrame([("x",)], "k string")
+    with pytest.raises(ValueError, match="bucket_bits"):
+        hll_registers(df, "k", bucket_bits=2)
