@@ -633,7 +633,9 @@ def c4_clean(
     page rules) or ending with fewer than `min_lines` kept lines.
     Returns (key, n_lines, n_kept, page_kept, cleaned) where `cleaned`
     is the surviving lines re-joined with newlines ('' for dropped
-    pages).
+    pages).  NULL content is a dropped page — (0, 0, false, ''), never
+    NULL outputs (a NULL page_kept would escape `page_kept == False`
+    audits under three-valued logic).
 
     Scale shape: pure per-row Column algebra — no shuffle, no UDF; at
     100 TB this fuses into the parquet scan. The line array and the
@@ -645,13 +647,18 @@ def c4_clean(
         F.filter(F.col("_c4_ls"), lambda x: c4_line_kept(x, min_words)),
     )
     page_ok = ~c.contains("lorem ipsum") & ~c.contains("{")
-    page_kept = page_ok & (
-        F.size("_c4_kept") >= F.lit(int(min_lines))
+    page_kept = F.coalesce(
+        page_ok & (F.size("_c4_kept") >= F.lit(int(min_lines))),
+        F.lit(False),
     )
     return d.select(
         F.col(key),
-        F.size("_c4_ls").alias("n_lines"),
-        F.size("_c4_kept").alias("n_kept"),
+        F.when(c.isNull(), F.lit(0))
+        .otherwise(F.size("_c4_ls"))
+        .alias("n_lines"),
+        F.when(c.isNull(), F.lit(0))
+        .otherwise(F.size("_c4_kept"))
+        .alias("n_kept"),
         page_kept.alias("page_kept"),
         F.when(page_kept, F.array_join("_c4_kept", "\n"))
         .otherwise(F.lit(""))

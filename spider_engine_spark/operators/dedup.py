@@ -679,12 +679,15 @@ def exact_substring_dedup(
 
     Law (oracle-exact, driver query `dedup_exact_substrings`):
     tokens = whitespace split; windows at positions 0..L-n (docs with
-    L < n untouched); window id = md5 60-bit of the space-joined gram;
-    the kept occurrence of a duplicated window is min(key*2^pos_bits +
-    pos) — (key, pos) lexicographic via one BIGINT, so `key` must be
-    numeric and positions must fit pos_bits (~1M tokens/doc at the
-    default; raise pos_bits for longer docs — the law, not a limit of
-    the plan).  A token is removed iff some non-kept duplicated-window
+    L < n untouched); window id = 120-bit md5 of the space-joined gram
+    (two BIGINT halves — one 60-bit half expects real birthday
+    collisions at corpus-scale window counts, silently deleting unique
+    text); the kept occurrence of a duplicated window is
+    min(key*2^pos_bits + pos) — (key, pos) lexicographic via one
+    BIGINT, so `key` must be numeric and non-negative, positions must
+    fit pos_bits and keys 63-pos_bits bits (~1M tokens/doc and ~8.8e12
+    keys at the default; tune pos_bits — the law, not a limit of the
+    plan).  A token is removed iff some non-kept duplicated-window
     occurrence of its document covers it.
 
     Plan shape at 100 TB: one posexplode of precomputed gram hashes
@@ -714,7 +717,6 @@ def exact_substring_dedup(
             f"(key,pos) ordering law); {key!r} is {key_type.simpleString()}"
             f" — pre-map string keys to a BIGINT (e.g. xxhash64)"
         )
-    from spider_engine_spark.functions.hashes import md5_h60_col
     from spider_engine_spark.functions.text_analysis import (
         _pos_ngrams,
         tokens,
@@ -732,17 +734,41 @@ def exact_substring_dedup(
             tokens(F.col("_xs_text")), F.array().cast("array<string>")
         ),
     ).withColumn(
-        "_xs_grams", F.transform(_pos_ngrams(F.col(toks), n), md5_h60_col)
+        # one md5 per window, materialized BEFORE the halves are split
+        # (two F.md5 calls in one lambda would hash every window twice)
+        "_xs_md5s",
+        F.transform(_pos_ngrams(F.col(toks), n), F.md5),
+    ).withColumn(
+        # 120-bit window ids (two BIGINT halves): at corpus scale the
+        # window count is ~one per token, where a single 60-bit id
+        # expects real birthday collisions (silently deleting unique
+        # text); 2^120 puts the expectation at ~1e-11 even for 10^13
+        # windows. Same law as paragraph_dedup / md5_h120_cols.
+        "_xs_grams",
+        F.transform(
+            F.col("_xs_md5s"),
+            lambda h: F.struct(
+                F.conv(F.substring(h, 1, 15), 16, 10)
+                .cast("long")
+                .alias("g1"),
+                F.conv(F.substring(h, 16, 15), 16, 10)
+                .cast("long")
+                .alias("g2"),
+            ),
+        ),
     )
     occ = d.select(
         F.col(key),
         F.posexplode_outer("_xs_grams").alias("pos", "g"),
     ).filter(F.col("g").isNotNull())
-    # per-row overflow guard: a pos bleeding into the key bits would
-    # corrupt the (key,pos) order and keep the WRONG occurrence — fail
-    # loudly (vectorized predicate; raise_error only fires on overflow)
+    # per-row overflow guard: a pos bleeding into the key bits (or a
+    # key*2^pos_bits overflowing BIGINT) would corrupt the (key,pos)
+    # order and keep the WRONG occurrence — fail loudly (vectorized
+    # predicate; raise_error only fires on overflow)
+    _xs_max_key = (1 << (63 - pos_bits)) - 1
     packed = F.when(
-        F.col("pos") < F.lit(1 << pos_bits),
+        (F.col("pos") < F.lit(1 << pos_bits))
+        & F.col(key).cast("long").between(0, _xs_max_key),
         F.col(key).cast("long") * F.lit(1 << pos_bits).cast("long")
         + F.col("pos"),
     ).when(
@@ -755,8 +781,9 @@ def exact_substring_dedup(
         F.raise_error(
             F.concat(
                 F.lit(
-                    f"exact_substring_dedup: token position exceeds "
-                    f"pos_bits={pos_bits} (raise pos_bits) in doc "
+                    f"exact_substring_dedup: (key, pos) exceeds the "
+                    f"packed-BIGINT law (pos < 2^{pos_bits}, 0 <= key "
+                    f"<= {_xs_max_key}; tune pos_bits) in doc "
                 ),
                 F.col(key).cast("string"),
             )
@@ -912,10 +939,12 @@ def paragraph_dedup(
     windows). A paragraph occurring more than once ACROSS THE CORPUS
     survives only at its globally-first occurrence — smallest
     (key, position), packed into one BIGINT exactly as
-    exact_substring_dedup does (numeric key required, positions must
-    fit pos_bits; both guarded loudly). Unique paragraphs always
-    survive. Documents are reassembled in original order; a document
-    whose every paragraph loses comes back as ''.
+    exact_substring_dedup does (numeric key required; positions must
+    fit pos_bits and keys 63-pos_bits bits — both guarded loudly).
+    Unique paragraphs always survive. Documents are reassembled in
+    original order; a document whose every paragraph loses comes back
+    as ''; NULL content means zero paragraphs.  `sep` is a LITERAL
+    separator (regex-quoted for the split, joined back verbatim).
 
     Returns (key, n_lines, n_kept, text_deduped).
 
@@ -925,8 +954,11 @@ def paragraph_dedup(
     partition before the shuffle — then a join back of DUPLICATED
     occurrences only (proportional to duplicated content, not the
     corpus; AQE skew-join bounds hot paragraphs), and one groupBy(key)
-    rebuild. Grouping is on a 60-bit md5 of the paragraph so shuffle
-    rows carry 8-byte keys, not page-length strings."""
+    rebuild. Grouping is on the 120-bit md5 of the paragraph (two
+    BIGINT halves, functions/hashes.md5_h120_cols) so shuffle rows
+    carry 16-byte keys, not page-length strings — 60 bits would expect
+    ~40 birthday collisions (silent unique-paragraph deletions) at
+    10^10 distinct paragraphs; 120 bits expects ~4e-17."""
     from pyspark.sql.types import IntegralType
 
     key_type = df.schema[key].dataType
@@ -936,23 +968,33 @@ def paragraph_dedup(
             f" first-occurrence law); {key!r} is "
             f"{key_type.simpleString()} — pre-map string keys to BIGINT"
         )
-    from spider_engine_spark.functions.hashes import md5_h60_col
+    if "\\E" in sep:
+        raise ValueError(r"sep must not contain \E (regex quoting)")
+    from spider_engine_spark.functions.hashes import md5_h120_cols
 
+    sep_rx = "\\Q" + sep + "\\E"  # literal-separator law
     d = df.select(F.col(key), F.col(content).alias("_pd_text"))
     occ = d.select(
         F.col(key),
-        F.posexplode(F.split("_pd_text", sep)).alias("pos", "line"),
-    ).withColumn("_pd_g", md5_h60_col(F.col("line")))
+        F.posexplode(F.split("_pd_text", sep_rx)).alias("pos", "line"),
+    ).withColumn("_pd_md5", F.md5("line"))
+    g1, g2 = md5_h120_cols("_pd_md5")
+    occ = occ.withColumn("_pd_g1", g1).withColumn("_pd_g2", g2).drop(
+        "_pd_md5"
+    )
+    max_key = (1 << (63 - pos_bits)) - 1
     packed = F.when(
-        F.col("pos") < F.lit(1 << pos_bits),
+        (F.col("pos") < F.lit(1 << pos_bits))
+        & F.col(key).cast("long").between(0, max_key),
         F.col(key).cast("long") * F.lit(1 << pos_bits).cast("long")
         + F.col("pos"),
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(
-                    f"paragraph_dedup: paragraph position exceeds "
-                    f"pos_bits={pos_bits} (raise pos_bits) in doc "
+                    f"paragraph_dedup: (key, pos) exceeds the packed-"
+                    f"BIGINT law (pos < 2^{pos_bits}, 0 <= key <= "
+                    f"{max_key}; tune pos_bits) in doc "
                 ),
                 F.col(key).cast("string"),
             )
@@ -960,7 +1002,7 @@ def paragraph_dedup(
     )
     occ = occ.withColumn("_pd_id", packed)
     dup = (
-        occ.groupBy("_pd_g")
+        occ.groupBy("_pd_g1", "_pd_g2")
         .agg(
             F.count(F.lit(1)).alias("_pd_c"),
             F.min("_pd_id").alias("_pd_first"),
@@ -968,8 +1010,8 @@ def paragraph_dedup(
         .filter(F.col("_pd_c") > 1)
     )
     losers = (
-        occ.select(key, "pos", "_pd_g", "_pd_id")
-        .join(dup, "_pd_g")
+        occ.select(key, "pos", "_pd_g1", "_pd_g2", "_pd_id")
+        .join(dup, ["_pd_g1", "_pd_g2"])
         .filter(F.col("_pd_id") != F.col("_pd_first"))
         .select(key, "pos")
     )
@@ -989,7 +1031,10 @@ def paragraph_dedup(
     )
     base = d.select(
         F.col(key),
-        F.size(F.split("_pd_text", sep)).alias("n_lines"),
+        # NULL content = zero paragraphs (size(split(NULL)) is NULL)
+        F.when(F.col("_pd_text").isNull(), F.lit(0))
+        .otherwise(F.size(F.split("_pd_text", sep_rx)))
+        .alias("n_lines"),
     )
     return base.join(rebuilt, key, "left").select(
         F.col(key),

@@ -44,6 +44,40 @@ def _bucket(term, seed: int, width: int):
     ) % F.lit(int(width))
 
 
+def _check_dims(width: int, depth: int) -> None:
+    if width < 1 or depth < 1:
+        raise ValueError(
+            f"width/depth must be >= 1, got {width}/{depth}"
+        )
+
+
+def _seed_bucket_rows(
+    df: DataFrame, term: str, width: int, depth: int, keep_term: bool
+) -> DataFrame:
+    """One (seed, bucket) row per input row per hash function — THE
+    bucket law, shared by the counter build and the probe so an edit
+    cannot silently de-sync them (a probe hashing differently from the
+    build voids the overestimate guarantee with no error)."""
+    t = F.col(term)
+    sb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("seed"),
+                    _bucket(t, s, width).alias("bucket"),
+                )
+                for s in range(depth)
+            ]
+        )
+    ).alias("sb")
+    keep = [term] if keep_term else []
+    return df.select(*keep, sb).select(
+        *keep,
+        F.col("sb.seed").alias("seed"),
+        F.col("sb.bucket").alias("bucket"),
+    )
+
+
 def cms_counters(
     df: DataFrame,
     term: str,
@@ -55,28 +89,12 @@ def cms_counters(
     bucket under hash function `seed`. At most depth*width output rows;
     map-side combine bounds the shuffle at that size per partition.
     Merge sketches by summing cnt cell-wise."""
-    if width < 1 or depth < 1:
-        raise ValueError(
-            f"width/depth must be >= 1, got {width}/{depth}"
-        )
-    t = F.col(term)
-    rows = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("seed"),
-                        _bucket(t, s, width).alias("bucket"),
-                    )
-                    for s in range(depth)
-                ]
-            )
-        ).alias("sb")
+    _check_dims(width, depth)
+    return (
+        _seed_bucket_rows(df, term, width, depth, keep_term=False)
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return rows.groupBy(
-        F.col("sb.seed").alias("seed"),
-        F.col("sb.bucket").alias("bucket"),
-    ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def cms_lookup(
@@ -89,24 +107,14 @@ def cms_lookup(
     """Point-estimate occurrence counts for `terms` (distinct terms
     expected): est = min over seeds of the counter cell the term hashes
     to (0 for a never-incremented cell). est >= true count always (the
-    CMS overestimate guarantee — collisions only ADD).  Probe side is
-    |terms|*depth rows joining a <= depth*width-row counter table —
+    CMS overestimate guarantee — collisions only ADD) PROVIDED width
+    and depth equal the values the counters were built with: the
+    parameters are part of the sketch identity, and probing with
+    different ones silently underestimates (cells miss).  Probe side
+    is |terms|*depth rows joining a <= depth*width-row counter table —
     broadcast-sized by construction."""
-    t = F.col(term)
-    probes = terms.select(
-        term,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("seed"),
-                        _bucket(t, s, width).alias("bucket"),
-                    )
-                    for s in range(depth)
-                ]
-            )
-        ).alias("sb"),
-    ).select(term, F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket"))
+    _check_dims(width, depth)
+    probes = _seed_bucket_rows(terms, term, width, depth, keep_term=True)
     return (
         probes.join(F.broadcast(counters), ["seed", "bucket"], "left")
         .groupBy(term)
@@ -148,13 +156,25 @@ def hll_registers(
         )
     m = 1 << bucket_bits
     w = _hll_w(bucket_bits)
-    h = md5_h60_col(F.col(key))
-    rem = F.shiftright(h, bucket_bits)  # h >= 0: arithmetic == logical
     powers = F.array(*[F.lit(1 << k).cast("long") for k in range(w)])
-    bits = F.size(F.filter(powers, lambda p: rem >= p))
-    rho = F.lit(w + 1) - bits
+    # ladder: materialize the hash (then the rank stream) as COLUMNS —
+    # inside the filter lambda they would be captured as EXPRESSIONS
+    # and the md5 re-evaluated per power-of-two comparison (w+1 hashes
+    # per row; the trees-not-DAGs trap PLANS.md documents)
     obs = (
-        df.select((h % F.lit(m)).alias("bucket"), rho.alias("_rho"))
+        df.select(md5_h60_col(F.col(key)).alias("_h"))
+        .withColumn(
+            "_rem", F.shiftright("_h", bucket_bits)
+        )  # _h >= 0: arithmetic == logical shift
+        .select(
+            (F.col("_h") % F.lit(m)).alias("bucket"),
+            (
+                F.lit(w + 1)
+                - F.size(
+                    F.filter(powers, lambda p: F.col("_rem") >= p)
+                )
+            ).alias("_rho"),
+        )
         .groupBy("bucket")
         .agg(F.max("_rho").alias("max_rho"))
     )

@@ -1665,14 +1665,18 @@ def dedup_clusters(spark, sf_dir):
     ), h AS (
       SELECT doc_id, pos,
         ('0x' || substring(md5(array_to_string(toks[pos+1:pos+8], ' ')),
-         1, 15))::BIGINT AS g,
+         1, 15))::BIGINT AS g1,
+        ('0x' || substring(md5(array_to_string(toks[pos+1:pos+8], ' ')),
+         16, 15))::BIGINT AS g2,
         doc_id * 1048576 + pos AS packed
       FROM occ
     ), dup AS (
-      SELECT g, min(packed) AS first FROM h GROUP BY g HAVING count(*) > 1
+      SELECT g1, g2, min(packed) AS first FROM h GROUP BY g1, g2
+      HAVING count(*) > 1
     ), removed AS (
       SELECT doc_id, list_sort(list(pos)) AS starts
-      FROM h JOIN dup USING (g) WHERE packed <> first GROUP BY doc_id
+      FROM h JOIN dup USING (g1, g2) WHERE packed <> first
+      GROUP BY doc_id
     )
     SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
       CAST(CASE WHEN starts IS NOT NULL THEN
@@ -1697,7 +1701,7 @@ def dedup_exact_substrings(spark, sf_dir):
     except the (doc_id,pos)-min one; kept tokens re-joined.  The oracle
     rebuilds the FULL deduped string per document (hash-gates the
     removal law, the first-occurrence law and the rebuild order
-    corpus-wide), via the same md5-60-bit window ids and packed
+    corpus-wide), via the same 120-bit md5 window ids and packed
     (doc_id,pos) ordering.  operators/dedup.exact_substring_dedup has
     the 100 TB plan shape (one posexplode ~= one row per corpus token,
     one gram groupBy, duplicated-occurrences-only join back)."""
@@ -3112,11 +3116,12 @@ def _paragraph_dedup_oracle() -> str:
     ), _px AS (
       SELECT doc_id, p[1] AS line, CAST(p[2] AS INT) AS pos,
         doc_id * {1 << 20} + p[2] AS ord,
-        ('0x' || substring(md5(p[1]), 1, 15))::BIGINT AS g
+        ('0x' || substring(md5(p[1]), 1, 15))::BIGINT AS g1,
+        ('0x' || substring(md5(p[1]), 16, 15))::BIGINT AS g2
       FROM _pl, unnest(list_zip(ls, range(0, len(ls)))) AS u(p)
     ), _pk AS (
       SELECT doc_id, line, pos,
-        ord = min(ord) OVER (PARTITION BY g) AS keep
+        ord = min(ord) OVER (PARTITION BY g1, g2) AS keep
       FROM _px
     ), _pr AS (
       SELECT doc_id,
@@ -3213,9 +3218,9 @@ def hll_distinct_events(spark, sf_dir):
     )
     regs = hll_registers(ev, "k", bucket_bits=8)
     est = hll_estimate(regs, bucket_bits=8)
-    n = load(spark, sf_dir, "events").agg(
-        F.countDistinct("event_id").alias("n_exact")
-    )
+    # int->string is injective, so distinct(k) == distinct(event_id):
+    # reuse the projection instead of scanning events a second time
+    n = ev.agg(F.countDistinct("k").alias("n_exact"))
     return regs.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(n)).select(
         "bucket", "max_rho", "s", "raw_est", "n_exact"
     )

@@ -1308,3 +1308,44 @@ def test_paragraph_dedup_unique_corpus_is_identity(spark):
     rows = {r["doc_id"]: r for r in paragraph_dedup(df, "doc_id", "text").collect()}
     assert rows[1]["text_deduped"] == "a b.\nc d."
     assert rows[2]["text_deduped"] == "e f.\ng h."
+
+
+def test_paragraph_dedup_literal_sep_and_nulls(spark):
+    """sep is literal (regex metachars must not regex-split); NULL
+    content is zero paragraphs, never NULL outputs."""
+    from spider_engine_spark.operators.dedup import paragraph_dedup
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, "a.b|c.d"), (2, None), (3, "a.b|x")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, "doc_id", "text", sep="|").collect()
+    }
+    # '|' as regex would split every char; literal law keeps 'a.b'/'c.d'
+    assert (rows[1]["n_lines"], rows[1]["text_deduped"]) == (2, "a.b|c.d")
+    assert rows[3]["text_deduped"] == "x"  # a.b deduped vs doc 1
+    assert (rows[2]["n_lines"], rows[2]["n_kept"], rows[2]["text_deduped"]) == (
+        0,
+        0,
+        "",
+    )
+    with _pt.raises(ValueError, match="sep"):
+        paragraph_dedup(df, "doc_id", "text", sep="x\\Ey")
+
+
+def test_paragraph_dedup_key_magnitude_guard(spark):
+    """key*2^pos_bits overflowing BIGINT must raise the documented
+    guard, not wrap/ANSI-crash into a corrupted first-occurrence."""
+    from spider_engine_spark.operators.dedup import paragraph_dedup
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+    import pytest as _pt
+
+    big = spark.createDataFrame(
+        [(1 << 50, "a.\nb."), (7, "b.\nz.")], "doc_id long, text string"
+    )
+    with _pt.raises((Py4JJavaError, SparkRuntimeException), match="packed-BIGINT"):
+        paragraph_dedup(big, "doc_id", "text").collect()

@@ -169,3 +169,23 @@ def test_hll_validation(spark):
     df = spark.createDataFrame([("x",)], "k string")
     with pytest.raises(ValueError, match="bucket_bits"):
         hll_registers(df, "k", bucket_bits=2)
+
+
+def test_cms_lookup_validates_dims(spark):
+    df = spark.createDataFrame([("x",)], "term string")
+    with pytest.raises(ValueError, match="width/depth"):
+        cms_lookup(cms_counters(df, "term", 8, 2), df, "term", width=0)
+
+
+def test_hll_plan_hashes_once_per_row(spark):
+    """The md5 must be a ladder column: captured inside the filter
+    lambda it re-evaluates per power-of-two comparison (w+1 hashes per
+    row)."""
+    df = spark.createDataFrame([("x",)], "k string")
+    plan = (
+        hll_registers(df, "k", 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("md5(") <= 2  # bucket leg + at most one reuse

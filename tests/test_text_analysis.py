@@ -97,3 +97,25 @@ def test_c4_clean_min_params(spark):
     r2 = c4_clean(df, "doc_id", "text", min_words=2, min_lines=1).collect()[0]
     assert (r2["n_kept"], r2["page_kept"]) == (2, True)
     assert r2["cleaned"] == "one keeper line stays.\ntiny pair."
+
+
+def test_c4_clean_null_content_is_dropped_page(spark):
+    from spider_engine_spark.functions.text_analysis import c4_clean
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "good line number one.\ntwo is here now.\nthree closes it out.")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in c4_clean(df, "doc_id", "text").collect()}
+    assert (
+        rows[1]["n_lines"],
+        rows[1]["n_kept"],
+        rows[1]["page_kept"],
+        rows[1]["cleaned"],
+    ) == (0, 0, False, "")
+    # page_kept == False filters must SEE the null page (not 3VL-skip it)
+    assert (
+        c4_clean(df, "doc_id", "text").filter("page_kept = false").count()
+        == 1
+    )
+    assert rows[2]["page_kept"] is True
