@@ -3282,6 +3282,52 @@ def cms_term_counts(spark, sf_dir):
     return top.join(est, "term").select("term", "true_cnt", "cms_est")
 
 
+@query("streaming_cms_term_counts", _cms_oracle)
+def streaming_cms_term_counts(spark, sf_dir):
+    """INCREMENTAL Count-Min maintenance: the corpus token stream is
+    hash-split into 4 micro-batches and folded through the REAL
+    foreachBatch handler (streaming/sketches.py — pytest additionally
+    runs the true readStream/availableNow integration).  CMS cells SUM,
+    so the persisted counters after any split equal the batch-built
+    sketch of the whole corpus — this query probes the streamed
+    counters for the top-20 true terms and is gated against the SAME
+    oracle as cms_term_counts: a batch-vs-streaming parity check
+    through the driver's hash gate, over real persisted state."""
+    import shutil
+    import tempfile
+
+    from spider_engine_spark.operators.dedup import exploded_tokens
+    from spider_engine_spark.operators.sketches import cms_lookup
+    from spider_engine_spark.sources.tableio import TableIO
+    from spider_engine_spark.streaming.sketches import (
+        cms_sketch_init,
+        make_cms_batch_handler,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = exploded_tokens(docs, "doc_id", "text")
+    root = tempfile.mkdtemp(prefix="drv_cms_")
+    io = TableIO(root)
+    cms_sketch_init(spark, io, "cms", term="term", width=256, depth=4)
+    handler = make_cms_batch_handler(io, "cms")
+    try:
+        for i in range(4):
+            handler(
+                toks.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i), i
+            )
+        counters = io.read(spark, "cms").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("term"))
+        .limit(20)
+    )
+    est = cms_lookup(counters, top.select("term"), "term", 256, 4)
+    return top.join(est, "term").select("term", "true_cnt", "cms_est")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order
 #
@@ -3444,6 +3490,19 @@ _DRIVER_GATE_CAP = 50
 #                               round — ann_ivf in even rounds, ann_lsh
 #                               in odd — alongside the never-demoted
 #                               embedding_near_dups_lsh)
+# Round 6 (final) also registered streaming_cms_term_counts (never
+# gated, inside the cap), so 25 entries sit out per round; two more
+# single-member additions to existing families, both r4+r5-green:
+#   range_join_value_buckets (even) joins the non-equi-join family as
+#                               asof_join_latest_order's partner
+#                               (amends the "range-join partner never
+#                               demoted" note: the pair now alternates
+#                               like every other family)
+#   multimodal_decode (odd)  joins the synth_media -> mapInPandas
+#                               family as a 3rd member with
+#                               frame_sample_stats / thumbnail_stats
+#                               (partner thumbnail_stats is in-gate
+#                               every odd round)
 _GATE_ROTATION = [
     # even rounds (r4, r6, ...)
     [
@@ -3471,6 +3530,7 @@ _GATE_ROTATION = [
         "filter_sentinel_semantics",
         "set_ops_docs",
         "ann_lsh",
+        "range_join_value_buckets",
     ],
     # odd rounds (r5, r7, ...)
     [
@@ -3498,6 +3558,7 @@ _GATE_ROTATION = [
         "point_lookup",
         "dedup_exact",
         "ann_ivf",
+        "multimodal_decode",
     ],
 ]
 _GATE_ROUND = 6  # bump each round — picks the rotation slot

@@ -43,6 +43,7 @@ NEVER_YET_GATED = [
     "paragraph_dedup_docs",
     "hll_distinct_events",
     "cms_term_counts",
+    "streaming_cms_term_counts",
 ]
 
 
@@ -134,6 +135,8 @@ def test_demoted_entries_have_a_gated_partner():
         "dedup_exact": "set_ops_docs",
         "ann_lsh": "ann_ivf",
         "ann_ivf": "ann_lsh",
+        "range_join_value_buckets": "asof_join_latest_order",
+        "multimodal_decode": "thumbnail_stats",
     }
     order = list(QUERIES)
     for name in _GATE_OVERFLOW:

@@ -189,3 +189,159 @@ def test_hll_plan_hashes_once_per_row(spark):
         .toString()
     )
     assert plan.count("md5(") <= 2  # bucket leg + at most one reuse
+
+
+# ---------------------------------------------------------------------------
+# Streaming sketch maintenance
+# ---------------------------------------------------------------------------
+
+
+def _tmp_root(tmp_path, sub):
+    p = tmp_path / sub
+    p.mkdir(parents=True, exist_ok=True)
+    return str(p)
+
+
+def test_streaming_cms_split_invariance(spark, tmp_path):
+    """Folding ANY micro-batch split through the handler equals the
+    batch sketch of the whole input (cells sum)."""
+    from spider_engine_spark.sources.tableio import TableIO
+    from spider_engine_spark.streaming.sketches import (
+        cms_sketch_init,
+        make_cms_batch_handler,
+    )
+
+    words = [(i, f"w{i % 11}") for i in range(400)]
+    df = spark.createDataFrame(words, "row_id long, term string")
+    io = TableIO(_tmp_root(tmp_path, "cms_state"))
+    cms_sketch_init(spark, io, "c", term="term", width=64, depth=3)
+    handler = make_cms_batch_handler(io, "c")
+    for i in range(3):
+        handler(df.filter(F.pmod(F.col("row_id"), F.lit(3)) == i), i)
+    streamed = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in io.read(spark, "c").collect()
+    }
+    whole = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in cms_counters(df, "term", 64, 3).collect()
+    }
+    assert streamed == whole
+
+
+def test_streaming_cms_replay_is_noop(spark, tmp_path):
+    """A replayed committed batch must NOT double-count (the sum law
+    is replay-hostile — this is the load-bearing guard)."""
+    from spider_engine_spark.sources.tableio import TableIO
+    from spider_engine_spark.streaming.sketches import (
+        cms_sketch_init,
+        make_cms_batch_handler,
+    )
+
+    df = spark.createDataFrame([("x",), ("x",), ("y",)], "term string")
+    io = TableIO(_tmp_root(tmp_path, "cms_replay"))
+    cms_sketch_init(spark, io, "c", term="term", width=16, depth=2)
+    handler = make_cms_batch_handler(io, "c")
+    handler(df, 0)
+    before = sorted(map(tuple, io.read(spark, "c").collect()))
+    handler(df, 0)  # crash-replay of the committed batch
+    after = sorted(map(tuple, io.read(spark, "c").collect()))
+    assert after == before
+    # empty batches are no-ops too
+    handler(df.filter("term = 'zzz'"), 1)
+    assert sorted(map(tuple, io.read(spark, "c").collect())) == before
+
+
+def test_streaming_hll_split_invariance_and_replay(spark, tmp_path):
+    from spider_engine_spark.sources.tableio import TableIO
+    from spider_engine_spark.streaming.sketches import (
+        hll_sketch_init,
+        make_hll_batch_handler,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(500)], "row_id long, k string"
+    )
+    io = TableIO(_tmp_root(tmp_path, "hll_state"))
+    hll_sketch_init(spark, io, "h", key="k", bucket_bits=8)
+    handler = make_hll_batch_handler(io, "h")
+    for i in range(4):
+        handler(df.filter(F.pmod(F.col("row_id"), F.lit(4)) == i), i)
+    handler(df.filter("row_id < 100"), 2)  # stale replay: no-op
+    streamed = {
+        r["bucket"]: r["max_rho"] for r in io.read(spark, "h").collect()
+    }
+    whole = {
+        r["bucket"]: r["max_rho"]
+        for r in hll_registers(df, "k", 8).collect()
+    }
+    assert streamed == whole
+    # the persisted registers feed hll_estimate directly
+    [row] = hll_estimate(io.read(spark, "h"), 8).collect()
+    assert abs(row["raw_est"] - 500) / 500 < 0.35  # n ~ 2m: raw regime edge
+
+
+def test_streaming_sketch_validation(spark, tmp_path):
+    from spider_engine_spark.sources.tableio import TableIO
+    from spider_engine_spark.streaming.sketches import (
+        cms_sketch_append,
+        cms_sketch_init,
+        stream_cms_ingest,
+    )
+
+    io = TableIO(_tmp_root(tmp_path, "cms_val"))
+    with pytest.raises(ValueError, match="does not exist"):
+        stream_cms_ingest(
+            spark, "/nope", io.root, "missing", "/cp", "term string"
+        )
+    cms_sketch_init(spark, io, "c", term="term", width=8, depth=2)
+    bad = spark.createDataFrame([("x",)], "other string")
+    with pytest.raises(ValueError, match="term column"):
+        cms_sketch_append(io, "c", bad, batch_id=0)
+    with pytest.raises(ValueError, match="term column"):
+        stream_cms_ingest(
+            spark, "/nope", io.root, "c", "/cp", "other string"
+        )
+
+
+def test_streaming_cms_true_readstream(spark, tmp_path):
+    """The real Structured Streaming integration: two parquet files,
+    maxFilesPerTrigger=1, availableNow drain; a SECOND run over the
+    same checkpoint replays nothing (counters unchanged)."""
+    from spider_engine_spark.sources.tableio import TableIO
+    from spider_engine_spark.streaming.sketches import (
+        cms_sketch_init,
+        stream_cms_ingest,
+    )
+
+    in_dir = _tmp_root(tmp_path, "cms_in")
+    a = spark.createDataFrame([("x",), ("y",), ("x",)], "term string")
+    b = spark.createDataFrame([("x",), ("z",)], "term string")
+    a.coalesce(1).write.mode("append").parquet(in_dir)
+    b.coalesce(1).write.mode("append").parquet(in_dir)
+    io = TableIO(_tmp_root(tmp_path, "cms_rs_state"))
+    cms_sketch_init(spark, io, "c", term="term", width=32, depth=2)
+    cp = _tmp_root(tmp_path, "cms_cp")
+    q = stream_cms_ingest(
+        spark, in_dir, io.root, "c", cp, "term string"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in io.read(spark, "c").collect()
+    }
+    whole = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in cms_counters(a.union(b), "term", 32, 2).collect()
+    }
+    assert got == whole
+    # restart over the same checkpoint: nothing to replay, no change
+    q2 = stream_cms_ingest(
+        spark, in_dir, io.root, "c", cp, "term string"
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in io.read(spark, "c").collect()
+    }
+    assert got2 == whole
