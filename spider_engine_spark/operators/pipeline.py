@@ -28,8 +28,8 @@ def clean_corpus(
     content: str,
     min_words: int = 3,
     min_lines: int = 3,
-    sep: str = "\n",
     quality: bool = True,
+    pos_bits: int = 20,
 ) -> DataFrame:
     """Run the full cleaning funnel. Returns ONE ROW PER INPUT
     DOCUMENT (dropped documents stay visible with their drop stage)
@@ -52,17 +52,35 @@ def clean_corpus(
     (`GROUP BY c4_kept, quality_kept` is the funnel report) and keeps
     this a map-join-only composition.
 
+    The paragraph granularity is deliberately C4's LINE granularity
+    ('\\n' — c4_clean rejoins kept lines with it, so no other
+    separator can survive into the dedup stage; a configurable sep
+    here would silently degrade dedup to whole-document granularity).
+    `key` must be integral and non-negative (paragraph_dedup's packed
+    first-occurrence law; pre-map string keys — URLs — to BIGINT);
+    `pos_bits` forwards to it for very long documents.
+
     Plan-shape warning (inherited from quality_filter): a Filter placed
     DIRECTLY above this frame on final_kept is rewritten through the
     quality ladder by PushDownPredicates, re-expanding the tokenize
     subtree per rule. Consume via aggregates (funnel_stats), write the
     frame before filtering, or filter on a materialized copy."""
+    from pyspark.sql.types import IntegralType
+
     from spider_engine_spark.functions.text_analysis import (
         c4_clean,
         quality_filter,
     )
     from spider_engine_spark.operators.dedup import paragraph_dedup
 
+    key_type = df.schema[key].dataType
+    if not isinstance(key_type, IntegralType):
+        raise TypeError(
+            f"clean_corpus needs a numeric key (the paragraph-dedup "
+            f"stage orders occurrences by a packed (key,pos) BIGINT); "
+            f"{key!r} is {key_type.simpleString()} — pre-map string "
+            f"keys to BIGINT (e.g. xxhash64 of the URL)"
+        )
     c4 = c4_clean(
         df, key, content, min_words=min_words, min_lines=min_lines
     ).select(
@@ -71,7 +89,9 @@ def clean_corpus(
         F.col("cleaned"),
     )
     survivors = c4.filter(F.col("c4_kept")).select(key, "cleaned")
-    deduped = paragraph_dedup(survivors, key, "cleaned", sep=sep)
+    deduped = paragraph_dedup(
+        survivors, key, "cleaned", sep="\n", pos_bits=pos_bits
+    )
     out = c4.join(deduped, key, "left").select(
         F.col(key),
         F.col("c4_kept"),
@@ -112,14 +132,26 @@ def funnel_stats(cleaned: DataFrame) -> DataFrame:
 
       n_docs, n_c4_kept, n_final_kept, paragraphs_in, paragraphs_out
     """
+    zero = F.lit(0).cast("long")
+    # sum() over zero rows is NULL — an empty corpus must report 0s,
+    # not Nones that poison downstream funnel arithmetic
     return cleaned.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("c4_kept").cast("long")).alias("n_c4_kept"),
-        F.sum(F.col("final_kept").cast("long")).alias("n_final_kept"),
-        F.sum("n_paragraphs_clean").alias("paragraphs_in"),
-        F.sum(
-            F.when(
-                F.col("final_kept"), F.col("n_paragraphs_final")
-            ).otherwise(F.lit(0))
+        F.coalesce(
+            F.sum(F.col("c4_kept").cast("long")), zero
+        ).alias("n_c4_kept"),
+        F.coalesce(
+            F.sum(F.col("final_kept").cast("long")), zero
+        ).alias("n_final_kept"),
+        F.coalesce(F.sum("n_paragraphs_clean"), zero).alias(
+            "paragraphs_in"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("final_kept"), F.col("n_paragraphs_final")
+                ).otherwise(F.lit(0))
+            ),
+            zero,
         ).alias("paragraphs_out"),
     )

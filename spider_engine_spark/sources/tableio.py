@@ -368,6 +368,38 @@ class TableIO:
         old = self._entry(name, version)
         return self._append_version_of(name, old, dict(old.get("meta", {})))
 
+    def expire_versions(self, name: str, keep_last: int = 8) -> int:
+        """Snapshot-history expiry (Iceberg's expire_snapshots): drop
+        manifest entries older than the last `keep_last` versions and
+        delete data dirs referenced ONLY by the expired entries.
+        Returns the number of dirs deleted.
+
+        Without this, a long-running overwrite-per-batch stream (the
+        sketch tables) accumulates one snapshot dir and one manifest
+        entry per micro-batch forever — O(n_batches) garbage and an
+        O(n) manifest rewritten per commit.  The latest `keep_last`
+        versions stay fully revertable; revert()/time-travel beyond
+        them is deliberately given up by the caller.
+
+        Crash-ordering: the truncated manifest commits BEFORE any dir
+        is deleted — a crash in between leaves unreferenced dirs (the
+        documented harmless-orphan model); the reverse order could
+        leave live manifest entries pointing at deleted data."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        manifest = self._load_manifest(name)
+        vs = manifest["versions"]
+        if len(vs) <= keep_last:
+            return 0
+        kept, expired = vs[-keep_last:], vs[:-keep_last]
+        live = {d for e in kept for d in e["dirs"]}
+        dead = {d for e in expired for d in e["dirs"]} - live
+        manifest["versions"] = kept
+        self._commit_manifest(name, manifest)
+        for d in dead:
+            shutil.rmtree(d, ignore_errors=True)
+        return len(dead)
+
     def latest_version_at_step(
         self, name: str, max_step: int, max_epoch: int | None = None
     ) -> int | None:

@@ -122,3 +122,15 @@ def test_funnel_stats_plan_does_not_reexpand_tokenize(corpus):
         f"tokenize subtree appears {n_split}x in the funnel plan — "
         "a filter re-expanded the quality ladder"
     )
+
+
+def test_clean_corpus_rejects_string_keys(spark):
+    df = spark.createDataFrame([("u", "a line here now.")], "k string, text string")
+    with pytest.raises(TypeError, match="clean_corpus needs a numeric key"):
+        clean_corpus(df, "k", "text")
+
+
+def test_funnel_stats_empty_corpus_reports_zeros(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    [s] = funnel_stats(clean_corpus(df, "doc_id", "text")).collect()
+    assert tuple(s) == (0, 0, 0, 0, 0)

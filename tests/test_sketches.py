@@ -345,3 +345,47 @@ def test_streaming_cms_true_readstream(spark, tmp_path):
         for r in io.read(spark, "c").collect()
     }
     assert got2 == whole
+
+
+def test_hll_init_validates_bucket_bits(spark, tmp_path):
+    from spider_engine_spark.sources.tableio import TableIO
+    from spider_engine_spark.streaming.sketches import hll_sketch_init
+
+    io = TableIO(_tmp_root(tmp_path, "hll_init_val"))
+    with pytest.raises(ValueError, match="bucket_bits"):
+        hll_sketch_init(spark, io, "h", bucket_bits=2)
+    assert not io.exists("h")  # nothing committed before the check
+
+
+def test_streaming_sketch_history_is_bounded(spark, tmp_path):
+    """Per-batch overwrites must not accumulate snapshot dirs/manifest
+    entries forever — expire_versions bounds both at every append."""
+    import os
+
+    from spider_engine_spark.sources.tableio import TableIO
+    from spider_engine_spark.streaming.sketches import (
+        _KEEP_VERSIONS,
+        cms_sketch_init,
+        make_cms_batch_handler,
+    )
+
+    io = TableIO(_tmp_root(tmp_path, "cms_hist"))
+    cms_sketch_init(spark, io, "c", term="term", width=8, depth=2)
+    handler = make_cms_batch_handler(io, "c")
+    df = spark.createDataFrame([("x",), ("y",)], "term string")
+    for i in range(_KEEP_VERSIONS + 6):
+        handler(df, i)
+    assert len(io.versions("c")) <= _KEEP_VERSIONS
+    tdir = os.path.join(io.root, "c")
+    dirs = [d for d in os.listdir(tdir) if d.startswith("v")]
+    assert len(dirs) <= _KEEP_VERSIONS
+    # the surviving counters still carry the FULL stream's sums
+    got = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in io.read(spark, "c").collect()
+    }
+    whole = {
+        (r["seed"], r["bucket"]): r["cnt"] * (_KEEP_VERSIONS + 6)
+        for r in cms_counters(df, "term", 8, 2).collect()
+    }
+    assert got == whole

@@ -107,3 +107,44 @@ def test_empty_dirs_recorded_in_manifest_not_rewalked(spark, tmp_path, monkeypat
     io.write("t", full, mode="append", partition_by=["shard"])
     assert "empty_dirs" in io._entry("t")
     assert io.read(spark, "t").count() == 8
+
+
+def test_expire_versions_truncates_history_and_deletes_dirs(spark, tmp_path):
+    import os
+
+    from spider_engine_spark.sources.tableio import TableIO
+
+    io = TableIO(str(tmp_path / "exp"))
+    for i in range(6):
+        io.write("t", spark.range(i, i + 3).selectExpr("id AS v"))
+    assert len(io.versions("t")) == 6
+    deleted = io.expire_versions("t", keep_last=2)
+    assert deleted == 4
+    assert io.versions("t") == [5, 6]
+    # latest data intact; kept versions still readable/revertable
+    assert sorted(r["v"] for r in io.read(spark, "t").collect()) == [5, 6, 7]
+    io.revert("t", 5)
+    assert sorted(r["v"] for r in io.read(spark, "t").collect()) == [4, 5, 6]
+    tdir = os.path.join(io.root, "t")
+    assert len([d for d in os.listdir(tdir) if d.startswith("v")]) == 2
+    # no-op below threshold; validation
+    assert io.expire_versions("t", keep_last=10) == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="keep_last"):
+        io.expire_versions("t", keep_last=0)
+
+
+def test_expire_versions_keeps_dirs_shared_with_live_versions(spark, tmp_path):
+    """Append-mode versions REUSE earlier dirs: a dir referenced by any
+    kept version must survive expiry of the old version that created
+    it."""
+    from spider_engine_spark.sources.tableio import TableIO
+
+    io = TableIO(str(tmp_path / "shared"))
+    io.write("t", spark.range(3).selectExpr("id AS v"))
+    io.write("t", spark.range(3, 5).selectExpr("id AS v"), mode="append")
+    io.write("t", spark.range(5, 6).selectExpr("id AS v"), mode="append")
+    io.expire_versions("t", keep_last=1)
+    # the latest version references ALL THREE dirs — nothing may die
+    assert sorted(r["v"] for r in io.read(spark, "t").collect()) == list(range(6))
