@@ -239,3 +239,77 @@ def hll_estimate(
         "s",
         F.expr(hll_raw_estimate_sql(bucket_bits)).alias("raw_est"),
     )
+
+
+def hll_grouped_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    key: str,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Per-GROUP HyperLogLog registers — one sketch per group key
+    (per-host distinct-URL counts, per-source distinct docs, ...):
+    (group_cols..., bucket, max_rho), only the buckets a group
+    observed (its absent buckets are implicit zeros, unlike the global
+    hll_registers — materializing m rows PER GROUP would defeat the
+    sketch at 10^8 hosts; hll_grouped_estimate accounts for them
+    arithmetically).
+
+    Same register law as hll_registers (shared ladder columns), so a
+    group's rows here equal the global sketch of that group's rows
+    alone — merge across shards by (group, bucket) max.  Scale shape:
+    one map-side-combinable groupBy on (group, bucket); each upstream
+    partition contributes at most m rows PER GROUP IT SEES."""
+    if not 4 <= bucket_bits <= 16:
+        raise ValueError(
+            f"bucket_bits must be in [4, 16], got {bucket_bits}"
+        )
+    m = 1 << bucket_bits
+    w = _hll_w(bucket_bits)
+    powers = F.array(*[F.lit(1 << k).cast("long") for k in range(w)])
+    return (
+        df.select(*group_cols, md5_h60_col(F.col(key)).alias("_h"))
+        .withColumn("_rem", F.shiftright("_h", bucket_bits))
+        .select(
+            *group_cols,
+            (F.col("_h") % F.lit(m)).alias("bucket"),
+            (
+                F.lit(w + 1)
+                - F.size(
+                    F.filter(powers, lambda p: F.col("_rem") >= p)
+                )
+            ).alias("_rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").alias("max_rho"))
+    )
+
+
+def hll_grouped_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """One row per group: (group_cols..., s, raw_est) from a
+    hll_grouped_registers frame.  The integer denominator counts each
+    group's ABSENT buckets as zero registers arithmetically —
+    S = sum(2^(w+1-M_j)) + (m - observed) * 2^(w+1) — so sparse
+    storage changes nothing about the law (bit-equal to running
+    hll_registers + hll_estimate on the group alone)."""
+    w = _hll_w(bucket_bits)
+    m = 1 << bucket_bits
+    pows = F.array(
+        *[F.lit(1 << k).cast("long") for k in range(w + 2)]
+    )
+    s = registers.groupBy(*group_cols).agg(
+        (
+            F.sum(F.element_at(pows, F.lit(w + 2) - F.col("max_rho")))
+            + (F.lit(m) - F.count(F.lit(1)))
+            * F.lit(1 << (w + 1)).cast("long")
+        ).alias("s")
+    )
+    return s.select(
+        *group_cols,
+        "s",
+        F.expr(hll_raw_estimate_sql(bucket_bits)).alias("raw_est"),
+    )

@@ -389,3 +389,53 @@ def test_streaming_sketch_history_is_bounded(spark, tmp_path):
         for r in cms_counters(df, "term", 8, 2).collect()
     }
     assert got == whole
+
+
+def test_hll_grouped_equals_per_group_global(spark):
+    """A group's sparse rows + arithmetic zero-bucket accounting must
+    be BIT-EQUAL to the global sketch of that group's rows alone."""
+    from spider_engine_spark.operators.sketches import (
+        hll_grouped_estimate,
+        hll_grouped_registers,
+    )
+
+    rows = [(f"h{i % 3}", f"url{i}") for i in range(900)]
+    df = spark.createDataFrame(rows, "host string, url string")
+    regs = hll_grouped_registers(df, ["host"], "url", 8)
+    est = {
+        r["host"]: (r["s"], r["raw_est"])
+        for r in hll_grouped_estimate(regs, ["host"], 8).collect()
+    }
+    for h in ("h0", "h1", "h2"):
+        sub = df.filter(F.col("host") == h)
+        [g] = hll_estimate(hll_registers(sub, "url", 8), 8).collect()
+        assert est[h] == (g["s"], g["raw_est"])
+    # sparse: no group materializes all 256 buckets for 300 keys
+    per_group = regs.groupBy("host").count().collect()
+    assert all(r["count"] <= 256 for r in per_group)
+
+
+def test_hll_grouped_merge_across_shards(spark):
+    from spider_engine_spark.operators.sketches import (
+        hll_grouped_registers,
+    )
+
+    a = spark.createDataFrame(
+        [("h", f"u{i}") for i in range(200)], "host string, url string"
+    )
+    b = spark.createDataFrame(
+        [("h", f"u{i}") for i in range(100, 300)], "host string, url string"
+    )
+    whole = {
+        (r["host"], r["bucket"]): r["max_rho"]
+        for r in hll_grouped_registers(a.union(b), ["host"], "url", 8).collect()
+    }
+    merged = {
+        (r["host"], r["bucket"]): r["max_rho"]
+        for r in hll_grouped_registers(a, ["host"], "url", 8)
+        .union(hll_grouped_registers(b, ["host"], "url", 8))
+        .groupBy("host", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .collect()
+    }
+    assert merged == whole
