@@ -52,12 +52,14 @@ def _check_dims(width: int, depth: int) -> None:
 
 
 def _seed_bucket_rows(
-    df: DataFrame, term: str, width: int, depth: int, keep_term: bool
+    df: DataFrame, term: str, width: int, depth: int, keep: list[str]
 ) -> DataFrame:
     """One (seed, bucket) row per input row per hash function — THE
-    bucket law, shared by the counter build and the probe so an edit
-    cannot silently de-sync them (a probe hashing differently from the
-    build voids the overestimate guarantee with no error)."""
+    bucket law, shared by every counter build and probe (global and
+    grouped) so an edit cannot silently de-sync them (a probe hashing
+    differently from the build voids the overestimate guarantee with
+    no error). `keep` columns ride along (the probe term, group
+    keys)."""
     t = F.col(term)
     sb = F.explode(
         F.array(
@@ -70,7 +72,6 @@ def _seed_bucket_rows(
             ]
         )
     ).alias("sb")
-    keep = [term] if keep_term else []
     return df.select(*keep, sb).select(
         *keep,
         F.col("sb.seed").alias("seed"),
@@ -91,7 +92,7 @@ def cms_counters(
     Merge sketches by summing cnt cell-wise."""
     _check_dims(width, depth)
     return (
-        _seed_bucket_rows(df, term, width, depth, keep_term=False)
+        _seed_bucket_rows(df, term, width, depth, keep=[])
         .groupBy("seed", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -114,7 +115,7 @@ def cms_lookup(
     is |terms|*depth rows joining a <= depth*width-row counter table —
     broadcast-sized by construction."""
     _check_dims(width, depth)
-    probes = _seed_bucket_rows(terms, term, width, depth, keep_term=True)
+    probes = _seed_bucket_rows(terms, term, width, depth, keep=[term])
     return (
         probes.join(F.broadcast(counters), ["seed", "bucket"], "left")
         .groupBy(term)
@@ -312,4 +313,58 @@ def hll_grouped_estimate(
         *group_cols,
         "s",
         F.expr(hll_raw_estimate_sql(bucket_bits)).alias("raw_est"),
+    )
+
+
+def cms_grouped_counters(
+    df: DataFrame,
+    group_cols: list[str],
+    term: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Per-GROUP Count-Min counters — one sketch per group key
+    (per-host term frequencies, per-source URL-pattern counts):
+    (group_cols..., seed, bucket, cnt), only the cells a group
+    incremented (its absent cells are implicit zeros — materializing
+    depth*width rows per group would defeat the sketch at 10^8
+    groups).  Same bucket law as cms_counters (_seed_bucket_rows), so
+    a group's cells equal the global sketch of that group's rows alone;
+    merge across shards by (group, seed, bucket) sum.  One
+    map-side-combinable groupBy: each upstream partition contributes at
+    most depth*width rows per group it sees."""
+    _check_dims(width, depth)
+    return (
+        _seed_bucket_rows(df, term, width, depth, keep=list(group_cols))
+        .groupBy(*group_cols, "seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_grouped_lookup(
+    counters: DataFrame,
+    terms: DataFrame,
+    group_cols: list[str],
+    term: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-estimate per (group, term): min over seeds of the group's
+    cell (absent cell = 0 — sparse storage, same law as cms_lookup).
+    `terms` carries (group_cols..., term) probe rows; width/depth must
+    equal the build's (the sketch identity).  The join is an equi-join
+    on (group, seed, bucket) — counters are NOT broadcast here: per-
+    group sketch tables scale with the group count."""
+    _check_dims(width, depth)
+    probes = _seed_bucket_rows(
+        terms, term, width, depth, keep=[*group_cols, term]
+    )
+    return (
+        probes.join(counters, [*group_cols, "seed", "bucket"], "left")
+        .groupBy(*group_cols, term)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+                "cms_est"
+            )
+        )
     )

@@ -439,3 +439,82 @@ def test_hll_grouped_merge_across_shards(spark):
         .collect()
     }
     assert merged == whole
+
+
+def test_cms_grouped_equals_per_group_global(spark):
+    """A group's sparse cells + zero-cell probes must be BIT-EQUAL to
+    the global sketch of that group's rows alone."""
+    from spider_engine_spark.operators.sketches import (
+        cms_grouped_counters,
+        cms_grouped_lookup,
+    )
+
+    rows = [(f"h{i % 3}", f"t{i % 17}") for i in range(600)]
+    df = spark.createDataFrame(rows, "host string, term string")
+    counters = cms_grouped_counters(df, ["host"], "term", 64, 3)
+    probes = df.distinct()
+    est = {
+        (r["host"], r["term"]): r["cms_est"]
+        for r in cms_grouped_lookup(
+            counters, probes, ["host"], "term", 64, 3
+        ).collect()
+    }
+    for h in ("h0", "h1", "h2"):
+        sub = df.filter(F.col("host") == h)
+        g = {
+            r["term"]: r["cms_est"]
+            for r in cms_lookup(
+                cms_counters(sub, "term", 64, 3),
+                sub.distinct().select("term"),
+                "term",
+                64,
+                3,
+            ).collect()
+        }
+        for t, v in g.items():
+            assert est[(h, t)] == v
+    # true counts: every estimate >= truth
+    true = {}
+    for h, t in rows:
+        true[(h, t)] = true.get((h, t), 0) + 1
+    assert all(est[k] >= v for k, v in true.items())
+    # absent (group, term) probes estimate from zero cells only (use a
+    # wide sketch so the ghost's cells are almost surely untouched)
+    ghost = spark.createDataFrame(
+        [("h0", "never-seen-zzz")], "host string, term string"
+    )
+    [r] = cms_grouped_lookup(
+        cms_grouped_counters(df, ["host"], "term", 4096, 3),
+        ghost,
+        ["host"],
+        "term",
+        4096,
+        3,
+    ).collect()
+    assert r["cms_est"] == 0
+
+
+def test_cms_grouped_merge_across_shards(spark):
+    from spider_engine_spark.operators.sketches import (
+        cms_grouped_counters,
+    )
+
+    a = spark.createDataFrame(
+        [("h", f"t{i % 5}") for i in range(50)], "host string, term string"
+    )
+    b = spark.createDataFrame(
+        [("h", f"t{i % 7}") for i in range(70)], "host string, term string"
+    )
+    whole = {
+        (r["host"], r["seed"], r["bucket"]): r["cnt"]
+        for r in cms_grouped_counters(a.union(b), ["host"], "term", 32, 2).collect()
+    }
+    merged = {
+        (r["host"], r["seed"], r["bucket"]): r["cnt"]
+        for r in cms_grouped_counters(a, ["host"], "term", 32, 2)
+        .union(cms_grouped_counters(b, ["host"], "term", 32, 2))
+        .groupBy("host", "seed", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == whole
