@@ -402,17 +402,37 @@ def embedding_near_dups(
     bucket = sign_bits[0]
     for b in sign_bits[1:]:
         bucket = bucket * 2 + b
-    tagged = df.select(F.col(key), F.col(vec), bucket.alias("bucket"))
+    # row norms are computed ONCE per vector before the self-join (same
+    # fold as cosine_col's, so dot / (na * nb) below is bit-identical);
+    # the per-pair verify then folds a single dot product instead of
+    # dot + two norms
+    nv = F.sqrt(
+        F.aggregate(
+            F.col(vec),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    tagged = df.select(
+        F.col(key), F.col(vec), bucket.alias("bucket"), nv.alias("_nv")
+    )
     a, b = tagged.alias("a"), tagged.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{vec}"),
+            F.col(f"b.{vec}"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{key}") < F.col(f"b.{key}")),
         )
-        .withColumn(
-            "cosine", cosine_col(F.col(f"a.{vec}"), F.col(f"b.{vec}"))
-        )
+        .withColumn("cosine", dot / (F.col("a._nv") * F.col("b._nv")))
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col(f"a.{key}").alias("a"),
@@ -698,10 +718,11 @@ def exact_substring_dedup(
     only two aggregates, one join back of DUPLICATED occurrences only
     (proportional to duplicated content, not the corpus), one
     groupBy(key) collecting removal starts (bounded by the doc's own
-    window count), and a map-side rebuild.  The rebuild's token mask is
-    O(L * removals) per doc worst case — fine while removal lists are
-    doc-bounded; a pathological fully-boilerplate doc costs O(L^2/n)
-    there, the documented trade for a pure-Column rebuild.
+    window count), and a map-side rebuild.  The rebuild merges the
+    sorted starts into disjoint covered intervals and emits the
+    complement — O(L + |intervals|) per doc, so even a fully-
+    boilerplate doc (every window duplicated) rebuilds in one linear
+    pass instead of the former O(L²/n) per-token × per-start mask.
     """
     if n < 2:
         raise ValueError(f"span length n must be >= 2, got {n}")
@@ -802,12 +823,47 @@ def exact_substring_dedup(
     )
     r = d.join(removed, key, "left")
     starts = F.col("_xs_starts")
-    kept_idx = F.filter(
-        F.sequence(F.lit(0), F.size(toks) - 1),
-        lambda t: F.size(
-            F.filter(starts, lambda s: (s <= t) & (t < s + F.lit(n)))
+    # Interval-merge rebuild, O(L + |intervals|) per doc: the former
+    # per-token × per-start mask (filter every index t against every
+    # removal start) was O(L·|starts|) inside ONE row — O(L²/n) on a
+    # fully-boilerplate doc, a single-task straggler on exactly the
+    # inputs this operator targets. Instead merge the (sorted, distinct)
+    # removal starts into disjoint covered intervals [lo, hi) and emit
+    # the complement gaps. All windows have length n and starts ascend,
+    # so the running interval's end after start i-1 is starts[i-1] + n:
+    # start i OPENS a new interval iff it begins past that end, and
+    # CLOSES its interval iff the next start opens a new one. F.get is
+    # 0-based and yields NULL out of bounds (no ANSI error at the array
+    # edges); TRUE OR NULL = TRUE keeps the edge elements.
+    _open = lambda s, i: (i == F.lit(0)) | (
+        s > F.get(starts, i - 1) + F.lit(n)
+    )
+    los = F.filter(starts, _open)
+    his = F.transform(
+        F.filter(
+            starts,
+            lambda s, i: (i == F.size(starts) - 1)
+            | (F.get(starts, i + 1) > s + F.lit(n)),
+        ),
+        lambda s: s + F.lit(n),
+    )
+    # kept indices = the gap before each interval plus the tail gap:
+    # gap j spans [prev_hi_j, lo_j) with prev_hi_0 = 0 and a final gap
+    # [hi_last, L). sequence() is guarded (empty when the gap is empty)
+    # because an inverted sequence(a, b) with b < a counts DOWN.
+    gap_lo = F.concat(F.array(F.lit(0)), his)
+    gap_hi = F.concat(
+        F.transform(los, lambda lo: lo - 1),
+        F.array(F.size(toks) - 1),
+    )
+    kept_idx = F.flatten(
+        F.zip_with(
+            gap_lo,
+            gap_hi,
+            lambda a, b: F.when(a <= b, F.sequence(a, b)).otherwise(
+                F.array().cast("array<int>")
+            ),
         )
-        == 0,
     )
     rebuilt = F.concat_ws(
         " ", F.transform(kept_idx, lambda t: F.element_at(toks, t + 1))
@@ -857,8 +913,11 @@ def semantic_dedup_pairs(
     # so it computes once. Plain evictable cache, lineage retained
     # (executor-loss-safe); riding on the returned frame so
     # semantic_dedup can release it once the components are snapped.
+    # keep_norm: the row norms ride in the cache so the pair filter
+    # below folds ONE dot product per pair instead of dot + two norms
+    # (bit-identical — dot / (na * nb) with the same fold shapes).
     cached = ivf_assign(
-        df.select(key, vec), key, vec, centroids
+        df.select(key, vec), key, vec, centroids, keep_norm="_nv"
     ).persist()
     assigned = cached
     if max_cluster is not None:
@@ -871,16 +930,31 @@ def semantic_dedup_pairs(
             .drop("_sz")
         )
     a = assigned.select(
-        "ivf_list", F.col(key).alias("a"), F.col(vec).alias("_va")
+        "ivf_list",
+        F.col(key).alias("a"),
+        F.col(vec).alias("_va"),
+        F.col("_nv").alias("_na"),
     )
     b = assigned.select(
-        "ivf_list", F.col(key).alias("b"), F.col(vec).alias("_vb")
+        "ivf_list",
+        F.col(key).alias("b"),
+        F.col(vec).alias("_vb"),
+        F.col("_nv").alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_va"),
+            F.col("_vb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     pairs = (
         a.join(b, "ivf_list")
         .filter(F.col("a") < F.col("b"))
         .filter(
-            cosine_col(F.col("_va"), F.col("_vb"))
+            (dot / (F.col("_na") * F.col("_nb")))
             >= F.lit(float(threshold))
         )
         .select("a", "b")

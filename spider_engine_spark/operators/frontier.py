@@ -50,7 +50,6 @@ from pyspark.sql.types import (
 
 from spider_engine_spark import webmodel as wm
 from spider_engine_spark.functions.hashes import md5_h60_col
-from spider_engine_spark.functions.tokenizers import tokenize_cols_udf
 from spider_engine_spark.operators import seenset
 from spider_engine_spark.operators.postings import aggregate_postings, merge_postings
 from spider_engine_spark.sources.tableio import TableIO
@@ -312,8 +311,16 @@ def select_fetch_batch(frontier: DataFrame, salts: int) -> DataFrame:
 
 
 def index_docs(docs: DataFrame) -> DataFrame:
-    """The spider-engine graft: tokenize text spans (T4 pandas UDF) ->
-    inverted postings (doc key = canonical url)."""
+    """The spider-engine graft: tokenize text spans (T4 law) -> inverted
+    postings (doc key = canonical url).
+
+    Tokenization goes through the HYBRID words dispatcher
+    (postings.field_tokens): printable-ASCII span text — the entire
+    synthetic web vocabulary — runs as a pure-JVM codegen ladder
+    (property-tested bit-equal to the Python splitter), so the per-step
+    index phase carries no ArrowEvalPython node at all; any non-ASCII
+    or oversize doc still falls back to the pandas-UDF path with
+    identical semantics."""
     texts = (
         docs.select("doc_id", F.explode("spans").alias("s"))
         .filter(F.col("s.kind") == "text")
@@ -328,27 +335,22 @@ def index_docs(docs: DataFrame) -> DataFrame:
     per_doc = texts.groupBy("doc_id").agg(
         F.concat_ws(
             " ", F.transform(F.sort_array(F.collect_list(F.struct("offset", "text"))), lambda s: s.text)
-        ).alias("text")
+        ).alias("spans_text")
     )
     per_doc = per_doc.repartition(
         docs.sparkSession.sparkContext.defaultParallelism
-    )  # tokenizer UDF parallelism (see fetch_docs note)
+    )  # tokenizer parallelism (see fetch_docs note: AQE coalesces by
+    #    bytes, which would starve the compute-heavy tokenize stage)
     n_buckets = docs.sparkSession.sparkContext.defaultParallelism * 2
-    tokked = per_doc.select(
-        F.xxhash64("doc_id").alias("doc_key"),
-        tokenize_cols_udf("words")(F.col("text")).alias("tw"),
-    )
-    # explode_outer + output null-check: plain explode's inferred size>0
-    # filter would re-materialize the full arrays_zip per doc a second
-    # time (it sits above the Arrow node, so it can't prune anything)
-    toks = tokked.select(
+    from spider_engine_spark.operators.postings import field_tokens
+
+    toks = field_tokens(
+        per_doc.select(
+            F.xxhash64("doc_id").alias("doc_key"), "spans_text"
+        ),
         "doc_key",
-        F.explode_outer(F.arrays_zip("tw.terms", "tw.weights")).alias("tok"),
-    ).filter(F.col("tok").isNotNull()).select(
-        F.lit("spans_text").alias("field"),
-        F.col("tok.terms").alias("term"),
-        F.col("doc_key").alias("doc_id"),
-        F.col("tok.weights").alias("weight"),
+        "spans_text",
+        "words",
     )
     return aggregate_postings(toks, doc_buckets=n_buckets)
 

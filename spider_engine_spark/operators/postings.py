@@ -286,24 +286,39 @@ def build_postings_native(
     FloatType (float32) arithmetic — whole-stage-codegen throughout; this is
     the 100 TB path for latin text. Empty tokens (double delimiters) are
     dropped, matching the punctuation filter's removal of '' / ' ' tokens.
+
+    Single-pass shape: the per-doc token total is the SIZE of the
+    filtered token array, computed in-row BEFORE the explode and carried
+    through it — the former two-level agg (per-term counts JOIN per-doc
+    totals) scanned and split every document TWICE and paid a third
+    exchange for the join. Carrying `total` as a grouping column is free
+    (it is functionally dependent on doc_id), and a downstream term
+    filter (the search probe) now pushes through BOTH aggregates to sit
+    directly on the generator output — a probed term aggregates only its
+    own occurrences instead of re-counting the corpus.
     """
     # explode_outer, not explode: plain explode's inferred size>0 filter
     # (InferFiltersFromGenerate) re-splits the full text a second time
-    # per row; the term != '' filter on the generator OUTPUT already
-    # drops the NULL rows outer-explode emits for empty/null arrays.
-    # Parity at bench doc sizes (~300 chars), a real win on web-size docs
-    # where the split dominates the scan stage.
-    toks = df.select(
+    # per row; the isNotNull filter on the generator OUTPUT drops the
+    # NULL rows outer-explode emits for empty/null token arrays.
+    d = df.select(
         F.col(doc_id).cast("long").alias("doc_id"),
-        F.explode_outer(F.split(F.col(field), delimiter)).alias("term"),
-    ).filter(F.col("term") != "")
-    # TF per (doc, term) + total per doc via two-level agg (map-side combine
-    # on the first groupBy; no window needed).
-    per_term = toks.groupBy("doc_id", "term").agg(
+        F.filter(
+            F.split(F.col(field), delimiter), lambda t: t != ""
+        ).alias("_toks"),
+    )
+    toks = (
+        d.select(
+            "doc_id",
+            F.size("_toks").alias("total"),
+            F.explode_outer("_toks").alias("term"),
+        )
+        .filter(F.col("term").isNotNull())
+    )
+    per_term = toks.groupBy("doc_id", "total", "term").agg(
         F.count("*").alias("cnt")
     )
-    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("total"))
-    weighted = per_term.join(per_doc, "doc_id").select(
+    weighted = per_term.select(
         F.lit(field).alias("field"),
         "term",
         "doc_id",

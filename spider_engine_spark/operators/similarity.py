@@ -99,22 +99,72 @@ def ann_topk_lsh(
     )
 
 
+def _norm_col(vec) -> F.Column:
+    """sqrt(sum v²) with cosine_col's exact fold (same order, same
+    casts) — shared so precomputed norms stay bit-identical to the
+    inline ones."""
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.sqrt(
+        F.aggregate(
+            c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def _py_norm(c: list[float]) -> float:
+    """Driver-side replica of _norm_col for a literal centroid: Python
+    floats ARE IEEE doubles and the fold order matches (left-to-right
+    acc + x*x, then sqrt), so the value is bit-identical to the JVM
+    fold over the same F.lit doubles."""
+    import math
+
+    acc = 0.0
+    for x in c:
+        xd = float(x)
+        acc = acc + xd * xd
+    return math.sqrt(acc)
+
+
 def ivf_assign(
-    df: DataFrame, key: str, vec: str, centroids: list[list[float]]
+    df: DataFrame,
+    key: str,
+    vec: str,
+    centroids: list[list[float]],
+    keep_norm: str | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid
     (the inverted-file 'list'). Centroids are fixed/deterministic (at
     scale: a k-means sample pass); assignment is a JVM-native argmin over
     k dot-product folds — one narrow column added, table partitioned by
-    `ivf_list` at rest."""
+    `ivf_list` at rest.
+
+    Per-row cost is k dot folds + ONE norm fold: the row vector's norm
+    is materialized once as a named column and each centroid's norm is a
+    driver-computed literal (bit-identical to the in-plan fold, see
+    _py_norm) — the former per-centroid cosine_col re-folded the row
+    norm k times and the centroid norm k times per row, tripling the
+    arithmetic for identical values. keep_norm retains the row-norm
+    column under that name (callers that verify exact cosines pairwise
+    reuse it instead of re-folding)."""
     # materialize per-centroid sims as NAMED columns first: a chained
     # when(...) over raw expressions copies the whole prior tree per
     # centroid (O(3^k) analysis blowup); over named refs it stays linear
-    sims = df.select(
+    nv = "_ivf_nv" if keep_norm is None else keep_norm
+    d = df.withColumn(nv, _norm_col(vec))
+    sims = d.select(
         "*",
         *[
-            cosine_col(
-                F.col(vec), F.array(*[F.lit(float(x)) for x in c])
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / (F.col(nv) * F.lit(_py_norm(c)))
             ).alias(f"_sim{i}")
             for i, c in enumerate(centroids)
         ],
@@ -123,9 +173,10 @@ def ivf_assign(
     assign = F.lit(-1)
     for i in reversed(range(len(centroids))):
         assign = F.when(F.col(f"_sim{i}") == best, F.lit(i)).otherwise(assign)
-    return sims.withColumn("ivf_list", assign).drop(
+    out = sims.withColumn("ivf_list", assign).drop(
         *[f"_sim{i}" for i in range(len(centroids))]
     )
+    return out if keep_norm is not None else out.drop(nv)
 
 
 def ivf_topk(
@@ -180,11 +231,13 @@ def kmeans_centroids(
 
     Deterministic by construction: seeds are the first k vectors in key
     order, assignment is the same JVM argmax-cosine used by ivf_assign,
-    and the update step is an exact per-list mean (posexplode ->
-    groupBy(list, dim) -> decimal-summed average, so the result is
-    independent of partitioning). Each iteration is one assignment pass +
-    one narrow aggregation; only the k x dim centroid matrix ever reaches
-    the driver. An empty list keeps its previous centroid.
+    and the update step is an exact per-list mean (one groupBy(ivf_list)
+    with dim per-element decimal sums — exact and order-independent, so
+    the result is independent of partitioning; map-side combinable, k
+    rows per map partition instead of the former posexplode's N×dim
+    shuffle rows). Each iteration is one assignment pass + one narrow
+    aggregation; only the k x dim centroid matrix ever reaches the
+    driver. An empty list keeps its previous centroid.
 
     The feature frame is PERSISTED for the duration of the fit (the
     iterative-op law: without it, the seed pass plus every Lloyd
@@ -198,29 +251,43 @@ def kmeans_centroids(
     ).persist()
     try:
         cents = sample_centroids(base, "_v", k, "_k")
+        dim = len(cents[0]) if cents else 0
         for _ in range(iters):
             assigned = ivf_assign(base, "_k", "_v", cents)
-            comps = assigned.select(
-                "ivf_list", F.posexplode("_v").alias("dim", "x")
-            )
+            # update step as dim per-element column sums in ONE
+            # groupBy(ivf_list) — map-side combinable, k rows shuffled
+            # per map partition. The former posexplode shape shuffled
+            # N×dim (list, dim, x) rows per pass. Value law unchanged:
+            # per-dim decimal(28,10) sum (exact, order-independent) cast
+            # double, divided by the list count — the division happens
+            # driver-side in Python, where float IS the same IEEE double
+            # division the old in-plan `double / count` performed.
             rows = (
-                comps.groupBy("ivf_list", "dim")
+                assigned.groupBy("ivf_list")
                 .agg(
-                    (
+                    *[
                         F.sum(
-                            F.col("x").cast("decimal(28,10)")
-                        ).cast("double")
-                        / F.count(F.lit(1))
-                    ).alias("m")
+                            F.col("_v")[d].cast("decimal(28,10)")
+                        )
+                        .cast("double")
+                        .alias(f"_s{d}")
+                        for d in range(dim)
+                    ],
+                    # per-dim counts, not one per-list count: the old
+                    # posexplode groupBy(list, dim) counted each dim's
+                    # own non-null population
+                    *[
+                        F.count(F.col("_v")[d]).alias(f"_n{d}")
+                        for d in range(dim)
+                    ],
                 )
                 .collect()
             )
             new_cents = [list(c) for c in cents]  # empty lists keep centroid
-            by_list: dict[int, dict[int, float]] = {}
             for r in rows:
-                by_list.setdefault(r["ivf_list"], {})[r["dim"]] = r["m"]
-            for li, dims in by_list.items():
-                new_cents[li] = [dims[d] for d in sorted(dims)]
+                new_cents[r["ivf_list"]] = [
+                    r[f"_s{d}"] / r[f"_n{d}"] for d in range(dim)
+                ]
             cents = new_cents
         return cents
     finally:

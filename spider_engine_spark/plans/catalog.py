@@ -234,38 +234,19 @@ class Table:
                 )
             else:
                 raw = raw.withColumn(AUTO_PK, F.expr("uuid()"))
-        # duplicate-PK rejection (table.go:451-454): vs table and in-batch.
-        # In-batch resolution is DETERMINISTIC: the reference's serialized
-        # writer keeps the first-arrived row, but "first" is undefined
-        # distributively (dropDuplicates keeps an arbitrary row) — keep
-        # the row with the smallest JSON encoding instead (a total order
-        # over full row content), so re-running the same batch always
-        # survives the same row.
-        _cols = raw.columns
-        raw = (
-            raw.groupBy(self.pk)
-            .agg(
-                F.min_by(
-                    F.struct(*_cols), F.to_json(F.struct(*_cols))
-                ).alias("_r")
-            )
-            .select("_r.*")
-        )
+        # duplicate check vs the table is vs LIVE rows: a tombstoned PK
+        # may be re-inserted — that IS the update path (table.go:636-654).
+        # The anti-join runs BEFORE the in-batch dedup (they commute: a
+        # PK group is dropped or kept wholesale by the anti-join) so the
+        # in-batch dedup can share the docId assignment's range exchange
+        # below instead of paying its own full-row shuffle.
         if self.io.exists(f"{self.name}__base"):
-            # duplicate check is vs LIVE rows: a tombstoned PK may be
-            # re-inserted — that IS the update path (table.go:636-654)
             existing = self.base(include_deleted=False).select(
                 F.col(self.pk).alias("_epk")
             )
             raw = raw.join(
                 existing, raw[self.pk] == existing["_epk"], "left_anti"
             )
-        typed = raw.select(
-            *[
-                _typed_column(t, F.col(f)).alias(f)
-                for f, t in self.fields.items()
-            ]
-        )
         # dense docId assignment in PK order (the single-writer arrival
         # order of C1 is not reproducible distributively; PK order is the
         # documented deterministic substitute). Fully parallel: range-
@@ -274,12 +255,40 @@ class Table:
         # ONE task, the ingest path's scale-killer at 100 TB. The global
         # id equals the PK's global rank regardless of where the range
         # boundaries fall, so determinism is preserved.
+        #
+        # In-batch duplicate-PK rejection (table.go:451-454) rides the
+        # SAME exchange: RangePartitioning(pk) clusters equal PKs into
+        # one partition, so the dedup window below needs no shuffle of
+        # its own (Catalyst recognizes the clustering; the window's sort
+        # by (pk, json) also covers the assignment window's pk order).
+        # Resolution is DETERMINISTIC: the reference's serialized writer
+        # keeps the first-arrived row, but "first" is undefined
+        # distributively (dropDuplicates keeps an arbitrary row) — keep
+        # the row with the smallest JSON encoding instead (a total order
+        # over full row content; identical encodings imply identical
+        # rows), so re-running the same batch always survives the same
+        # row.
         from pyspark.sql.window import Window
 
+        _cols = raw.columns
         n_parts = max(self.spark.sparkContext.defaultParallelism, 1)
+        w_dedup = Window.partitionBy(self.pk).orderBy(
+            F.to_json(F.struct(*_cols))
+        )
+        deduped = (
+            raw.repartitionByRange(n_parts, F.col(self.pk))
+            .withColumn("_rn", F.row_number().over(w_dedup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        typed = deduped.select(
+            *[
+                _typed_column(t, F.col(f)).alias(f)
+                for f, t in self.fields.items()
+            ]
+        )
         ranged = (
-            typed.repartitionByRange(n_parts, F.col(self.pk))
-            .withColumn("_pid", F.spark_partition_id())
+            typed.withColumn("_pid", F.spark_partition_id())
             .localCheckpoint()  # pin partition assignment across passes
         )
         counts = {

@@ -1349,3 +1349,53 @@ def test_paragraph_dedup_key_magnitude_guard(spark):
     )
     with _pt.raises((Py4JJavaError, SparkRuntimeException), match="packed-BIGINT"):
         paragraph_dedup(big, "doc_id", "text").collect()
+
+
+def test_exact_substring_dedup_boilerplate_doc_linear(spark):
+    """The interval-merge rebuild (round-7): a fully-boilerplate long doc
+    — every window duplicated, the O(L²/n) worst case of the former
+    per-token × per-start mask — must (a) still match the pure-Python
+    law on a small instance covering the merge edge cases (overlapping,
+    adjacent-touching, and disjoint removal intervals) and (b) complete
+    fast on a large one (~30k tokens ≈ 10^9 mask ops under the old
+    shape; linear here)."""
+    import time
+
+    from spider_engine_spark.operators.dedup import exact_substring_dedup
+
+    # (a) edge-case corpus: doc 2 is pure boilerplate of doc 1's grams;
+    # doc 3 has two disjoint copied spans with a surviving gap between,
+    # doc 4 an adjacent-touching pair of removal intervals
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j a b c d e f g h i j"),
+        (3, "a b c d zz1 zz2 zz3 e f g h"),
+        (4, "b c d e f g h i"),
+    ]
+    expect = _xs_reference(docs, n=4)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.text_dedup)
+        for r in exact_substring_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id", "text", n=4,
+        ).collect()
+    }
+    assert got == expect
+
+    # (b) two large identical boilerplate docs: every window duplicated
+    big = " ".join(f"t{i % 7}" for i in range(30_000))
+    bdf = spark.createDataFrame(
+        [(1, big), (2, big)], "doc_id long, text string"
+    )
+    t0 = time.monotonic()
+    rows = {
+        r.doc_id: (r.n_tokens, r.n_kept)
+        for r in exact_substring_dedup(bdf, "doc_id", "text", n=8).collect()
+    }
+    elapsed = time.monotonic() - t0
+    # doc 1 keeps only the first window's coverage complement: its own
+    # intra-doc repeats dedup too (period-7 text means every window
+    # recurs); doc 2 loses everything
+    assert rows[2] == (30_000, 0)
+    assert rows[1][0] == 30_000 and rows[1][1] < 30
+    assert elapsed < 60, f"boilerplate rebuild took {elapsed:.1f}s"
