@@ -177,8 +177,15 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
-    Returns distinct (a, b) with a < b."""
-    exploded = band_buckets(sigs, key, bands)
+    Returns distinct (a, b) with a < b.
+
+    The band rows are persisted before the self-join: without it each
+    join side re-derives the whole signature pipeline (tokenize →
+    shingle → k min-hash aggs) — the static plan carries the subtree
+    twice and no ReusedExchange applies across the broadcast/stream
+    sides. Plain evictable cache (narrow (key, band, bucket) rows),
+    lineage retained; it lives until eviction or session end."""
+    exploded = band_buckets(sigs, key, bands).persist()
     if cap_bucket_size is not None:
         counts = exploded.groupBy("band", "bucket").agg(
             F.count("*").alias("bsz")
@@ -210,8 +217,13 @@ def shared_shingle_pairs(
     - a non-identical pair is found as long as it shares >= 1
       sub-threshold shingle; pairs whose ENTIRE overlap is boilerplate
       hotter than max_df can be missed — the same deliberate trade the
-      LSH sibling makes with cap_bucket_size."""
-    sh = exploded_shingles(df, key, content, n)
+      LSH sibling makes with cap_bucket_size.
+
+    The exploded (key, shingle) rows are persisted: they feed both
+    self-join sides (and the hot-shingle counts under max_df) — without
+    the cache each consumer re-tokenizes and re-shingles the corpus.
+    Plain evictable cache, lineage retained."""
+    sh = exploded_shingles(df, key, content, n).persist()
     extra = None
     if max_df is not None:
         hot = (
@@ -256,8 +268,17 @@ def shared_shingle_pairs(
 def jaccard_verify(
     pairs: DataFrame, df: DataFrame, key: str, content: str, n: int = 3
 ) -> DataFrame:
-    """Exact shingle-Jaccard on candidate pairs only."""
-    sh = with_shingles(df, content, n, "sh").select(F.col(key), "sh")
+    """Exact shingle-Jaccard on candidate pairs only.
+
+    The per-doc shingle table is persisted: it hydrates BOTH pair
+    endpoints, and without the cache each hydration join re-tokenizes
+    and re-shingles the corpus. Plain evictable cache, lineage
+    retained."""
+    sh = (
+        with_shingles(df, content, n, "sh")
+        .select(F.col(key), "sh")
+        .persist()
+    )
     out = (
         pairs.join(sh.withColumnRenamed(key, "a").withColumnRenamed("sh", "sh_a"), "a")
         .join(sh.withColumnRenamed(key, "b").withColumnRenamed("sh", "sh_b"), "b")
@@ -320,6 +341,11 @@ def simhash_pairs(
     hamming<=3 pairs differ in at most 3 chunks, so at least one of the 4
     is equal), verify with native bit_count(xor)."""
     withsim = simhash_signatures(df, key, content)
+    # persisted before the self-join: each side would otherwise
+    # re-derive the full signature build (tokenize → per-term counts →
+    # the 60 conditional-sum aggregates) — the static plan carries that
+    # subtree twice with no ReusedExchange. Plain evictable cache of
+    # narrow (key, sim, chunk_id, chunk) rows, lineage retained.
     chunks = withsim.select(
         key,
         "sim",
@@ -331,7 +357,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("chunk_id", "chunk"),
-    )
+    ).persist()
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

@@ -97,7 +97,18 @@ def _native_words_tw(df: DataFrame, doc_id: str, field: str) -> DataFrame:
     table then drops separators. Built as a projection ladder (each rung
     computed once) — a single fused expression would inline the
     split+regexp tree into every lambda and recompute it per element
-    (Column expressions are trees, not DAGs)."""
+    (Column expressions are trees, not DAGs).
+
+    Term frequencies come from RUN LENGTHS over the sorted token array
+    — O(t log t + t) per row — replacing the former per-unique-token
+    count scan (filter the whole array once per distinct token,
+    O(uniq·tokens) per row: the dominant per-row cost of the catalog
+    ingest's tokenize stage). Values are unchanged — each run length IS
+    that token's count and total is the same token-array size — only
+    the order of (terms, weights) inside the per-doc arrays changes
+    (sorted instead of first-occurrence), which no consumer observes:
+    field_tokens explodes the zip into rows and every downstream
+    aggregation is order-insensitive."""
     # keep-rule: every punctuation-table entry is a single character (or
     # ''), and multi-char tokens here are always [A-Za-z0-9_]+ word runs
     # — so length > 1 short-circuits the 37-literal array_contains scan
@@ -110,20 +121,36 @@ def _native_words_tw(df: DataFrame, doc_id: str, field: str) -> DataFrame:
     d = df.select(
         F.col(doc_id).cast("long").alias("doc_id"), toks.alias("_toks")
     )
-    d = d.select("doc_id", "_toks", F.array_distinct("_toks").alias("_uniq"))
-    # tf_weight_expr — the shared float32 law; total > 0 whenever _uniq
-    # is non-empty, so the division never sees 0/0.
+    d = d.select("doc_id", "_toks", F.array_sort("_toks").alias("_sorted"))
+    # run starts: indices whose sorted token differs from its
+    # predecessor. F.get is 0-based and NULL out of bounds, so i=0
+    # passes via TRUE OR NULL; the empty array is special-cased because
+    # sequence(0, -1) would count DOWN.
+    starts = F.when(
+        F.size("_sorted") == 0, F.array().cast("array<int>")
+    ).otherwise(
+        F.filter(
+            F.sequence(F.lit(0), F.size("_sorted") - 1),
+            lambda i: (i == F.lit(0))
+            | (F.get("_sorted", i) != F.get("_sorted", i - 1)),
+        )
+    )
+    d = d.select("doc_id", "_toks", "_sorted", starts.alias("_starts"))
+    uniq = F.transform("_starts", lambda i: F.get("_sorted", i))
+    # tf_weight_expr — the shared float32 law; cnt = run length (next
+    # start, or the array end for the last run, minus this start);
+    # total > 0 whenever _starts is non-empty, so the division never
+    # sees 0/0.
     weights = F.transform(
-        "_uniq",
-        lambda t: tf_weight_expr(
-            F.size(F.filter("_toks", lambda x: x == t)), F.size("_toks")
+        "_starts",
+        lambda s, j: tf_weight_expr(
+            F.coalesce(F.get("_starts", j + 1), F.size("_sorted")) - s,
+            F.size("_toks"),
         ),
     )
     return d.select(
         "doc_id",
-        F.struct(
-            F.col("_uniq").alias("terms"), weights.alias("weights")
-        ).alias("tw"),
+        F.struct(uniq.alias("terms"), weights.alias("weights")).alias("tw"),
     )
 
 

@@ -145,37 +145,52 @@ def ivf_assign(
     norm k times and the centroid norm k times per row, tripling the
     arithmetic for identical values. keep_norm retains the row-norm
     column under that name (callers that verify exact cosines pairwise
-    reuse it instead of re-folding)."""
-    # materialize per-centroid sims as NAMED columns first: a chained
-    # when(...) over raw expressions copies the whole prior tree per
-    # centroid (O(3^k) analysis blowup); over named refs it stays linear
+    reuse it instead of re-folding).
+
+    The k dot folds run as ONE transform over a k×dim literal matrix
+    (a single Literal leaf): k unrolled folds each embedding a dim-wide
+    CreateArray of literals made the expression tree O(k·dim) nodes —
+    seconds of analyzer/optimizer/codegen time per call at k=8, dim=64,
+    dominating the k-means fit at bench scale. Values are unchanged
+    (same zip_with/aggregate fold over the same doubles; element_at
+    norms are the same literals), and the argmin tie law is the same
+    smallest-index when-chain over the sims array."""
+    k = len(centroids)
     nv = "_ivf_nv" if keep_norm is None else keep_norm
+    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    norms_lit = F.lit([_py_norm(c) for c in centroids])
     d = df.withColumn(nv, _norm_col(vec))
-    sims = d.select(
-        "*",
-        *[
-            (
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec),
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda x, y: x.cast("double") * y.cast("double"),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                / (F.col(nv) * F.lit(_py_norm(c)))
-            ).alias(f"_sim{i}")
-            for i, c in enumerate(centroids)
-        ],
+    # _sims / _best as NAMED columns: the when-chain below references
+    # them k times, and Column expressions are trees — named refs keep
+    # the analyzed plan linear in k (CollapseProject refuses to inline
+    # non-cheap expressions referenced more than once)
+    sims = d.withColumn(
+        "_sims",
+        F.transform(
+            cents_lit,
+            lambda c, i: F.aggregate(
+                F.zip_with(
+                    F.col(vec),
+                    c,
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / (F.col(nv) * F.element_at(norms_lit, i + 1)),
+        ),
+    ).withColumn(
+        "_best",
+        F.greatest(*[F.element_at(F.col("_sims"), i + 1) for i in range(k)])
+        if k > 1
+        else F.element_at(F.col("_sims"), 1),
     )
-    best = F.greatest(*[F.col(f"_sim{i}") for i in range(len(centroids))])
     assign = F.lit(-1)
-    for i in reversed(range(len(centroids))):
-        assign = F.when(F.col(f"_sim{i}") == best, F.lit(i)).otherwise(assign)
-    out = sims.withColumn("ivf_list", assign).drop(
-        *[f"_sim{i}" for i in range(len(centroids))]
-    )
+    for i in reversed(range(k)):
+        assign = F.when(
+            F.element_at(F.col("_sims"), i + 1) == F.col("_best"), F.lit(i)
+        ).otherwise(assign)
+    out = sims.withColumn("ivf_list", assign).drop("_sims", "_best")
     return out if keep_norm is not None else out.drop(nv)
 
 
