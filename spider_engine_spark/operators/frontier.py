@@ -927,13 +927,22 @@ class CrawlJob:
         enriched = enrich_candidates(
             raw_links, self.cfg, host_attrs=hosts_df
         ).cache()
-        # one action for robots + link counts
-        allow_counts = dict(
-            (bool(r["allowed"]), r["cnt"])
+        # ONE action for robots counts + link counts + the candidate
+        # count: n_cand == |distinct allowed urls| == the size of the
+        # groupBy(url) below, so counting it here (count_distinct rides
+        # the same aggregation job) saves the separate cand.count() job
+        # the superstep used to pay.
+        allow_stats = {
+            bool(r["allowed"]): (r["cnt"], r["uniq"])
             for r in enriched.groupBy("allowed")
-            .agg(F.count("*").alias("cnt"))
+            .agg(
+                F.count("*").alias("cnt"),
+                F.count_distinct("url").alias("uniq"),
+            )
             .collect()
-        )
+        }
+        allow_counts = {k: v[0] for k, v in allow_stats.items()}
+        n_cand = allow_stats.get(True, (0, 0))[1]
         if self.host_cache:
             # grow the host-attr cache with this step's never-seen hosts
             # (disjoint from the table by construction -> append keeps
@@ -986,32 +995,55 @@ class CrawlJob:
             cand.select("shard", "hash"), state
         ).localCheckpoint(eager=False)
         self._retired_current.append(maybe_hashes)
-        n_cand = cand.count()
-        n_maybe = maybe_hashes.count()
-        mark("probe")
         definitely_new = cand.join(
             maybe_hashes, ["shard", "hash"], "left_anti"
         )
         maybe = cand.join(maybe_hashes, ["shard", "hash"], "left_semi")
-        if n_maybe:
-            # shard-pruned exact check: the seen table is hive-partitioned
-            # by shard at rest, so filtering to the shards the maybe-set
-            # actually touches prunes the scan to those partition dirs —
-            # the probe never reads the whole 10^10-row seen set.
-            touched = [
-                r["shard"]
-                for r in maybe_hashes.select("shard").distinct().collect()
-            ]
+        if self.checkpoint_every == 1:
+            # durable mode: the seen table is hive-partitioned by shard
+            # at rest, so a LITERAL isin over the shards the maybe-set
+            # touches prunes the scan to those partition dirs — worth
+            # the two driver actions (count + touched collect); the
+            # probe never reads the whole 10^10-row seen set.
+            n_maybe = maybe_hashes.count()
+            mark("probe")
+            if n_maybe:
+                touched = [
+                    r["shard"]
+                    for r in maybe_hashes.select("shard").distinct().collect()
+                ]
+                seen_probe = (
+                    self._get("seen")
+                    .filter(F.col("shard").isin(touched))
+                    .select("shard", "url")
+                )
+                truly_new = maybe.join(
+                    seen_probe, ["shard", "url"], "left_anti"
+                )
+            else:
+                truly_new = maybe  # empty by construction
+        else:
+            # memory mode: the seen state is a cached union — there are
+            # no partition dirs to prune, so a broadcast semi-join on
+            # the maybe-set's shards does the same pruning lazily and
+            # the two probe-side driver actions disappear (n_maybe is
+            # counted in the combined metrics action below; an empty
+            # maybe-set makes both joins no-ops without knowing its
+            # count up front).
+            n_maybe = None
+            mark("probe")
             seen_probe = (
                 self._get("seen")
-                .filter(F.col("shard").isin(touched))
+                .join(
+                    F.broadcast(maybe_hashes.select("shard").distinct()),
+                    "shard",
+                    "left_semi",
+                )
                 .select("shard", "url")
             )
             truly_new = maybe.join(
                 seen_probe, ["shard", "url"], "left_anti"
             )
-        else:
-            truly_new = maybe  # empty by construction
         admitted = definitely_new.unionByName(truly_new).withColumn(
             "discovered_step", F.lit(step + 1)
         )
@@ -1025,13 +1057,23 @@ class CrawlJob:
             self._retired_current.append(admitted)
         mark("admit_write")
 
-        # per-partition lineage metrics (north_rule) — also yields totals
-        shard_counts = {
-            str(r["shard"]): r["cnt"]
-            for r in admitted.groupBy("shard")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
+        # per-partition lineage metrics (north_rule) — also yields totals.
+        # Memory mode folds the maybe-set count into the SAME action (a
+        # sentinel row unioned onto the per-shard counts) instead of the
+        # separate maybe_hashes.count() the durable path pays.
+        _lineage = admitted.groupBy(
+            F.col("shard").cast("string").alias("k")
+        ).agg(F.count("*").alias("cnt"))
+        if n_maybe is None:
+            _lineage = _lineage.unionByName(
+                maybe_hashes.select(F.lit("__maybe__").alias("k")).groupBy(
+                    "k"
+                ).agg(F.count("*").alias("cnt"))
+            )
+        _rows = {r["k"]: r["cnt"] for r in _lineage.collect()}
+        if n_maybe is None:
+            n_maybe = _rows.pop("__maybe__", 0)
+        shard_counts = _rows
         n_admitted = sum(shard_counts.values())
         mark("lineage")
         # maybe-seen rows that were NOT exactly seen are the filter's

@@ -280,18 +280,28 @@ def search(
     max_doc is the table's NextDocId (pass row-count for dense ids).
 
     df_source: where the TF-IDF df statistic comes from.
-    - 'count' (default): count-agg over the filtered candidate set — the
-      reference's exact semantics (df = |result set after filters|,
-      table.go:1116) and the only correct choice when filters or deletes
-      can shrink the set.
-    - 'postings': read df straight from the postings table's per-term df
-      column (summed over doc-buckets). Identical by definition when
-      there are no filters/deletes and every posting doc exists in base —
-      and skips re-computing the candidate subplan for the stats agg (the
-      broadcast exchange otherwise evaluates it twice). The 100 TB form:
-      df is an index statistic, not a per-query aggregation.
-      Falls back to 'count' when filters/deletes/empty-keyword make the
-      statistic inapplicable.
+    - 'count' (default): |filtered candidate set| — the reference's
+      exact semantics (df = |result set after filters|, table.go:1116)
+      and the only correct choice when filters or deletes can shrink
+      the set.
+    - 'postings': by the writer invariant (every posting doc exists in
+      base, add_docs_df docstring) an unfiltered candidate set has
+      |candidates| == the postings df statistic, so both sources now
+      share one code path: the candidate set is materialized ONCE as
+      narrow (doc_id, weight) rows, its count IS df, and nothing is
+      evaluated twice. The parameter is kept for callers that document
+      intent; with filters/deletes/empty-keyword both behave as
+      'count'.
+
+    Plan shape: filters hydrate against the forward index as before,
+    but ranking runs over the narrow persisted (doc_id, weight) set —
+    count job for df, TakeOrdered over 16-byte rows — and only the
+    FINAL page (≤ max(offset+size, 100) rows) is joined back to `base`
+    for its payload columns, as a broadcast of the page. The former
+    shape broadcast a 1-row stats agg but carried every base column
+    (document text included) through scoring and the TakeOrdered, and
+    evaluated the candidate subplan twice (once for the stats agg,
+    once for scoring).
     """
     fld = search_field or GOD_FIELD
     numeric_fields, temporal_types = _schema_kinds(base, numeric_fields)
@@ -312,34 +322,42 @@ def search(
         cand, base, doc_id, deleted, filters, numeric_fields, temporal_types
     )
 
-    # Q7: df = |filtered candidate set| via a 1-row agg broadcast (NOT an
-    # unpartitioned window over every candidate row); ranking/clamping is
-    # the shared _rank_clamp_page.
-    if (
-        df_source == "postings"
-        and keyword != ""
-        and not filters
-        and deleted is None
-    ):
-        from spider_engine_spark.operators.postings import term_bucket_expr
-
-        pruned = postings
-        if term_buckets is not None and "term_bucket" in postings.columns:
-            pruned = postings.filter(
-                F.col("term_bucket")
-                == term_bucket_expr(F.lit(keyword), term_buckets)
-            )
-        stats = pruned.filter(
-            (F.col("field") == fld) & (F.col("term") == keyword)
-        ).agg(F.coalesce(F.sum("df"), F.lit(0)).alias("df_"))
-    else:
-        stats = hydrated.agg(F.count(F.lit(1)).alias("df_"))
-    scored = hydrated.crossJoin(F.broadcast(stats)).withColumn(
-        "score", tfidf_score(F.col("weight"), max_doc, F.col("df_"))
-    )
-    return _rank_clamp_page(
+    # Q7: df = |filtered candidate set|, counted on the narrow
+    # materialized candidates (plain evictable cache, lineage retained)
+    # and emitted as a literal — no stats broadcast, no second
+    # evaluation of the candidate subplan.
+    narrow = hydrated.select("doc_id", "weight").persist()
+    df_count = narrow.count()
+    scored = narrow.withColumn(
+        "score",
+        tfidf_score(
+            F.col("weight"), max_doc, F.lit(df_count).cast("long")
+        ),
+    ).withColumn("df_", F.lit(df_count).cast("long"))
+    page = _rank_clamp_page(
         scored, "df_", offset, size, keep_total, drop_cols=("weight",)
     )
+    # Q10: hydrate ONLY the ranked page (broadcast — it is clamped to
+    # ≤ max(offset+size, 100) rows), reproducing the former column
+    # order: doc_id, base columns, [_total,] score — including the
+    # former withColumn semantics where a base column named `score`
+    # was replaced IN PLACE by the rank score.
+    based = base.withColumn("doc_id", F.col(doc_id).cast("long"))
+    base_cols = [c for c in based.columns if c != "doc_id"]
+    page_r = page.withColumnRenamed("score", "__rank_score")
+    out = based.join(F.broadcast(page_r), "doc_id")
+    cols = [F.col("doc_id")]
+    for c in base_cols:
+        cols.append(
+            F.col("__rank_score").alias("score") if c == "score" else based[c]
+        )
+    if keep_total:
+        cols.append(page_r["_total"])
+    if "score" not in base_cols:
+        cols.append(F.col("__rank_score").alias("score"))
+    # the hydration join loses the page's rank order — restore it (the
+    # page is ≤ max(offset+size, 100) rows; the sort is driver-cheap)
+    return out.select(*cols).orderBy(F.desc("score"), F.asc("doc_id"))
 
 
 def search_multi(
@@ -413,9 +431,27 @@ def search_multi(
     hydrated = _hydrated_candidates(
         cand, base, doc_id, deleted, filters, numeric_fields, temporal_types
     )
-    stats = hydrated.agg(F.count(F.lit(1)).alias("total_"))
-    with_total = hydrated.crossJoin(F.broadcast(stats))
-    return _rank_clamp_page(with_total, "total_", offset, size, keep_total)
+    # same narrow-rank shape as search(): count the materialized
+    # (doc_id, score) candidates once for the clamp total, rank the
+    # narrow rows, and hydrate only the final page (broadcast) —
+    # column order preserved: doc_id, score, base columns[, _total].
+    narrow = hydrated.select("doc_id", "score").persist()
+    total = narrow.count()
+    with_total = narrow.withColumn("total_", F.lit(total).cast("long"))
+    page = _rank_clamp_page(with_total, "total_", offset, size, keep_total)
+    based = base.withColumn("doc_id", F.col(doc_id).cast("long"))
+    base_cols = [c for c in based.columns if c != "doc_id"]
+    page_r = page.withColumnRenamed("score", "__rank_score")
+    out = based.join(F.broadcast(page_r), "doc_id")
+    cols = (
+        [F.col("doc_id"), F.col("__rank_score").alias("score")]
+        + [based[c] for c in base_cols]
+        + ([page_r["_total"]] if keep_total else [])
+    )
+    # restore the page's rank order lost by the hydration join
+    return out.select(*cols).orderBy(
+        F.desc("__rank_score"), F.asc("doc_id")
+    )
 
 
 def bm25_single_term(
