@@ -496,8 +496,15 @@ def token_rarity(df, key: str, content: str):
     from spider_engine_spark.operators.dedup import exploded_tokens
 
     toks = exploded_tokens(df, key, content)
-    tc = toks.groupBy(key, "term").agg(F.count(F.lit(1)).alias("cnt"))
-    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
+    # the corpus term counts re-aggregate the per-(doc, term) counts
+    # (sum of cnt == count of occurrences) instead of re-exploding the
+    # corpus, and tc is persisted because it feeds both that roll-up
+    # and the join below (plain evictable cache, lineage retained) —
+    # the former shape tokenized the corpus twice
+    tc = toks.groupBy(key, "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).persist()
+    lm = tc.groupBy("term").agg(F.sum("cnt").alias("df_"))
     per_doc = (
         tc.join(F.broadcast(lm), "term")
         .groupBy(key)
@@ -585,10 +592,14 @@ def collocations_pmi(
     )
     from spider_engine_spark.operators.dedup import exploded_tokens
 
+    # persisted: the unigram table hydrates BOTH bigram endpoints (w1
+    # and w2 joins) — without the cache the tokenize + count subtree is
+    # evaluated twice (plain evictable cache, lineage retained)
     uni = (
         exploded_tokens(df, key, content)
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c_w"))
+        .persist()
     )
     return (
         cxy.join(uni.select(F.col("term").alias("w1"), F.col("c_w").alias("c_x")), "w1")

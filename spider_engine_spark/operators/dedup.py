@@ -803,7 +803,14 @@ def exact_substring_dedup(
                 .alias("g2"),
             ),
         ),
-    )
+    ).drop("_xs_md5s")
+    # the ladder feeds THREE consumers (the dup aggregation, the
+    # duplicated-occurrences join side, and the rebuild join) — without
+    # a cache each one re-tokenizes and re-hashes the corpus (the md5
+    # transform is the expensive rung). Plain evictable cache, lineage
+    # retained; the intermediate _xs_md5s column is dropped first so
+    # the cached bytes are tokens + gram ids only.
+    d = d.persist()
     occ = d.select(
         F.col(key),
         F.posexplode_outer("_xs_grams").alias("pos", "g"),
@@ -1100,7 +1107,11 @@ def paragraph_dedup(
             )
         ).cast("long")
     )
-    occ = occ.withColumn("_pd_id", packed)
+    # occ feeds the dup aggregation, the losers join side AND the
+    # anti-join left side — without a cache each consumer re-splits and
+    # re-hashes every paragraph. Plain evictable cache, lineage
+    # retained.
+    occ = occ.withColumn("_pd_id", packed).persist()
     dup = (
         occ.groupBy("_pd_g1", "_pd_g2")
         .agg(

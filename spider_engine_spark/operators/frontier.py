@@ -3,7 +3,7 @@
 Superstep dataflow (north_rule; all state through snapshot-commit TableIO):
 
   frontier ──salted two-phase per-host top-k──> fetch batch
-     batch ──mapInPandas(make_doc)──> interleaved docs (spans)
+     batch ──mapInArrow(make_doc)──> interleaved docs (spans)
      docs  ──explode media spans──> raw outlinks
      links ──canonicalize+enrich (pure JVM expressions)──> candidates
      candidates ──robots filter──> allowed
@@ -12,7 +12,7 @@ Superstep dataflow (north_rule; all state through snapshot-commit TableIO):
               maybe-set joins back, AQE broadcasts it)
      maybe  ──exact anti-join vs seen──> truly-new (FP audit metric)
      admitted = definitely-new ∪ truly-new  ──> frontier', seen', filter'
-     docs   ──tokenize text spans (pandas UDF, T4)──> postings append
+     docs   ──tokenize text spans (hybrid JVM/UDF, T4)──> postings append
   commit frontier'/seen'/filter'/docs/postings + step metrics (lineage)
 
 Politeness: per-host budget = TICKS_PER_STEP // crawl_delay(host)
@@ -37,7 +37,6 @@ from __future__ import annotations
 import time
 from typing import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -262,27 +261,42 @@ def fetch_docs(batch: DataFrame, step: int, cfg: wm.WebConfig = wm.DEFAULT) -> D
     The input is repartitioned to the cluster's core count first: AQE
     coalesces shuffle outputs by BYTES, which under-parallelizes
     compute-heavy Python stages (a few KB of URLs can carry minutes of
-    fetch work) — partition count here must track compute, not size."""
-    batch = batch.repartition(batch.sparkSession.sparkContext.defaultParallelism)
+    fetch work) — partition count here must track compute, not size.
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            docs = [wm.make_doc(u, cfg) for u in pdf["url"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": [d["doc_id"] for d in docs],
-                    "spans": [
-                        [
-                            (s["kind"], s["text"], s["media_ref"], s["offset"])
-                            for s in d["spans"]
-                        ]
-                        for d in docs
-                    ],
-                    "fetch_step": step,
-                }
+    mapInArrow, not mapInPandas: the span payload is a list-of-struct
+    column, which pandas can only carry as a python-object column that
+    Arrow must re-infer and convert row by row on every batch; building
+    the ListArray-of-StructArray directly from make_doc's dicts skips
+    that whole conversion (guide §4.2 — hand Arrow the columnar form).
+    Rows and values are identical."""
+    import pyarrow as pa
+
+    batch = batch.repartition(batch.sparkSession.sparkContext.defaultParallelism)
+    span_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            docs = [wm.make_doc(u, cfg) for u in b.column("url").to_pylist()]
+            n = len(docs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([d["doc_id"] for d in docs], pa.string()),
+                    pa.array([d["spans"] for d in docs], span_type),
+                    pa.array([step] * n, pa.int32()),
+                ],
+                ["doc_id", "spans", "fetch_step"],
             )
 
-    return batch.select("url").mapInPandas(fn, DOC_SCHEMA)
+    return batch.select("url").mapInArrow(fn, DOC_SCHEMA)
 
 
 def select_fetch_batch(frontier: DataFrame, salts: int) -> DataFrame:

@@ -64,6 +64,11 @@ def with_global_ranks(
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # persisted: repartitionByRange SAMPLES its input to pick range
+    # boundaries, so the input pipeline is otherwise evaluated twice
+    # (sampling pass + the real shuffle). Plain evictable cache,
+    # lineage retained.
+    df = df.persist()
     w = Window.partitionBy(_PID).orderBy(*order_by)
     ranked = (
         df.repartitionByRange(num_partitions, *order_by)
@@ -79,6 +84,11 @@ def with_global_ranks(
     else:
         ranked = ranked.localCheckpoint()
         pinned = _ckpt_rdd_id(ranked)
+    # the input cache served its purpose the moment the ranked frame
+    # was (eagerly) checkpointed — release it so the only retained
+    # snapshot is the checkpoint itself (blocking, so callers observing
+    # the block manager see exactly one pinned snapshot)
+    df.unpersist(True)
     counts = {
         r[_PID]: r["cnt"]
         for r in ranked.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()

@@ -45,8 +45,47 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+# Fact tables whose queries run compute-heavy per-row ladders
+# (tokenize, quality rules, cosine folds, decimal partial aggs) in the
+# SCAN stage. The bench parquet files are single row groups, so the
+# scan — and everything whole-stage-fused into it — runs on at most
+# one task per file no matter how splits are tuned (extra byte-range
+# splits of a one-row-group file are empty; measured). Dimension
+# tables (region/nation/supplier/...) stay un-fanned: they broadcast.
+_FAN_OUT_TABLES = {"documents", "embeddings"}
+# events/orders/lineitem deliberately NOT in the set: their queries are
+# light aggregations/joins/windows where the extra round-robin exchange
+# measured a net loss in interleaved A/B (events_hourly 0.41→0.64 s;
+# lineitem: only tpch_q1's decimal agg won (1.69→1.22) while q3/q4/q5
+# each lost 0.3–0.5 s), whereas documents/embeddings queries run heavy
+# per-row ladders that measured 1.4–2.6× faster (quality_gate
+# 1.65→0.86, gopher 1.43→0.55, cms 1.72→0.77, winnowing 0.89→0.41,
+# pii 0.60→0.34). Light tokenize-only aggregations over documents
+# (term_doc_freq, bm25, collocations, mixture) opt out per call.
+
+
+def load(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    fan_out: bool | None = None,
+) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if fan_out is None:
+        fan_out = table in _FAN_OUT_TABLES
+    if fan_out:
+        # scale-ADAPTIVE fan-out (guide §2.5 "input skew: repartition
+        # after the read"): only when the scan under-parallelizes the
+        # session (few files / row groups). At real scale the scan
+        # already yields >= parallelism partitions and this is a no-op
+        # — the condition, not a constant, decides. Predicate pushdown
+        # is unaffected (filters push through Repartition to the scan;
+        # verified in the committed plans). Round-robin repartition is
+        # deterministic (sort-before-repartition is on by default).
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 def ntz_epoch(c) -> F.Column:
@@ -172,7 +211,9 @@ def search_pagination(spark, sf_dir):
 )
 def term_doc_freq(spark, sf_dir):
     """I2's df statistic: postings-table document frequencies."""
-    docs = load(spark, sf_dir, "documents")
+    # fan_out=False: a tokenize-only aggregation — the fan-out exchange
+    # measured a net loss here (interleaved A/B 0.46 -> 0.75 s)
+    docs = load(spark, sf_dir, "documents", fan_out=False)
     postings = build_postings_native(docs, "doc_id", "text")
     return (
         postings.select("term", F.col("df").alias("doc_freq"))
@@ -1178,7 +1219,8 @@ def search_bm25(spark, sf_dir):
     from spider_engine_spark.operators.search import bm25_single_term
 
     return bm25_single_term(
-        load(spark, sf_dir, "documents"), "doc_id", "text", "spark",
+        load(spark, sf_dir, "documents", fan_out=False),
+        "doc_id", "text", "spark",
         k1=1.2, b=0.75, size=20,
     )
 
@@ -1231,7 +1273,7 @@ def search_bm25_multi(spark, sf_dir):
     from spider_engine_spark.operators.search import bm25_rank
 
     return bm25_rank(
-        load(spark, sf_dir, "documents"), "doc_id", "text",
+        load(spark, sf_dir, "documents", fan_out=False), "doc_id", "text",
         ["spark", "vector"], k1=1.2, b=0.75, size=20,
     )
 
@@ -1346,24 +1388,37 @@ def rollup_lang_source(spark, sf_dir):
 )
 def asof_join_latest_order(spark, sf_dir):
     """As-of join: each event matched to the customer's latest order at
-    event time — inequality join + per-key top-1 window (at scale:
-    bucket both sides by key, sort-merge within buckets)."""
+    event time — inequality join + per-key top-1 (at scale: bucket both
+    sides by key, sort-merge within buckets).
+
+    The top-1 is a max_by aggregation, not a window: max_by is
+    partially aggregable, so each map partition reduces its join
+    output to one row per event BEFORE the shuffle, where the window
+    form shuffled and sorted every joined pair row. The ordering law is
+    identical — max over (o_orderdate, -o_orderkey) == first row under
+    (o_orderdate DESC, o_orderkey ASC), and o_orderkey is unique so
+    there are no ties."""
     e = load(spark, sf_dir, "events")
     o = load(spark, sf_dir, "orders")
     joined = e.join(
         o,
         (o.o_custkey == e.user_id + 1) & (o.o_orderdate <= e.ts),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.asc("o_orderkey")
-    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        joined.groupBy("event_id")
+        .agg(
+            F.max_by(
+                F.struct("o_orderkey", "o_totalprice"),
+                F.struct(
+                    F.col("o_orderdate").alias("d"),
+                    (-F.col("o_orderkey")).alias("nk"),
+                ),
+            ).alias("_m")
+        )
         .select(
             "event_id",
-            F.col("o_orderkey").alias("latest_orderkey"),
-            F.col("o_totalprice").alias("latest_totalprice"),
+            F.col("_m.o_orderkey").alias("latest_orderkey"),
+            F.col("_m.o_totalprice").alias("latest_totalprice"),
         )
     )
 
@@ -2781,7 +2836,9 @@ def mixture_resample_counts(spark, sf_dir):
         stratum_counts,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    # fan_out=False: one light counting aggregation + a stateless
+    # hash filter — the fan-out exchange measured a net loss here
+    docs = load(spark, sf_dir, "documents", fan_out=False)
     # one counts pass, shared between the operator and the output's
     # rate/total columns so the gate hashes the LAW itself
     counts = stratum_counts(docs, "source")
@@ -2925,7 +2982,9 @@ def collocations_pmi_topk(spark, sf_dir):
         collocations_pmi,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    # fan_out=False: tokenize-only count aggregations — the fan-out
+    # exchange measured a net loss here (A/B 0.49 -> 0.66 s)
+    docs = load(spark, sf_dir, "documents", fan_out=False)
     scored = collocations_pmi(docs, "doc_id", "text", min_count=5)
     return (
         scored.orderBy(F.desc("pmi_score"), F.asc("w1"), F.asc("w2"))
@@ -3270,7 +3329,9 @@ def cms_term_counts(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents")
-    toks = exploded_tokens(docs, "doc_id", "text")
+    # toks feeds BOTH the sketch build and the true top-20 — persist so
+    # the corpus is tokenized once (evictable cache, lineage retained)
+    toks = exploded_tokens(docs, "doc_id", "text").persist()
     counters = cms_counters(toks, "term", width=256, depth=4)
     top = (
         toks.groupBy("term")
