@@ -943,15 +943,21 @@ class CrawlJob:
         ).cache()
         # ONE action for robots counts + link counts + the candidate
         # count: n_cand == |distinct allowed urls| == the size of the
-        # groupBy(url) below, so counting it here (count_distinct rides
-        # the same aggregation job) saves the separate cand.count() job
-        # the superstep used to pay.
+        # groupBy(url) below, so counting it here saves the separate
+        # cand.count() job the superstep used to pay. Two-level
+        # aggregation, not count_distinct: the latter plans an Expand
+        # that doubles the stream through the first aggregate, while
+        # groupBy(allowed, url) partial-aggregates map-side and the
+        # roll-up reproduces both values exactly (sum of per-url counts
+        # == row count; group count == distinct urls).
         allow_stats = {
             bool(r["allowed"]): (r["cnt"], r["uniq"])
-            for r in enriched.groupBy("allowed")
+            for r in enriched.groupBy("allowed", "url")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("allowed")
             .agg(
-                F.count("*").alias("cnt"),
-                F.count_distinct("url").alias("uniq"),
+                F.sum("_c").alias("cnt"),
+                F.count(F.lit(1)).alias("uniq"),
             )
             .collect()
         }
