@@ -73,8 +73,6 @@ def main() -> None:
         else:
             print(plan)
     elif mode == "ingest":
-        import bench as _bench  # reuse the frozen corpus construction
-
         from pyspark.sql import functions as F
 
         from spider_engine_spark.plans.catalog import Catalog
